@@ -1,0 +1,160 @@
+"""Hierarchical spatial cell index (H3/S2-style, pure numpy).
+
+The sandbox has no h3/s2 bindings, so the engine ships its own discrete
+global grid: an equirectangular quadtree ("quadcell") with Morton-coded cell
+ids — the same contract H3/S2 provide (point→cell at a resolution, parent/
+children, k-ring neighborhoods, polygon covering) with radically simpler
+math.  Resolution r splits the world into 2^r × 2^r cells (lon ∈ [-180,180],
+lat ∈ [-90,90]); r ≤ 30 keeps ids in 60 bits + 5 resolution bits = 65… so we
+cap r ≤ 29 to stay inside a signed 64-bit Spark LongType.
+
+cell_id layout (LongType-safe): bits 58..62 = resolution (5 bits),
+bits 0..57 = Morton(ix, iy).  All functions are vectorized over numpy arrays
+and are the kernels inside pandas UDFs (no per-row Python, per input_hint).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Tuple
+
+import numpy as np
+
+MAX_RES = 29
+_RES_SHIFT = 58
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 29 bits of v so there is a zero bit between each."""
+    v = v.astype(np.uint64)
+    v &= np.uint64(0x1FFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _compact1by1(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def lonlat_to_ixiy(lon: np.ndarray, lat: np.ndarray, res: int) -> Tuple[np.ndarray, np.ndarray]:
+    n = np.int64(1) << np.int64(res)
+    fx = (np.asarray(lon, dtype=np.float64) + 180.0) / 360.0
+    fy = (np.asarray(lat, dtype=np.float64) + 90.0) / 180.0
+    ix = np.clip(np.floor(fx * n).astype(np.int64), 0, int(n) - 1)
+    iy = np.clip(np.floor(fy * n).astype(np.int64), 0, int(n) - 1)
+    return ix, iy
+
+
+def encode_ixiy(ix: np.ndarray, iy: np.ndarray, res: int) -> np.ndarray:
+    morton = _part1by1(np.asarray(ix)) | (_part1by1(np.asarray(iy)) << np.uint64(1))
+    cell = (np.uint64(res) << np.uint64(_RES_SHIFT)) | morton
+    return cell.astype(np.int64)
+
+
+def cell_id(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Point → cell id at resolution ``res`` (vectorized)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be 0..{MAX_RES}")
+    ix, iy = lonlat_to_ixiy(lon, lat, res)
+    return encode_ixiy(ix, iy, res)
+
+
+def decode_cell(cell: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell → (res, ix, iy) arrays."""
+    c = np.asarray(cell, dtype=np.uint64)
+    res = (c >> np.uint64(_RES_SHIFT)).astype(np.int64)
+    morton = c & ((np.uint64(1) << np.uint64(_RES_SHIFT)) - np.uint64(1))
+    ix = _compact1by1(morton).astype(np.int64)
+    iy = _compact1by1(morton >> np.uint64(1)).astype(np.int64)
+    return res, ix, iy
+
+
+def cell_bounds(cell: int) -> Tuple[float, float, float, float]:
+    """(lon_min, lat_min, lon_max, lat_max) of one cell."""
+    res, ix, iy = decode_cell(np.array([cell]))
+    n = float(1 << int(res[0]))
+    w, h = 360.0 / n, 180.0 / n
+    lon0 = -180.0 + ix[0] * w
+    lat0 = -90.0 + iy[0] * h
+    return float(lon0), float(lat0), float(lon0 + w), float(lat0 + h)
+
+
+def cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    res, ix, iy = decode_cell(cell)
+    shift = res - parent_res
+    if np.any(shift < 0):
+        raise ValueError("parent_res coarser than cell res required")
+    return encode_ixiy(ix >> shift, iy >> shift, parent_res)
+
+
+def k_ring(cell: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k (the H3 k-ring analog).
+    x wraps around the antimeridian; y clamps at the poles."""
+    res, ix, iy = decode_cell(np.array([cell]))
+    r = int(res[0])
+    n = np.int64(1) << np.int64(r)
+    dx = np.arange(-k, k + 1, dtype=np.int64)
+    dy = np.arange(-k, k + 1, dtype=np.int64)
+    gx, gy = np.meshgrid((ix[0] + dx) % n, iy[0] + dy)
+    keep = (gy >= 0) & (gy < n)
+    return np.unique(encode_ixiy(gx[keep], gy[keep], r))
+
+
+def cover_bbox(
+    xmin: float, ymin: float, xmax: float, ymax: float, res: int
+) -> np.ndarray:
+    """All cells at ``res`` whose bounds intersect the bbox (closed)."""
+    ix0, iy0 = lonlat_to_ixiy(np.array([xmin]), np.array([ymin]), res)
+    ix1, iy1 = lonlat_to_ixiy(np.array([xmax]), np.array([ymax]), res)
+    xs = np.arange(ix0[0], ix1[0] + 1, dtype=np.int64)
+    ys = np.arange(iy0[0], iy1[0] + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    return encode_ixiy(gx.ravel(), gy.ravel(), res)
+
+
+def adaptive_cover_res(
+    xmin: float, ymin: float, xmax: float, ymax: float, max_cells: int = 256, max_res: int = MAX_RES
+) -> int:
+    """Finest resolution whose bbox covering stays ≤ max_cells (polygon
+    covering sets bounded so the build side of the cell join stays small)."""
+    for res in range(max_res, -1, -1):
+        n = 1 << res
+        nx = int((xmax + 180.0) / 360.0 * n) - int((xmin + 180.0) / 360.0 * n) + 1
+        ny = int((ymax + 90.0) / 180.0 * n) - int((ymin + 90.0) / 180.0 * n) + 1
+        if nx * ny <= max_cells:
+            return res
+    return 0
+
+
+def cover_polygon_bbox(wkb_blob: bytes, res: int) -> np.ndarray:
+    """Covering cells of a polygon's bbox at ``res`` — a superset of the
+    cells the polygon touches; the PIP refine stage removes false positives."""
+    from .geom.pip import rings_bbox
+    from .geom.wkb import wkb_rings
+
+    xmin, ymin, xmax, ymax = rings_bbox(wkb_rings(wkb_blob))
+    return cover_bbox(xmin, ymin, xmax, ymax, res)
+
+
+# --------------------------------------------------------------------------
+# web-mercator-style z/x/y raster tiles (R1 operator)
+# --------------------------------------------------------------------------
+
+
+def tile_xy(lon: np.ndarray, lat: np.ndarray, z: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Equirectangular z/x/y tile ids (x: 2^z across lon, y: 2^z across lat,
+    y=0 at lat=+90 like slippy tiles). Matches the SQL oracle expression
+    ``floor((lon+180)/360 * 2^z)`` / ``floor((90-lat)/180 * 2^z)``."""
+    n = np.int64(1) << np.int64(z)
+    tx = np.clip(np.floor((np.asarray(lon) + 180.0) / 360.0 * n).astype(np.int64), 0, int(n) - 1)
+    ty = np.clip(np.floor((90.0 - np.asarray(lat)) / 180.0 * n).astype(np.int64), 0, int(n) - 1)
+    return tx, ty

@@ -1,0 +1,177 @@
+"""WKB (well-known binary, little-endian, 2D) encode/decode in pure numpy.
+
+WKB is the engine's canonical geometry column (SURVEY §1.5): the shapefile
+record → WKB conversion plays the role of the reference's geo-types export
+(shapefile-rs src/record/mod.rs:433-475):
+
+* Point → Point, Multipoint → MultiPoint,
+* Polyline → MultiLineString (one linestring per part,
+  src/record/polyline.rs:439-456),
+* Polygon → MultiPolygon with ring grouping and the orphaned-inner-ring error
+  (src/record/polygon.rs:599-641),
+* Multipatch → MultiPolygon for ring patches; TriangleStrip/TriangleFan are
+  unsupported for polygon conversion (src/record/multipatch.rs:359-402).
+
+M/Z are dropped in WKB (2D canonical form, like the reference's geo-types
+feature); they remain available as separate array columns in the DataFrame.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..shapelib.shp import ShapeRec
+from ..shapelib.shptypes import (
+    FIRST_RING,
+    INNER_RING,
+    MULTIPATCH,
+    OUTER_RING,
+    RING,
+    InvalidPatchType,
+    is_multipoint_family,
+    is_point_family,
+)
+from . import rings as R
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
+WKB_MULTIPOLYGON = 6
+
+_LE = b"\x01"
+
+
+def _coords(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype="<f8").tobytes()
+
+
+def point_wkb(x: float, y: float) -> bytes:
+    return _LE + struct.pack("<I", WKB_POINT) + struct.pack("<2d", x, y)
+
+
+def multipoint_wkb(xy: np.ndarray) -> bytes:
+    out = [_LE, struct.pack("<II", WKB_MULTIPOINT, len(xy))]
+    for i in range(len(xy)):
+        out.append(point_wkb(float(xy[i, 0]), float(xy[i, 1])))
+    return b"".join(out)
+
+
+def multilinestring_wkb(parts: List[np.ndarray]) -> bytes:
+    out = [_LE, struct.pack("<II", WKB_MULTILINESTRING, len(parts))]
+    for part in parts:
+        out.append(_LE + struct.pack("<II", WKB_LINESTRING, len(part)) + _coords(part))
+    return b"".join(out)
+
+
+def multipolygon_wkb(polygons: List[List[np.ndarray]]) -> bytes:
+    """``polygons`` = [[outer_ring, hole, ...], ...]; rings closed, (n,2)."""
+    out = [_LE, struct.pack("<II", WKB_MULTIPOLYGON, len(polygons))]
+    for rings_ in polygons:
+        out.append(_LE + struct.pack("<II", WKB_POLYGON, len(rings_)))
+        for ring in rings_:
+            out.append(struct.pack("<I", len(ring)) + _coords(ring))
+    return b"".join(out)
+
+
+def shape_to_wkb(rec: ShapeRec, strict: bool = True) -> Optional[bytes]:
+    """Canonical 2D WKB for a decoded record; None for NullShape."""
+    st = rec.shape_type
+    if st == 0:
+        return None
+    if is_point_family(st):
+        return point_wkb(float(rec.xy[0, 0]), float(rec.xy[0, 1]))
+    if is_multipoint_family(st):
+        return multipoint_wkb(rec.xy)
+    slices = rec.part_slices()
+    if st == MULTIPATCH:
+        # ring grouping per src/record/multipatch.rs:359-402:
+        # OuterRing|FirstRing start a polygon, InnerRing|Ring attach,
+        # TriangleStrip/Fan unsupported for polygon conversion.
+        polygons: List[List[np.ndarray]] = []
+        for (s, e), pt in zip(slices, rec.patch_types.tolist()):
+            ring = R.close_ring(rec.xy[s:e])
+            if pt in (OUTER_RING, FIRST_RING):
+                polygons.append([ring])
+            elif pt in (INNER_RING, RING):
+                if not polygons:
+                    polygons.append([ring])
+                else:
+                    polygons[-1].append(ring)
+            else:
+                raise InvalidPatchType(
+                    f"patch type {pt} not convertible to polygon (TriangleStrip/Fan)"
+                )
+        return multipolygon_wkb(polygons)
+    if st in (5, 15, 25):  # polygon family
+        ring_arrays = [R.close_ring(rec.xy[s:e]) for s, e in slices]
+        roles = [R.ring_role(r) for r in ring_arrays]
+        groups = R.group_rings(ring_arrays, roles, strict=strict)
+        return multipolygon_wkb(groups)
+    # polyline family
+    return multilinestring_wkb([rec.xy[s:e] for s, e in slices])
+
+
+# ---------------------------------------------------------------------------
+# decode (tests + PIP refine input)
+# ---------------------------------------------------------------------------
+
+
+def parse_wkb(buf: bytes) -> Tuple[int, object]:
+    """Decode little-endian 2D WKB → (geom_type, payload).
+
+    payload: Point → (x, y); MultiPoint → (n,2) array; MultiLineString →
+    [arrays]; MultiPolygon → [[ring arrays]]; Polygon → [ring arrays].
+    """
+    mv = memoryview(buf)
+
+    def geom(off: int):
+        if mv[off] != 1:
+            raise ValueError("only little-endian WKB supported")
+        (gtype,) = struct.unpack_from("<I", mv, off + 1)
+        off += 5
+        if gtype == WKB_POINT:
+            x, y = struct.unpack_from("<2d", mv, off)
+            return off + 16, gtype, (x, y)
+        if gtype == WKB_LINESTRING:
+            (n,) = struct.unpack_from("<I", mv, off)
+            arr = np.frombuffer(mv, dtype="<f8", count=2 * n, offset=off + 4).reshape(n, 2)
+            return off + 4 + 16 * n, gtype, arr.copy()
+        if gtype == WKB_POLYGON:
+            (nr,) = struct.unpack_from("<I", mv, off)
+            off += 4
+            rings_ = []
+            for _ in range(nr):
+                (n,) = struct.unpack_from("<I", mv, off)
+                arr = np.frombuffer(mv, dtype="<f8", count=2 * n, offset=off + 4).reshape(n, 2)
+                rings_.append(arr.copy())
+                off += 4 + 16 * n
+            return off, gtype, rings_
+        if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON):
+            (ng,) = struct.unpack_from("<I", mv, off)
+            off += 4
+            items = []
+            for _ in range(ng):
+                off, _, payload = geom(off)
+                items.append(payload)
+            if gtype == WKB_MULTIPOINT:
+                items = np.array(items, dtype=np.float64).reshape(-1, 2)
+            return off, gtype, items
+        raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+    _, gtype, payload = geom(0)
+    return gtype, payload
+
+
+def wkb_rings(buf: bytes) -> List[np.ndarray]:
+    """All rings of a (Multi)Polygon WKB, flattened — the even-odd PIP input."""
+    gtype, payload = parse_wkb(buf)
+    if gtype == WKB_POLYGON:
+        return list(payload)
+    if gtype == WKB_MULTIPOLYGON:
+        return [ring for poly in payload for ring in poly]
+    raise ValueError(f"not a polygon WKB: type {gtype}")

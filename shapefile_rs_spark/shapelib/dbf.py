@@ -1,0 +1,190 @@
+"""Minimal dBase III (.dbf) codec + .cpg encoding resolution.
+
+The reference delegates attributes to the ``dbase`` crate (re-exported at
+shapefile-rs ``src/lib.rs:60``); records surface as an ordered name→value map
+(tests/read_tests.rs:841-844).  We implement, from the public dBase III file
+layout, the subset the reference exercises: Character, Numeric, Float,
+Logical, Date fields; ``.cpg`` label overrides the encoding (GBK fixture
+analog, ``src/reader.rs:664-684`` + tests/read_tests.rs:832-845).
+
+Values map as: Character→str (rstrip), Numeric(dec=0)→int, Numeric→float,
+Float→float, Logical→bool, Date→datetime.date, empty→None.
+"""
+
+from __future__ import annotations
+
+import datetime
+import struct
+from dataclasses import dataclass
+from typing import Iterable, List, Optional, Sequence
+
+from .shptypes import ShapefileError
+
+
+@dataclass(frozen=True)
+class DbfField:
+    name: str  # <= 10 chars
+    ftype: str  # C, N, F, L, D
+    length: int
+    decimals: int = 0
+
+
+def resolve_encoding(cpg_label: Optional[str]) -> str:
+    """Map a .cpg label to a Python codec (src/reader.rs:664-684 analog)."""
+    if not cpg_label:
+        return "ascii"
+    label = cpg_label.strip().strip("\x00").lower()
+    if not label:
+        return "ascii"
+    aliases = {
+        "utf-8": "utf-8",
+        "utf8": "utf-8",
+        "65001": "utf-8",
+        "936": "cp936",
+        "gbk": "cp936",
+        "big5": "big5",
+        "950": "cp950",
+        "1252": "cp1252",
+        "iso-8859-1": "latin-1",
+        "8859-1": "latin-1",
+    }
+    if label in aliases:
+        return aliases[label]
+    if label.isdigit():
+        return f"cp{label}"
+    return label
+
+
+class DbfError(ShapefileError):
+    pass
+
+
+def read_dbf(data: bytes, encoding: str = "ascii") -> tuple:
+    """Returns ``(fields, rows)`` where rows are dicts keyed by field name."""
+    if len(data) < 32:
+        raise DbfError("dbf shorter than header")
+    num_records = struct.unpack_from("<I", data, 4)[0]
+    header_size, record_size = struct.unpack_from("<HH", data, 8)
+
+    fields: List[DbfField] = []
+    pos = 32
+    while pos < header_size - 1 and pos + 32 <= len(data):
+        if data[pos] == 0x0D:
+            break
+        raw_name = data[pos : pos + 11].split(b"\x00", 1)[0]
+        name = raw_name.decode(encoding, errors="replace")
+        ftype = chr(data[pos + 11])
+        length = data[pos + 16]
+        decimals = data[pos + 17]
+        fields.append(DbfField(name, ftype, length, decimals))
+        pos += 32
+
+    rows = []
+    pos = header_size
+    for _ in range(num_records):
+        if pos + record_size > len(data):
+            break
+        if data[pos] == 0x2A:  # deleted record flag '*'
+            pos += record_size
+            continue
+        off = pos + 1
+        row = {}
+        for f in fields:
+            raw = data[off : off + f.length]
+            off += f.length
+            row[f.name] = _parse_value(f, raw, encoding)
+        rows.append(row)
+        pos += record_size
+    return fields, rows
+
+
+def _parse_value(f: DbfField, raw: bytes, encoding: str):
+    if f.ftype == "C":
+        return raw.decode(encoding, errors="replace").rstrip(" \x00")
+    text = raw.decode("ascii", errors="replace").strip(" \x00")
+    if f.ftype in ("N", "F"):
+        if not text or text == "*" * len(text):
+            return None
+        try:
+            if f.ftype == "N" and f.decimals == 0 and "." not in text:
+                return int(text)
+            return float(text)
+        except ValueError:
+            return None
+    if f.ftype == "L":
+        if text in ("Y", "y", "T", "t"):
+            return True
+        if text in ("N", "n", "F", "f"):
+            return False
+        return None
+    if f.ftype == "D":
+        if len(text) == 8 and text.isdigit():
+            return datetime.date(int(text[:4]), int(text[4:6]), int(text[6:8]))
+        return None
+    return text
+
+
+def _format_value(f: DbfField, value) -> bytes:
+    if f.ftype == "C":
+        s = "" if value is None else str(value)
+        b = s.encode("ascii") if all(ord(c) < 128 for c in s) else s.encode("utf-8")
+        return b[: f.length].ljust(f.length, b" ")
+    if f.ftype in ("N", "F"):
+        if value is None:
+            return b" " * f.length
+        if f.decimals == 0:
+            s = str(int(value))
+        else:
+            s = f"{float(value):.{f.decimals}f}"
+        b = s.encode("ascii")
+        if len(b) > f.length:
+            raise DbfError(f"value {s!r} exceeds field {f.name} width {f.length}")
+        return b.rjust(f.length, b" ")
+    if f.ftype == "L":
+        if value is None:
+            return b"?".ljust(f.length, b" ")
+        return (b"T" if value else b"F").ljust(f.length, b" ")
+    if f.ftype == "D":
+        if value is None:
+            return b" " * f.length
+        return value.strftime("%Y%m%d").encode("ascii")[: f.length].ljust(f.length, b" ")
+    raise DbfError(f"unsupported field type {f.ftype}")
+
+
+def write_dbf(
+    fields: Sequence[DbfField],
+    rows: Iterable[dict],
+    encoding: str = "ascii",
+    last_update: tuple = (2026, 1, 1),
+) -> bytes:
+    """Deterministic dBase III writer (fixed last-update date for
+    byte-identical round trips, the write_tests.rs:18-151 analog)."""
+    rows = list(rows)
+    record_size = 1 + sum(f.length for f in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    out = bytearray()
+    yy, mm, dd = last_update
+    out += struct.pack(
+        "<BBBBIHH", 0x03, (yy - 1900) % 256, mm, dd, len(rows), header_size, record_size
+    )
+    out += b"\x00" * 20
+    for f in fields:
+        name_b = f.name.encode(encoding)[:10]
+        out += name_b.ljust(11, b"\x00")
+        out += f.ftype.encode("ascii")
+        out += b"\x00" * 4
+        out += struct.pack("<BB", f.length, f.decimals)
+        out += b"\x00" * 14
+    out += b"\x0d"
+    for row in rows:
+        out += b" "
+        for f in fields:
+            value = row.get(f.name)
+            if f.ftype == "C" and value is not None and encoding != "ascii":
+                s = str(value)
+                b = s.encode(encoding)[: f.length].ljust(f.length, b" ")
+                out += b
+            else:
+                out += _format_value(f, value)
+    out += b"\x1a"
+    return bytes(out)

@@ -1,0 +1,537 @@
+"""Pure-numpy SHP/SHX codec.
+
+Re-implements, from the public ESRI shapefile specification plus the behaviors
+pinned by the reference's tests, the binary semantics of shapefile-rs:
+
+* mixed endianness: record headers / index entries big-endian
+  (``src/record/mod.rs:296-303``), coordinate payloads little-endian
+  (``src/record/io.rs``), header per ``src/header.rs:42-97``;
+* sizes measured in 16-bit words (``src/writer.rs:121-141``);
+* NO_DATA clamp on read: ``m = max(m, NO_DATA)`` (``src/record/io.rs:85-93``);
+* optional M block decided by a record-size probe
+  (``src/record/polyline.rs:264-282``, ``src/record/point.rs:324-344``);
+* oversized records tolerated (trailing bytes skipped), undersized rejected
+  (``src/record/polyline.rs:177-198``);
+* shx-guided seek so inter-record garbage is skipped (``src/reader.rs:127-162``);
+* finalize zeroes never-grown M/Z header ranges (``src/writer.rs:190-221``).
+
+This module is deliberately Spark-free: it is the vectorized kernel invoked from
+Arrow/pandas UDFs by :mod:`shapefile_rs_spark.sources`.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from .shptypes import (
+    ALL_PATCH_TYPES,
+    ALL_SHAPE_TYPES,
+    MULTIPATCH,
+    MULTIPOINT,
+    MULTIPOINT_M,
+    MULTIPOINT_Z,
+    NO_DATA,
+    NULL_SHAPE,
+    POINT,
+    POINT_M,
+    POINT_Z,
+    POLYGON,
+    POLYGON_M,
+    POLYGON_Z,
+    POLYLINE,
+    POLYLINE_M,
+    POLYLINE_Z,
+    InvalidFileCode,
+    InvalidPatchType,
+    InvalidShapeRecordSize,
+    InvalidShapeType,
+    MismatchShapeType,
+    has_m,
+    has_z,
+    is_multipart,
+    is_multipoint_family,
+    is_point_family,
+)
+
+HEADER_SIZE = 100
+FILE_CODE = 9994
+VERSION = 1000
+
+_F8 = np.dtype("<f8")
+_I4 = np.dtype("<i4")
+
+
+@dataclass
+class ShpHeader:
+    """100-byte main file header (src/header.rs:15-28)."""
+
+    file_length_words: int
+    shape_type: int
+    bbox: tuple  # (xmin, ymin, xmax, ymax, zmin, zmax, mmin, mmax)
+    version: int = VERSION
+
+    @property
+    def file_length_bytes(self) -> int:
+        return self.file_length_words * 2
+
+
+@dataclass
+class ShapeRec:
+    """One decoded shape record (struct-of-arrays, Arrow-friendly)."""
+
+    shape_type: int
+    xy: np.ndarray  # (n, 2) float64
+    z: Optional[np.ndarray] = None  # (n,) float64
+    m: Optional[np.ndarray] = None  # (n,) float64, NO_DATA-clamped on read
+    parts: Optional[np.ndarray] = None  # (p,) int32 start offsets
+    patch_types: Optional[np.ndarray] = None  # (p,) int32, multipatch only
+    # bbox as stored in the record (read path) or computed (construction).
+    bbox_xy: Optional[tuple] = None  # (xmin, ymin, xmax, ymax)
+    z_range: Optional[tuple] = None
+    m_range: Optional[tuple] = None
+
+    def __post_init__(self):
+        self.xy = np.ascontiguousarray(np.asarray(self.xy, dtype=np.float64)).reshape(-1, 2)
+        if self.z is not None:
+            self.z = np.asarray(self.z, dtype=np.float64).ravel()
+        if self.m is not None:
+            self.m = np.asarray(self.m, dtype=np.float64).ravel()
+        if self.parts is not None:
+            self.parts = np.asarray(self.parts, dtype=np.int32).ravel()
+        if self.patch_types is not None:
+            self.patch_types = np.asarray(self.patch_types, dtype=np.int32).ravel()
+        if self.bbox_xy is None and len(self.xy):
+            self.bbox_xy = (
+                float(self.xy[:, 0].min()),
+                float(self.xy[:, 1].min()),
+                float(self.xy[:, 0].max()),
+                float(self.xy[:, 1].max()),
+            )
+        if self.z_range is None and self.z is not None and len(self.z):
+            self.z_range = (float(self.z.min()), float(self.z.max()))
+        if self.m_range is None and self.m is not None and len(self.m):
+            # Plain min/max fold — sentinel participates, matching the
+            # reference's bbox fold (src/record/bbox.rs:32-48).
+            self.m_range = (float(self.m.min()), float(self.m.max()))
+
+    @property
+    def num_points(self) -> int:
+        return int(self.xy.shape[0])
+
+    @property
+    def num_parts(self) -> int:
+        return 0 if self.parts is None else int(self.parts.shape[0])
+
+    def part_slices(self) -> list:
+        """(start, end) windows from the parts offsets (src/record/io.rs:144-187)."""
+        if self.parts is None:
+            return [(0, self.num_points)] if self.num_points else []
+        starts = self.parts
+        ends = np.append(starts[1:], np.int32(self.num_points))
+        return list(zip(starts.tolist(), ends.tolist()))
+
+
+# ---------------------------------------------------------------------------
+# size accounting (content bytes EXCLUDING the 4-byte shape-type int),
+# mirroring size_in_bytes/size_of_record (src/record/polyline.rs:154-162 etc.)
+# ---------------------------------------------------------------------------
+
+
+def _size_point(st: int) -> int:
+    if st == POINT:
+        return 16
+    if st == POINT_M:
+        return 24
+    return 32  # POINT_Z with M
+
+
+def _size_multipoint(st: int, n: int, with_m: bool) -> int:
+    size = 32 + 4 + 16 * n
+    if st == MULTIPOINT_Z:
+        size += 16 + 8 * n
+    if (st in (MULTIPOINT_M, MULTIPOINT_Z)) and with_m:
+        size += 16 + 8 * n
+    return size
+
+
+def _size_poly(st: int, n: int, p: int, with_m: bool) -> int:
+    size = 32 + 4 + 4 + 4 * p + 16 * n
+    if st in (POLYLINE_Z, POLYGON_Z, MULTIPATCH):
+        size += 16 + 8 * n
+    if st == MULTIPATCH:
+        size += 4 * p  # patch types array
+    if st in (POLYLINE_M, POLYGON_M, POLYLINE_Z, POLYGON_Z, MULTIPATCH) and with_m:
+        size += 16 + 8 * n
+    return size
+
+
+def record_content_size(rec: ShapeRec) -> int:
+    """On-disk body size in bytes (excl. type int); M/Z blocks always written."""
+    st = rec.shape_type
+    if st == NULL_SHAPE:
+        return 0
+    if is_point_family(st):
+        return _size_point(st)
+    n = rec.num_points
+    if is_multipoint_family(st):
+        return _size_multipoint(st, n, with_m=True)
+    return _size_poly(st, n, rec.num_parts, with_m=True)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _f64(buf: memoryview, off: int, count: int) -> np.ndarray:
+    return np.frombuffer(buf, dtype=_F8, count=count, offset=off)
+
+
+def _i32(buf: memoryview, off: int, count: int) -> np.ndarray:
+    return np.frombuffer(buf, dtype=_I4, count=count, offset=off)
+
+
+def _clamp_m(m: np.ndarray) -> np.ndarray:
+    # src/record/io.rs:85-93 — f64::max(read, NO_DATA)
+    return np.maximum(m, NO_DATA)
+
+
+def decode_record_body(shape_type: int, body: memoryview, body_size: int) -> ShapeRec:
+    """Decode one record body. ``body_size`` is the declared size (bytes, excl.
+    type int); the buffer may be larger or equal (oversized tolerance)."""
+    st = shape_type
+    if st not in ALL_SHAPE_TYPES:
+        raise InvalidShapeType(str(st))
+    if st == NULL_SHAPE:
+        return ShapeRec(NULL_SHAPE, np.empty((0, 2)), bbox_xy=(0.0, 0.0, 0.0, 0.0))
+
+    if is_point_family(st):
+        if st == POINT:
+            need = 16
+        elif st == POINT_M:
+            need = 24
+        else:  # POINT_Z: optional m scalar (src/record/point.rs:324-344)
+            need = 32 if body_size >= 32 else 24
+        if body_size < need or len(body) < need:
+            raise InvalidShapeRecordSize(f"point record: {body_size} < {need}")
+        vals = _f64(body, 0, need // 8)
+        x, y = float(vals[0]), float(vals[1])
+        z = m = None
+        if st == POINT_M:
+            m = _clamp_m(vals[2:3]).copy()
+        elif st == POINT_Z:
+            z = vals[2:3].copy()
+            m = _clamp_m(vals[3:4]).copy() if need == 32 else np.array([NO_DATA])
+        return ShapeRec(st, np.array([[x, y]]), z=z, m=m, bbox_xy=(x, y, x, y))
+
+    if is_multipoint_family(st):
+        if body_size < 36 or len(body) < 36:
+            raise InvalidShapeRecordSize("multipoint header")
+        bbox = tuple(_f64(body, 0, 4).tolist())
+        n = int(_i32(body, 32, 1)[0])
+        if n < 0:
+            raise InvalidShapeRecordSize("negative num_points")
+        with_m = body_size >= _size_multipoint(st, n, with_m=True)
+        need = _size_multipoint(st, n, with_m=with_m)
+        if body_size < _size_multipoint(st, n, with_m=False) or len(body) < need:
+            raise InvalidShapeRecordSize("multipoint body")
+        off = 36
+        xy = _f64(body, off, 2 * n).reshape(n, 2).copy()
+        off += 16 * n
+        z = m = None
+        z_range = m_range = None
+        if st == MULTIPOINT_Z:
+            z_range = tuple(_f64(body, off, 2).tolist())
+            off += 16
+            z = _f64(body, off, n).copy()
+            off += 8 * n
+        if st in (MULTIPOINT_M, MULTIPOINT_Z):
+            if with_m:
+                m_range = tuple(_f64(body, off, 2).tolist())
+                off += 16
+                m = _clamp_m(_f64(body, off, n))
+                off += 8 * n
+            else:
+                m = np.full(n, NO_DATA)
+        return ShapeRec(st, xy, z=z, m=m, bbox_xy=bbox, z_range=z_range, m_range=m_range)
+
+    # multipart family: polyline / polygon / multipatch
+    if body_size < 44 or len(body) < 44:
+        raise InvalidShapeRecordSize("multipart frame")
+    bbox = tuple(_f64(body, 0, 4).tolist())
+    p = int(_i32(body, 32, 1)[0])
+    n = int(_i32(body, 36, 1)[0])
+    if p < 0 or n < 0:
+        raise InvalidShapeRecordSize("negative counts")
+    size_with_m = _size_poly(st, n, p, with_m=True)
+    size_without_m = _size_poly(st, n, p, with_m=False)
+    with_m = body_size >= size_with_m
+    need = size_with_m if with_m else size_without_m
+    if body_size < size_without_m or len(body) < need:
+        raise InvalidShapeRecordSize(
+            f"{st}: declared {body_size}, need {size_without_m}"
+        )
+    off = 40
+    parts = _i32(body, off, p).copy()
+    off += 4 * p
+    patch_types = None
+    if st == MULTIPATCH:
+        patch_types = _i32(body, off, p).copy()
+        off += 4 * p
+        bad = set(np.unique(patch_types).tolist()) - ALL_PATCH_TYPES
+        if bad:
+            raise InvalidPatchType(str(sorted(bad)))
+    xy = _f64(body, off, 2 * n).reshape(n, 2).copy()
+    off += 16 * n
+    z = m = None
+    z_range = m_range = None
+    if st in (POLYLINE_Z, POLYGON_Z, MULTIPATCH):
+        z_range = tuple(_f64(body, off, 2).tolist())
+        off += 16
+        z = _f64(body, off, n).copy()
+        off += 8 * n
+    if has_m(st):
+        if with_m:
+            m_range = tuple(_f64(body, off, 2).tolist())
+            off += 16
+            m = _clamp_m(_f64(body, off, n))
+            off += 8 * n
+        else:
+            m = np.full(n, NO_DATA)
+    return ShapeRec(
+        st,
+        xy,
+        z=z,
+        m=m,
+        parts=parts,
+        patch_types=patch_types,
+        bbox_xy=bbox,
+        z_range=z_range,
+        m_range=m_range,
+    )
+
+
+def read_header(data: bytes) -> ShpHeader:
+    if len(data) < HEADER_SIZE:
+        raise InvalidShapeRecordSize("file shorter than 100-byte header")
+    file_code = struct.unpack_from(">i", data, 0)[0]
+    if file_code != FILE_CODE:
+        raise InvalidFileCode(str(file_code))
+    file_length = struct.unpack_from(">i", data, 24)[0]
+    version, shape_type = struct.unpack_from("<ii", data, 28)
+    if shape_type not in ALL_SHAPE_TYPES:
+        raise InvalidShapeType(str(shape_type))
+    bbox = struct.unpack_from("<8d", data, 36)
+    return ShpHeader(file_length_words=file_length, shape_type=shape_type, bbox=bbox, version=version)
+
+
+def read_shx(data: bytes) -> np.ndarray:
+    """(offset_words, record_size_words) per record (src/reader.rs:86-100)."""
+    read_header(data)  # validates file code
+    n = (len(data) - HEADER_SIZE) // 8
+    return np.frombuffer(data, dtype=">i4", count=2 * n, offset=HEADER_SIZE).reshape(n, 2).astype(np.int64)
+
+
+def read_shp(
+    data: bytes,
+    shx: Optional[bytes] = None,
+    expected_type: Optional[int] = None,
+) -> tuple:
+    """Decode a whole .shp byte string.
+
+    Returns ``(header, records, record_numbers)``.  With ``shx`` bytes the
+    scan is index-guided (records may be non-sequential / padded with garbage,
+    src/reader.rs:134-145); otherwise it walks sequentially until
+    ``file_length`` (src/reader.rs:131).
+    """
+    header = read_header(data)
+    buf = memoryview(data)
+    records: list = []
+    record_numbers: list = []
+
+    def read_one(pos: int) -> int:
+        record_number, record_size_words = struct.unpack_from(">ii", data, pos)
+        body_size = record_size_words * 2 - 4  # minus the shape-type int
+        if pos + 8 + 4 > len(data):
+            raise InvalidShapeRecordSize("truncated record header")
+        (st,) = struct.unpack_from("<i", data, pos + 8)
+        if expected_type is not None and st not in (expected_type, NULL_SHAPE):
+            raise MismatchShapeType(expected_type, st)
+        body = buf[pos + 12 : pos + 12 + max(body_size, 0)]
+        rec = decode_record_body(st, body, body_size)
+        records.append(rec)
+        record_numbers.append(record_number)
+        return pos + 8 + record_size_words * 2
+
+    if shx is not None:
+        for offset_words, _size_words in read_shx(shx):
+            read_one(int(offset_words) * 2)
+    else:
+        pos = HEADER_SIZE
+        end = min(header.file_length_bytes, len(data))
+        while pos < end:
+            pos = read_one(pos)
+    return header, records, record_numbers
+
+
+def read_nth_shape(data: bytes, shx: bytes, n: int) -> ShapeRec:
+    """O(1) record access via the index (src/reader.rs:412-468)."""
+    entries = read_shx(shx)
+    if n < 0 or n >= len(entries):
+        raise IndexError(n)
+    pos = int(entries[n, 0]) * 2
+    record_size_words = int(entries[n, 1])
+    (st,) = struct.unpack_from("<i", data, pos + 8)
+    body = memoryview(data)[pos + 12 : pos + 12 + record_size_words * 2 - 4]
+    return decode_record_body(st, body, record_size_words * 2 - 4)
+
+
+def shape_count(shx: bytes) -> int:
+    """Count from index length alone (src/reader.rs:489-495)."""
+    header = read_header(shx)
+    return (header.file_length_words * 2 - HEADER_SIZE) // 8
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+_FMIN = np.finfo(np.float64).min
+_FMAX = np.finfo(np.float64).max
+
+
+def _encode_body(rec: ShapeRec) -> bytes:
+    st = rec.shape_type
+    out = bytearray()
+    if st == NULL_SHAPE:
+        return bytes(out)
+    xy = rec.xy
+    n = rec.num_points
+    if is_point_family(st):
+        out += xy.astype(_F8).tobytes()
+        if st == POINT_Z:
+            z = rec.z if rec.z is not None else np.zeros(n)
+            out += np.asarray(z, dtype=np.float64).tobytes()
+        if st in (POINT_M, POINT_Z):
+            m = rec.m if rec.m is not None else np.full(n, NO_DATA)
+            out += np.asarray(m, dtype=np.float64).tobytes()
+        return bytes(out)
+
+    bbox = rec.bbox_xy or (0.0, 0.0, 0.0, 0.0)
+    out += struct.pack("<4d", *bbox)
+    if is_multipoint_family(st):
+        out += struct.pack("<i", n)
+    else:
+        parts = rec.parts if rec.parts is not None else np.zeros(1 if n else 0, dtype=np.int32)
+        out += struct.pack("<ii", len(parts), n)
+        out += np.asarray(parts, dtype=_I4).tobytes()
+        if st == MULTIPATCH:
+            pt = rec.patch_types if rec.patch_types is not None else np.zeros(len(parts), dtype=np.int32)
+            out += np.asarray(pt, dtype=_I4).tobytes()
+    out += np.ascontiguousarray(xy, dtype=np.float64).tobytes()
+    if st in (MULTIPOINT_Z, POLYLINE_Z, POLYGON_Z, MULTIPATCH):
+        z = np.asarray(rec.z if rec.z is not None else np.zeros(n), dtype=np.float64)
+        zr = rec.z_range or ((float(z.min()), float(z.max())) if n else (0.0, 0.0))
+        out += struct.pack("<2d", *zr)
+        out += z.tobytes()
+    if has_m(st):
+        m = np.asarray(rec.m if rec.m is not None else np.full(n, NO_DATA), dtype=np.float64)
+        mr = rec.m_range or ((float(m.min()), float(m.max())) if n else (0.0, 0.0))
+        out += struct.pack("<2d", *mr)
+        out += m.tobytes()
+    return bytes(out)
+
+
+def _grow_bbox(acc: list, rec: ShapeRec) -> None:
+    """Running header-bbox fold, gated on the type's M/Z capability
+    (src/record/bbox.rs:106-126)."""
+    if rec.shape_type == NULL_SHAPE or rec.num_points == 0:
+        return
+    bb = rec.bbox_xy
+    acc[0] = min(acc[0], bb[0])
+    acc[1] = min(acc[1], bb[1])
+    acc[2] = max(acc[2], bb[2])
+    acc[3] = max(acc[3], bb[3])
+    if has_z(rec.shape_type):
+        z = rec.z if rec.z is not None else np.zeros(rec.num_points)
+        acc[4] = min(acc[4], float(np.min(z)))
+        acc[5] = max(acc[5], float(np.max(z)))
+    if has_m(rec.shape_type):
+        m = rec.m if rec.m is not None else np.full(rec.num_points, NO_DATA)
+        acc[6] = min(acc[6], float(np.min(m)))
+        acc[7] = max(acc[7], float(np.max(m)))
+
+
+def write_shp(records: Sequence[ShapeRec], pad_records: int = 0) -> tuple:
+    """Encode records into ``(shp_bytes, shx_bytes)``.
+
+    Mirrors ShapeWriter (src/writer.rs:97-221): first record latches the file
+    shape type, record sizes in 16-bit words, shx offsets are the pre-record
+    file length, finalize zeroes never-grown M/Z header ranges.
+
+    ``pad_records`` appends that many garbage bytes after each record body and
+    inflates the declared record size accordingly — used by tests to exercise
+    the oversized-record tolerance path (tests/read_tests.rs:821-830 analog).
+    """
+    file_type = NULL_SHAPE
+    for rec in records:
+        if rec.shape_type != NULL_SHAPE:
+            if file_type == NULL_SHAPE:
+                file_type = rec.shape_type
+            elif rec.shape_type != file_type:
+                raise MismatchShapeType(file_type, rec.shape_type)
+
+    body_parts: list = []
+    shx_entries: list = []
+    # min/max fold slots (xmin,ymin,xmax,ymax,zmin,zmax,mmin,mmax)
+    bbox_acc = [_FMAX, _FMAX, _FMIN, _FMIN, _FMAX, _FMIN, _FMAX, _FMIN]
+
+    file_length_words = HEADER_SIZE // 2
+    for i, rec in enumerate(records):
+        body = _encode_body(rec)
+        pad = b"\x00" * pad_records
+        record_size_words = (len(body) + pad_records + 4) // 2
+        header = struct.pack(">ii", i + 1, record_size_words)
+        type_bytes = struct.pack("<i", rec.shape_type if rec.shape_type != NULL_SHAPE else NULL_SHAPE)
+        body_parts.append(header + type_bytes + body + pad)
+        shx_entries.append((file_length_words, record_size_words))
+        file_length_words += record_size_words + 4  # + record header (8 bytes)
+        _grow_bbox(bbox_acc, rec)
+
+    # finalize: zero never-grown ranges (src/writer.rs:195-203)
+    xmin, ymin, xmax, ymax, zmin, zmax, mmin, mmax = (
+        bbox_acc[0],
+        bbox_acc[1],
+        bbox_acc[2],
+        bbox_acc[3],
+        bbox_acc[4],
+        bbox_acc[5],
+        bbox_acc[6],
+        bbox_acc[7],
+    )
+    if mmax == _FMIN and mmin == _FMAX:
+        mmin = mmax = 0.0
+    if zmax == _FMIN and zmin == _FMAX:
+        zmin = zmax = 0.0
+    if xmin == _FMAX:  # empty file
+        xmin = ymin = xmax = ymax = 0.0
+
+    def header_bytes(length_words: int) -> bytes:
+        return (
+            struct.pack(">i", FILE_CODE)
+            + b"\x00" * 20
+            + struct.pack(">i", length_words)
+            + struct.pack("<ii", VERSION, file_type)
+            + struct.pack("<8d", xmin, ymin, xmax, ymax, zmin, zmax, mmin, mmax)
+        )
+
+    shp = header_bytes(file_length_words) + b"".join(body_parts)
+    shx_len_words = HEADER_SIZE // 2 + 4 * len(records)
+    shx = header_bytes(shx_len_words) + b"".join(
+        struct.pack(">ii", off, size) for off, size in shx_entries
+    )
+    return shp, shx

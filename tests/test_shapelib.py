@@ -1,0 +1,255 @@
+"""Golden decode + round-trip tests for the pure-numpy SHP/SHX/DBF codec.
+
+Ports the reference's test strategy (SURVEY §5): golden value asserts per
+shape family (tests/read_tests.rs:617-687 analog), read→write→read
+round-trips (read_write_read_test!, :627-653), byte-identical re-writes
+(tests/write_tests.rs:18-151), oversized-record tolerance (:821-830), and
+cpg-driven DBF encoding (:832-845).
+"""
+
+import numpy as np
+import pytest
+
+from shapefile_rs_spark import fixtures as FX
+from shapefile_rs_spark.shapelib import shp as S
+from shapefile_rs_spark.shapelib.dbf import DbfField, read_dbf, resolve_encoding, write_dbf
+from shapefile_rs_spark.shapelib.shptypes import (
+    MULTIPATCH,
+    NO_DATA,
+    POINT,
+    POINT_Z,
+    POLYGON,
+    POLYLINE,
+    InvalidFileCode,
+    InvalidShapeRecordSize,
+    MismatchShapeType,
+)
+
+
+def roundtrip(records):
+    shp, shx = S.write_shp(records)
+    header, recs, nums = S.read_shp(shp, shx=shx)
+    return shp, shx, header, recs, nums
+
+
+def test_point_golden():
+    shp, shx, header, recs, nums = roundtrip(FX.fx_point())
+    assert header.shape_type == POINT
+    assert nums == [1]
+    assert recs[0].xy.tolist() == [[122.0, 37.0]]
+    # header bbox min=max=(122,37); z/m ranges zeroed at finalize
+    assert header.bbox == (122.0, 37.0, 122.0, 37.0, 0.0, 0.0, 0.0, 0.0)
+    # file length math: 100-byte header + 8 rec header + 4 type + 16 coords
+    assert header.file_length_bytes == 100 + 8 + 4 + 16 == len(shp)
+
+
+def test_pointm_golden():
+    _, _, header, recs, _ = roundtrip(FX.fx_pointm())
+    assert [r.xy[0].tolist() for r in recs] == [
+        [160477.9000324604, 5403959.561417906],
+        [160467.63787299366, 5403971.985031904],
+    ]
+    assert all(r.m[0] == 0.0 for r in recs)
+
+
+def test_pointz_golden_sentinel():
+    _, _, header, recs, _ = roundtrip(FX.fx_pointz())
+    assert recs[0].z[0] == 72.40956470558095
+    assert recs[0].m[0] == NO_DATA
+    # header m-range folds the sentinel (plain min/max, no filtering)
+    assert header.bbox[6] == NO_DATA and header.bbox[7] == NO_DATA
+
+
+def test_pointz_without_m_block():
+    """Optional M scalar: a 24-byte PointZ body must decode with m=NO_DATA
+    (src/record/point.rs:324-344)."""
+    import struct
+
+    body = struct.pack("<3d", 1.0, 2.0, 3.0)
+    rec = S.decode_record_body(POINT_Z, memoryview(body), 24)
+    assert rec.z[0] == 3.0 and rec.m[0] == NO_DATA
+
+
+def test_line_golden():
+    _, _, header, recs, _ = roundtrip(FX.fx_line())
+    rec = recs[0]
+    assert rec.num_parts == 2 and rec.num_points == 7
+    assert rec.part_slices() == [(0, 5), (5, 7)]
+    assert rec.bbox_xy == (1.0, 1.0, 5.0, 6.0)
+    assert rec.xy[:5].tolist() == [[1, 5], [5, 5], [5, 1], [3, 3], [1, 1]]
+
+
+def test_linem_optional_m_present_and_clamped():
+    shp, shx, header, recs, _ = roundtrip(FX.fx_linem())
+    m = recs[0].m
+    assert m.tolist() == [0.0, NO_DATA, 3.0, NO_DATA, 0.0, NO_DATA, NO_DATA]
+    # values below the sentinel are clamped up to NO_DATA on read
+    raw = bytearray(shp)
+    # find the first m value (0.0) and poke a deeper-than-sentinel value in
+    # its place: last 7*8 bytes of the record are the m array
+    m_off = len(shp) - 7 * 8
+    import struct
+
+    raw[m_off : m_off + 8] = struct.pack("<d", -1e40)
+    _, recs2, _ = S.read_shp(bytes(raw), shx=shx)
+    assert recs2[0].m[0] == NO_DATA
+
+
+def test_linem_without_m_block():
+    """Drop the M block entirely: size probe must fill NO_DATA
+    (src/record/polyline.rs:264-282)."""
+    rec = FX.fx_linem()[0]
+    full = S._encode_body(rec)
+    no_m = full[: -(16 + 8 * rec.num_points)]
+    out = S.decode_record_body(rec.shape_type, memoryview(no_m), len(no_m))
+    assert out.m.tolist() == [NO_DATA] * 7
+    assert out.xy.tolist() == rec.xy.tolist()
+
+
+def test_linez_golden():
+    _, _, _, recs, _ = roundtrip(FX.fx_linez())
+    rec = recs[0]
+    assert rec.num_parts == 3
+    s, e = rec.part_slices()[2]
+    part3 = np.column_stack([rec.xy[s:e], rec.z[s:e], rec.m[s:e]])
+    assert part3.tolist() == [[3, 2, 15, 0], [2, 6, 13, 3], [1, 9, 14, 2]]
+    assert rec.m[:7].tolist() == [NO_DATA] * 7
+
+
+def test_polygon_ring_classification():
+    from shapefile_rs_spark.geom import rings as R
+
+    _, _, _, recs, _ = roundtrip(FX.fx_polygon())
+    rec = recs[0]
+    roles = R.classify_parts(rec.xy, rec.part_slices())
+    assert roles == [R.INNER, R.OUTER, R.INNER]
+
+
+def test_polygon_hole_byte_identity():
+    """Write → read → write must be byte-identical (write_tests.rs pattern)."""
+    shp1, shx1 = S.write_shp(FX.fx_polygon_hole())
+    _, recs, _ = S.read_shp(shp1, shx=shx1)
+    shp2, shx2 = S.write_shp(recs)
+    assert shp1 == shp2 and shx1 == shx2
+
+
+@pytest.mark.parametrize("name", sorted(FX.FIXTURE_BUILDERS))
+def test_roundtrip_byte_identity_all_families(name):
+    shp1, shx1 = FX.build_fixture(name)
+    header, recs, nums = S.read_shp(shp1, shx=shx1)
+    shp2, shx2 = S.write_shp(recs)
+    assert shp1 == shp2, f"{name}: shp bytes differ after round-trip"
+    assert shx1 == shx2, f"{name}: shx bytes differ after round-trip"
+    assert nums == list(range(1, len(recs) + 1))
+
+
+def test_multipatch_golden():
+    _, _, header, recs, _ = roundtrip(FX.fx_multipatch())
+    rec = recs[0]
+    assert rec.shape_type == MULTIPATCH
+    assert rec.patch_types.tolist() == [0, 1]
+    assert rec.part_slices() == [(0, 10), (10, 16)]
+    assert rec.z[:2].tolist() == [0.0, 3.0]
+    assert rec.m.tolist() == [NO_DATA] * 16
+    # multipatch counts as Z: z-range folded into the header
+    assert header.bbox[4] == 0.0 and header.bbox[5] == 5.0
+
+
+def test_oversized_records_tolerated():
+    """Records with inflated declared sizes must decode, skipping pad bytes
+    (the ne_10m_lakes regression analog, tests/read_tests.rs:821-830)."""
+    records = FX.fx_polygon() + FX.fx_polygon_hole()
+    shp, shx = S.write_shp(records, pad_records=16)
+    header, recs, _ = S.read_shp(shp, shx=shx)
+    assert len(recs) == 2
+    ref = FX.fx_polygon()[0]
+    assert recs[0].xy.tolist() == ref.xy.tolist()
+    # and without the index too (sequential walk must honor record_size)
+    header2, recs2, _ = S.read_shp(shp)
+    assert len(recs2) == 2
+
+
+def test_undersized_record_rejected():
+    shp, shx = FX.build_fixture("line")
+    # shrink the declared record size below the minimum
+    raw = bytearray(shp)
+    import struct
+
+    raw[100 + 4 : 100 + 8] = struct.pack(">i", 10)  # 20 bytes << required
+    with pytest.raises(InvalidShapeRecordSize):
+        S.read_shp(bytes(raw))
+
+
+def test_wrong_file_code():
+    shp, _ = FX.build_fixture("point")
+    raw = b"\x00\x00\x00\x2a" + shp[4:]
+    with pytest.raises(InvalidFileCode):
+        S.read_shp(raw)
+
+
+def test_mismatch_shape_type():
+    shp, shx = FX.build_fixture("line")
+    with pytest.raises(MismatchShapeType):
+        S.read_shp(shp, shx=shx, expected_type=POINT)
+
+
+def test_mixing_shape_types_rejected_on_write():
+    with pytest.raises(MismatchShapeType):
+        S.write_shp(FX.fx_point() + FX.fx_line())
+
+
+def test_nth_shape_and_count():
+    shp, shx = S.write_shp(FX.fx_pointm())
+    assert S.shape_count(shx) == 2
+    rec = S.read_nth_shape(shp, shx, 1)
+    assert rec.xy[0].tolist() == [160467.63787299366, 5403971.985031904]
+
+
+def test_shx_guided_seek_skips_garbage():
+    """Records separated by garbage bytes decode correctly via the index
+    (src/reader.rs:134-145)."""
+    import struct
+
+    shp, shx = S.write_shp(FX.fx_pointm())
+    # rebuild with 13 junk bytes between the two records
+    hdr = shp[:100]
+    r1 = shp[100 : 100 + 8 + 4 + 24]
+    r2 = shp[100 + 8 + 4 + 24 :]
+    junk = b"\xde\xad\xbe\xef" * 3 + b"\x00\x00"  # even length: offsets are in 16-bit words
+    new_shp = hdr + r1 + junk + r2
+    # fix shx offset of record 2
+    off2_words = (100 + len(r1) + len(junk)) // 2
+    new_shx = bytearray(shx)
+    new_shx[100 + 8 : 100 + 12] = struct.pack(">i", off2_words)
+    _, recs, _ = S.read_shp(new_shp, shx=bytes(new_shx))
+    assert len(recs) == 2
+    assert recs[1].xy[0].tolist() == [160467.63787299366, 5403971.985031904]
+
+
+def test_dbf_roundtrip_and_encoding():
+    fields = [DbfField("id", "N", 10, 0), DbfField("value", "N", 11, 3), DbfField("name", "C", 50, 0)]
+    rows = [
+        {"id": 1, "value": 1.5, "name": "alpha"},
+        {"id": 2, "value": None, "name": ""},
+    ]
+    blob = write_dbf(fields, rows)
+    fields2, rows2 = read_dbf(blob)
+    assert [f.name for f in fields2] == ["id", "value", "name"]
+    assert rows2[0] == {"id": 1, "value": 1.5, "name": "alpha"}
+    assert rows2[1]["value"] is None
+
+
+def test_dbf_cp936():
+    """GBK text via .cpg label '936' (tests/read_tests.rs:832-845 analog)."""
+    fields = [DbfField("TEST", "C", 50, 0)]
+    blob = write_dbf(fields, [{"TEST": "测试中文"}], encoding="cp936")
+    enc = resolve_encoding("936\n")
+    assert enc == "cp936"
+    _, rows = read_dbf(blob, encoding=enc)
+    assert rows[0]["TEST"] == "测试中文"
+
+
+def test_shx_header_length_math():
+    shp, shx = S.write_shp(FX.fx_pointm())
+    h = S.read_header(shx)
+    assert h.file_length_words == 50 + 4 * 2  # 100-byte header + 8 bytes/record
