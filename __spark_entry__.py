@@ -1,38 +1,413 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end pipeline (shapefile bytes →
+Spark source → page geotagging → cell-equi PIP join).  ``queries()`` exposes
+one callable per implemented operator (SURVEY §2); ``oracle_sql()`` holds the
+DuckDB-equivalent SQL for the correctness gate.  Column names/aliases match
+between both sides (the driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shapefile_rs_spark import demo
+from shapefile_rs_spark.operators.knn import dist2_col, knn_bruteforce, knn_cells
+from shapefile_rs_spark.operators.spatial_join import point_in_polygon_join, with_cells
+from shapefile_rs_spark.operators.tiles import assign_tiles, tile_polygon_assignment
+from shapefile_rs_spark.pages import geotag_pages, lonlat_sql, pages_from_documents
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+_LON_SQL, _LAT_SQL = lonlat_sql("doc_id")
+
+# CTE computing the geotag arithmetically — the oracle twin of the engine's
+# html-parse extraction path (bit-exact by construction, see pages.py).
+_PAGES_CTE = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 1000 AS VARCHAR) || '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+         {_LON_SQL} AS lon,
+         {_LAT_SQL} AS lat
+  FROM documents
+)
+"""
+
+
+def _geopages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine path: documents → html pages → parsed (lon, lat)."""
+    return geotag_pages(pages_from_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query at sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Shapefile → Spark source → geotagged pages → PIP join (sf0.001)."""
+    from shapefile_rs_spark.shapelib.dbf import DbfField, write_dbf
+    from shapefile_rs_spark.shapelib.shp import write_shp
+    from shapefile_rs_spark.sources.shapefile_source import read_shapefiles, shapes_with_typed_attrs
+
+    tmp = tempfile.mkdtemp(prefix="flagship_")
+    shp, shx = write_shp(demo.oracle_polygon_recs())
+    dbf = write_dbf(
+        [DbfField("id", "N", 10, 0)], [{"id": 1}, {"id": 2}]
+    )
+    for ext, blob in (("shp", shp), ("shx", shx), ("dbf", dbf)):
+        with open(os.path.join(tmp, f"zones.{ext}"), "wb") as fh:
+            fh.write(blob)
+
+    shapes = read_shapefiles(spark, tmp)
+    polygons = shapes_with_typed_attrs(shapes, {"id": "bigint"}).select(
+        F.col("id").alias("polygon_id"), "wkb"
+    )
+    pages = _geopages(spark, "/root/testdata/sf0.001")
+    return point_in_polygon_join(
+        pages.select("url", "doc_id", "lon", "lat"),
+        polygons,
+        point_cols=["url", "doc_id"],
+        polygon_cols=["polygon_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _geopages(spark, sf_dir).select("doc_id", "lon", "lat")
+    return point_in_polygon_join(
+        pages,
+        demo.oracle_polygons_df(spark),
+        point_cols=["doc_id"],
+        polygon_cols=["polygon_id"],
+    ).select("doc_id", "polygon_id")
+
+
+def q_pip_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_pip_join(spark, sf_dir)
+        .groupBy("polygon_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.count_distinct("doc_id").alias("n_docs"))
+    )
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _geopages(spark, sf_dir)
+    return (
+        assign_tiles(pages, z=6)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.count_distinct("url").alias("n_urls"))
+    )
+
+
+def q_tile_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_polygon_assignment(demo.oracle_polygons_df(spark), z=6).select(
+        "polygon_id", "tile_x", "tile_y"
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _geopages(spark, sf_dir).select("doc_id", "lon", "lat")
+    return knn_bruteforce(
+        pages, demo.knn_queries_df(spark), k=5, point_id="doc_id"
+    ).select("query_id", "doc_id", "dist2", F.col("rank").alias("rnk"))
+
+
+def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-ring kNN (driver-loop operator). Same golden output as
+    q_knn — oracle included to pin exactness of the ring search."""
+    pages = _geopages(spark, sf_dir).select("doc_id", "lon", "lat")
+    return knn_cells(
+        pages, demo.knn_queries_df(spark), k=5, res=6, point_id="doc_id"
+    ).select("query_id", "doc_id", "dist2", F.col("rank").alias("rnk"))
+
+
+def q_bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-bbox fold analog (G5: src/record/bbox.rs:106-126) over pages."""
+    pages = _geopages(spark, sf_dir)
+    return pages.agg(
+        F.min("lon").alias("xmin"),
+        F.min("lat").alias("ymin"),
+        F.max("lon").alias("xmax"),
+        F.max("lat").alias("ymax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell page census at res 8 via the engine cell index; cells
+    reported as (ix, iy) grid coordinates for the SQL oracle."""
+    from shapefile_rs_spark.operators.spatial_join import cell_ixiy
+
+    pages = _geopages(spark, sf_dir)
+    indexed = with_cells(pages, [8])
+
+    return (
+        indexed.withColumn("_d", cell_ixiy(F.col("cell_id")))
+        .select(F.col("_d.ix").alias("ix"), F.col("_d.iy").alias("iy"), "url")
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.count_distinct("url").alias("n_urls"))
+    )
+
+
+def q_shapes_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every fixture family through the Spark shapefile source;
+    verified against a VALUES literal of the reference's golden asserts."""
+    from shapefile_rs_spark.fixtures import FIXTURE_BUILDERS, build_fixture
+    from shapefile_rs_spark.sources.shapefile_source import read_shapefiles
+
+    tmp = tempfile.mkdtemp(prefix="fxdecode_")
+    for name in FIXTURE_BUILDERS:
+        shp, shx = build_fixture(name)
+        with open(os.path.join(tmp, f"{name}.shp"), "wb") as fh:
+            fh.write(shp)
+        with open(os.path.join(tmp, f"{name}.shx"), "wb") as fh:
+            fh.write(shx)
+    shapes = read_shapefiles(spark, tmp)
+    return shapes.select(
+        F.element_at(F.split("source_file", "/"), -1).alias("fixture"),
+        "record_number",
+        "shape_type",
+        "num_points",
+        "num_parts",
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over a 3× replicated page corpus
+    (variants 0,1 byte-identical; variant 2 a near-dup with a suffix)."""
+    pages = pages_from_documents(spark, sf_dir)
+    variants = pages.crossJoin(spark.range(3).withColumnRenamed("id", "v"))
+    expanded = variants.select(
+        F.concat(F.col("url"), F.lit("#"), F.col("v").cast("string")).alias("url_v"),
+        F.when(F.col("v") == 2, F.concat(F.col("text"), F.lit(" near dup suffix")))
+        .otherwise(F.col("text"))
+        .alias("text_v"),
+    )
+    return expanded.groupBy(F.md5(F.col("text_v").cast("binary")).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("url_v").alias("keeper_url")
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis rollup: token counts + quality ratios per language."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("tokens"),
+        F.length("text").alias("chars"),
+        F.length(F.regexp_replace("text", "[^aeiou]", "")).alias("vowels"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.min("tokens").alias("min_tokens"),
+        F.max("tokens").alias("max_tokens"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("vowels").alias("total_vowels"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic (n-gram-free, SQL-expressible)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split("text", " ")
+    en = F.size(F.filter(words, lambda w: w.isin("the", "a", "and", "of")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        en.alias("en_stopwords"),
+        F.size(words).alias("n_words"),
+        (en * F.lit(100) >= F.size(words)).alias("looks_english"),
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window rollup (batch twin of the streaming hourly aggregation)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-rank top-3 users per event type (windows + sorts + limits)."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return per_user.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_join": q_pip_join,
+        "pip_join_count": q_pip_join_count,
+        "tile_assign": q_tile_assign,
+        "tile_polygons": q_tile_polygons,
+        "knn": q_knn,
+        "knn_rings": q_knn_rings,
+        "bbox_agg": q_bbox_agg,
+        "cell_census": q_cell_census,
+        "shapes_decode": q_shapes_decode,
+        "dedup_exact": q_dedup_exact,
+        "doc_stats": q_doc_stats,
+        "lang_id": q_lang_id,
+        "events_hourly": q_events_hourly,
+        "top_users": q_top_users,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_PIP_UNION = f"""
+{_PAGES_CTE}
+SELECT doc_id, 1 AS polygon_id FROM pages WHERE {demo.POLY1_SQL}
+UNION ALL
+SELECT doc_id, 2 AS polygon_id FROM pages WHERE {demo.POLY2_SQL}
+"""
+
+_SHAPES_GOLDEN_ROWS = """
+('point', 1, 1, 1, 0, 122.0, 37.0, 122.0, 37.0),
+('pointm', 1, 21, 1, 0, 160477.9000324604, 5403959.561417906, 160477.9000324604, 5403959.561417906),
+('pointm', 2, 21, 1, 0, 160467.63787299366, 5403971.985031904, 160467.63787299366, 5403971.985031904),
+('pointz', 1, 11, 1, 0, 1422464.3681007193, 4188962.3364355816, 1422464.3681007193, 4188962.3364355816),
+('pointz', 2, 11, 1, 0, 1422459.0908050265, 4188942.211755641, 1422459.0908050265, 4188942.211755641),
+('line', 1, 3, 7, 2, 1.0, 1.0, 5.0, 6.0),
+('linem', 1, 23, 7, 2, 1.0, 1.0, 5.0, 6.0),
+('linez', 1, 13, 10, 3, 1.0, 1.0, 5.0, 9.0),
+('polygon', 1, 5, 14, 3, 15.0, 2.0, 122.0, 37.0),
+('polygon_hole', 1, 5, 10, 2, -120.0, -60.0, 120.0, 60.0),
+('polygonm', 1, 25, 4, 1, 159374.30785312195, 5403473.287488617, 160420.36722814097, 5404314.139043656),
+('multipoint', 1, 8, 2, 0, 122.0, 32.0, 124.0, 37.0),
+('multipointz', 1, 18, 4, 0, 1422671.7232666016, 4188903.4295959473, 1422672.1022949219, 4188903.7578430176),
+('multipatch', 1, 31, 16, 2, 0.0, 0.0, 5.0, 5.0)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    knn_src = f"""
+{_PAGES_CTE}
+SELECT query_id, doc_id, dist2, rnk FROM (
+  SELECT q.query_id, p.doc_id,
+         (p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat) AS dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY (p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat) ASC,
+                    p.doc_id ASC
+         ) AS rnk
+  FROM pages p CROSS JOIN {demo.knn_queries_values_sql()}
+) WHERE rnk <= 5
+"""
+    tile_centers = """
+SELECT polygon_id, tile_x, tile_y FROM (
+  SELECT pg.polygon_id, t1.tile_x, t2.tile_y,
+         (t1.tile_x + CAST(0.5 AS DOUBLE)) / 64.0 * 360.0 - 180.0 AS lon,
+         CAST(90.0 AS DOUBLE) - (t2.tile_y + CAST(0.5 AS DOUBLE)) / 64.0 * 180.0 AS lat
+  FROM (SELECT UNNEST(range(0, 64)) AS tile_x) t1
+  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS tile_y) t2
+  CROSS JOIN (VALUES (1), (2)) pg(polygon_id)
+)
+WHERE (polygon_id = 1 AND {p1}) OR (polygon_id = 2 AND {p2})
+""".format(p1=demo.POLY1_SQL, p2=demo.POLY2_SQL)
+    return {
+        "pip_join": _PIP_UNION,
+        "pip_join_count": f"SELECT polygon_id, COUNT(*) AS n_pages, COUNT(DISTINCT doc_id) AS n_docs FROM ({_PIP_UNION}) GROUP BY polygon_id",
+        "tile_assign": f"""
+{_PAGES_CTE}
+SELECT LEAST(63, GREATEST(0, CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) AS tile_x,
+       LEAST(63, GREATEST(0, CAST(FLOOR((90.0 - lat) / 180.0 * 64.0) AS BIGINT))) AS tile_y,
+       COUNT(*) AS n_pages, COUNT(DISTINCT url) AS n_urls
+FROM pages GROUP BY 1, 2
+""",
+        "tile_polygons": tile_centers,
+        "knn": knn_src,
+        "knn_rings": knn_src,
+        "bbox_agg": f"{_PAGES_CTE} SELECT MIN(lon) AS xmin, MIN(lat) AS ymin, MAX(lon) AS xmax, MAX(lat) AS ymax, COUNT(*) AS n FROM pages",
+        "cell_census": f"""
+{_PAGES_CTE}
+SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 256.0) AS BIGINT) AS ix,
+       CAST(FLOOR((lat + 90.0) / 180.0 * 256.0) AS BIGINT) AS iy,
+       COUNT(*) AS n_pages, COUNT(DISTINCT url) AS n_urls
+FROM pages GROUP BY 1, 2
+""",
+        "shapes_decode": f"""
+SELECT fixture, record_number, shape_type, num_points, num_parts,
+       CAST(xmin AS DOUBLE) AS xmin, CAST(ymin AS DOUBLE) AS ymin,
+       CAST(xmax AS DOUBLE) AS xmax, CAST(ymax AS DOUBLE) AS ymax
+FROM (VALUES {_SHAPES_GOLDEN_ROWS})
+AS t(fixture, record_number, shape_type, num_points, num_parts, xmin, ymin, xmax, ymax)
+""",
+        "dedup_exact": """
+WITH expanded AS (
+  SELECT 'https://site' || CAST(doc_id % 1000 AS VARCHAR) || '.example/page/' || CAST(doc_id AS VARCHAR)
+           || '#' || CAST(v AS VARCHAR) AS url_v,
+         CASE WHEN v = 2 THEN text || ' near dup suffix' ELSE text END AS text_v
+  FROM documents CROSS JOIN (SELECT UNNEST(range(0, 3)) AS v)
+)
+SELECT md5(text_v) AS text_md5, COUNT(*) AS n_copies, MIN(url_v) AS keeper_url
+FROM expanded GROUP BY 1
+""",
+        "doc_stats": r"""
+WITH per_doc AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\s+')) AS tokens,
+         length(text) AS chars,
+         length(regexp_replace(text, '[^aeiou]', '', 'g')) AS vowels
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(tokens) AS total_tokens,
+       MIN(tokens) AS min_tokens, MAX(tokens) AS max_tokens,
+       SUM(chars) AS total_chars, SUM(vowels) AS total_vowels
+FROM per_doc GROUP BY lang
+""",
+        "lang_id": """
+SELECT doc_id, lang,
+       len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of'))) AS en_stopwords,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of'))) * 100
+         >= len(string_split(text, ' ')) AS looks_english
+FROM documents
+""",
+        "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,6))) AS sum_value, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+        "top_users": """
+SELECT event_type, user_id, n_events, rnk FROM (
+  SELECT event_type, user_id, COUNT(*) AS n_events,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id ASC) AS rnk
+  FROM events GROUP BY event_type, user_id
+) WHERE rnk <= 3
+""",
+    }

@@ -1,0 +1,180 @@
+"""Checkpoint / per-partition lineage / resume (C1, SURVEY §2.3).
+
+Iceberg-style snapshot semantics emulated over Parquet + JSON manifests (no
+Iceberg runtime jar in the sandbox; the adapter surface — snapshot log,
+atomic commit, stage data paths — matches what an Iceberg catalog provides,
+so a real catalog drops in by reimplementing ``_commit``/``_load``).
+
+Layout under ``root``::
+
+    _manifest.json                 # snapshot log: append-only list of commits
+    stages/<stage>/data/*.parquet  # committed stage output
+    stages/<stage>/lineage.json    # per-partition rows:
+                                   #   (stage, partition_id, output_rows, wall_ms)
+
+Commit protocol: stage data is written to a staging dir, lineage is gathered
+with a single pass (``spark_partition_id`` group-count over the written
+files), then the manifest is atomically replaced (POSIX rename) — a killed
+job never exposes a half-written stage, and a rerun resumes from the last
+manifest (completed stages load from their committed parquet; nothing is
+recomputed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointedPipeline:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "stages"), exist_ok=True)
+        self.manifest_path = os.path.join(root, "_manifest.json")
+
+    # -- manifest -----------------------------------------------------------
+
+    def _load(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as fh:
+                return json.load(fh)
+        return {"snapshots": [], "stages": {}}
+
+    def _commit(self, stage: str, entry: dict) -> None:
+        manifest = self._load()
+        snapshot = {
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": manifest["snapshots"][-1]["snapshot_id"] if manifest["snapshots"] else None,
+            "ts": time.time(),
+            "stage": stage,
+        }
+        manifest["snapshots"].append(snapshot)
+        manifest["stages"][stage] = {**entry, "snapshot_id": snapshot["snapshot_id"]}
+        tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic commit
+
+    def completed(self, stage: str) -> bool:
+        return stage in self._load()["stages"]
+
+    def stage_path(self, stage: str) -> str:
+        return os.path.join(self.root, "stages", stage, "data")
+
+    def lineage(self, stage: Optional[str] = None) -> List[dict]:
+        rows: List[dict] = []
+        for name in self._load()["stages"]:
+            if stage and name != stage:
+                continue
+            p = os.path.join(self.root, "stages", name, "lineage.json")
+            if os.path.exists(p):
+                with open(p) as fh:
+                    rows.extend(json.load(fh))
+        return rows
+
+    # -- stage execution ----------------------------------------------------
+
+    def run_stage(
+        self,
+        stage: str,
+        build: Callable[[], DataFrame],
+        partition_by: Optional[List[str]] = None,
+    ) -> DataFrame:
+        """Compute-or-load a stage.  On compute: write parquet, record
+        per-partition lineage, commit atomically.  On resume: read the
+        committed parquet without recomputation."""
+        if self.completed(stage):
+            return self.spark.read.parquet(self.stage_path(stage))
+
+        t0 = time.time()
+        df = build()
+        data_dir = self.stage_path(stage)
+        staging = data_dir + f".staging.{uuid.uuid4().hex}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        wall_ms = int((time.time() - t0) * 1000)
+
+        committed = self.spark.read.parquet(staging)
+        per_part = (
+            committed.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .count()
+            .collect()
+        )
+        lineage_rows = [
+            {
+                "stage": stage,
+                "partition_id": int(r["_pid"]),
+                "output_rows": int(r["count"]),
+                "wall_ms": wall_ms,
+            }
+            for r in sorted(per_part, key=lambda r: r["_pid"])
+        ]
+        os.makedirs(os.path.dirname(data_dir), exist_ok=True)
+        if os.path.exists(data_dir):
+            shutil.rmtree(data_dir)
+        os.replace(staging, data_dir)
+        with open(os.path.join(self.root, "stages", stage, "lineage.json"), "w") as fh:
+            json.dump(lineage_rows, fh, indent=1)
+        self._commit(
+            stage,
+            {
+                "path": data_dir,
+                "rows": int(sum(r["output_rows"] for r in lineage_rows)),
+                "partitions": len(lineage_rows),
+                "wall_ms": wall_ms,
+            },
+        )
+        return self.spark.read.parquet(data_dir)
+
+    def append_delta(
+        self,
+        stage: str,
+        new_df: DataFrame,
+        key_cols: List[str],
+    ) -> DataFrame:
+        """Incremental append: anti-join the new batch's keys against the
+        committed stage (resume-delta = ``left_anti`` on lineage keys,
+        SURVEY §2.2 set-ops row) and commit only the unseen rows as a new
+        snapshot of the same stage."""
+        if not self.completed(stage):
+            return self.run_stage(stage, lambda: new_df)
+        existing = self.spark.read.parquet(self.stage_path(stage))
+        delta = new_df.join(existing.select(*key_cols), on=key_cols, how="left_anti")
+        if delta.isEmpty():
+            return existing
+        t0 = time.time()
+        staging = self.stage_path(stage) + f".delta.{uuid.uuid4().hex}"
+        delta.write.mode("overwrite").parquet(staging)
+        n_new = self.spark.read.parquet(staging).count()
+        # append the delta files into the stage dir (Iceberg: new manifest
+        # referencing old + new data files; here: move files in, re-commit)
+        data_dir = self.stage_path(stage)
+        for fname in os.listdir(staging):
+            if fname.endswith(".parquet"):
+                os.replace(
+                    os.path.join(staging, fname),
+                    os.path.join(data_dir, f"delta-{uuid.uuid4().hex}-{fname}"),
+                )
+        shutil.rmtree(staging)
+        prev = self._load()["stages"][stage]
+        self._commit(
+            stage,
+            {
+                "path": data_dir,
+                "rows": prev["rows"] + n_new,
+                "partitions": prev["partitions"],
+                "wall_ms": int((time.time() - t0) * 1000),
+            },
+        )
+        return self.spark.read.parquet(data_dir)

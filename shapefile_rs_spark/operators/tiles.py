@@ -1,0 +1,111 @@
+"""Raster-tile ↔ vector operators (R1).
+
+Tiles are equirectangular z/x/y (slippy-style: x across lon, y from +90 lat
+down).  Tile assignment of points is pure Catalyst arithmetic — stays inside
+whole-stage codegen, no Python in the hot path.  Tile↔polygon assignment
+reuses the PIP machinery with tile centers as the point side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from .spatial_join import pip_refine
+
+
+def tile_x_col(lon, z: int):
+    n = 1 << z
+    return F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))),
+    ).cast("long")
+
+
+def tile_y_col(lat, z: int):
+    n = 1 << z
+    return F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.floor((F.lit(90.0) - lat) / F.lit(180.0) * F.lit(float(n)))),
+    ).cast("long")
+
+
+def assign_tiles(points: DataFrame, z: int, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """+ (tile_z, tile_x, tile_y) — JVM-side expressions only."""
+    return (
+        points.withColumn("tile_z", F.lit(z))
+        .withColumn("tile_x", tile_x_col(F.col(lon_col), z))
+        .withColumn("tile_y", tile_y_col(F.col(lat_col), z))
+    )
+
+
+def tile_aggregate(
+    points: DataFrame, z: int, lon_col: str = "lon", lat_col: str = "lat", aggs: Optional[list] = None
+) -> DataFrame:
+    """Per-tile rollup (partial+final aggregation handled by Catalyst)."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n_pages")]
+    return assign_tiles(points, z, lon_col, lat_col).groupBy("tile_z", "tile_x", "tile_y").agg(*aggs)
+
+
+_TILE_SCHEMA_EXTRA = [
+    StructField("tile_z", IntegerType()),
+    StructField("tile_x", LongType()),
+    StructField("tile_y", LongType()),
+]
+
+
+def polygon_tiles(
+    polygons: DataFrame, z: int, wkb_col: str = "wkb", id_cols: Optional[List[str]] = None
+) -> DataFrame:
+    """Explode each polygon into the z/x/y tiles its bbox covers."""
+    id_cols = id_cols or [c for c in polygons.columns if c != wkb_col]
+    out_schema = StructType([polygons.schema[c] for c in id_cols] + _TILE_SCHEMA_EXTRA)
+    n = 1 << z
+
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..geom.pip import rings_bbox
+        from ..geom.wkb import wkb_rings
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                xmin, ymin, xmax, ymax = rings_bbox(wkb_rings(bytes(row[wkb_col])))
+                tx0 = max(0, min(n - 1, int(np.floor((xmin + 180.0) / 360.0 * n))))
+                tx1 = max(0, min(n - 1, int(np.floor((xmax + 180.0) / 360.0 * n))))
+                ty0 = max(0, min(n - 1, int(np.floor((90.0 - ymax) / 180.0 * n))))
+                ty1 = max(0, min(n - 1, int(np.floor((90.0 - ymin) / 180.0 * n))))
+                base = {c: row[c] for c in id_cols}
+                for tx in range(tx0, tx1 + 1):
+                    for ty in range(ty0, ty1 + 1):
+                        rows.append({**base, "tile_z": z, "tile_x": tx, "tile_y": ty})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return polygons.mapInPandas(cover, schema=out_schema)
+
+
+def tile_polygon_assignment(
+    polygons: DataFrame,
+    z: int,
+    wkb_col: str = "wkb",
+    polygon_key: str = "polygon_id",
+    center_rule: bool = True,
+) -> DataFrame:
+    """(tile_z, tile_x, tile_y, polygon_id): tiles whose CENTER lies inside
+    the polygon (center_rule) — deterministic, oracle-expressible assignment.
+    Without center_rule, returns the bbox covering (superset)."""
+    tiles = polygon_tiles(polygons, z, wkb_col=wkb_col, id_cols=[polygon_key])
+    if not center_rule:
+        return tiles
+    n = float(1 << z)
+    with_centers = tiles.withColumn(
+        "_clon", (F.col("tile_x") + F.lit(0.5)) / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    ).withColumn("_clat", F.lit(90.0) - (F.col("tile_y") + F.lit(0.5)) / F.lit(n) * F.lit(180.0))
+    joined = with_centers.join(F.broadcast(polygons.select(polygon_key, wkb_col)), polygon_key)
+    inside = joined.filter(pip_refine(F.col(wkb_col), F.col("_clon"), F.col("_clat")))
+    return inside.select(polygon_key, "tile_z", "tile_x", "tile_y")

@@ -1,0 +1,85 @@
+"""Checkpoint/lineage/resume tests: kill-and-resume, no recompute, deltas."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from shapefile_rs_spark.lineage import CheckpointedPipeline
+
+
+def test_stage_commit_and_lineage(spark, tmp_path):
+    pipe = CheckpointedPipeline(spark, str(tmp_path))
+    df = pipe.run_stage("numbers", lambda: spark.range(1000).withColumn("v", F.col("id") * 2))
+    assert df.count() == 1000
+    assert pipe.completed("numbers")
+    rows = pipe.lineage("numbers")
+    assert sum(r["output_rows"] for r in rows) == 1000
+    assert all(set(r) == {"stage", "partition_id", "output_rows", "wall_ms"} for r in rows)
+    manifest = json.load(open(os.path.join(str(tmp_path), "_manifest.json")))
+    assert manifest["stages"]["numbers"]["rows"] == 1000
+    assert len(manifest["snapshots"]) == 1
+
+
+def test_resume_skips_recompute(spark, tmp_path):
+    pipe = CheckpointedPipeline(spark, str(tmp_path))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10)
+
+    pipe.run_stage("s1", build)
+    assert calls["n"] == 1
+    # fresh pipeline object = fresh process resuming from the manifest
+    pipe2 = CheckpointedPipeline(spark, str(tmp_path))
+    df = pipe2.run_stage("s1", build)
+    assert calls["n"] == 1  # not recomputed
+    assert df.count() == 10
+
+
+def test_killed_stage_leaves_no_commit(spark, tmp_path):
+    pipe = CheckpointedPipeline(spark, str(tmp_path))
+
+    def explode():
+        raise RuntimeError("simulated mid-stage kill")
+
+    with pytest.raises(RuntimeError):
+        pipe.run_stage("dead", explode)
+    assert not pipe.completed("dead")
+    # resume with a working builder succeeds
+    df = pipe.run_stage("dead", lambda: spark.range(5))
+    assert df.count() == 5
+
+
+def test_multi_stage_pipeline_resume_midway(spark, tmp_path):
+    root = str(tmp_path)
+    pipe = CheckpointedPipeline(spark, root)
+    pipe.run_stage("a", lambda: spark.range(100))
+    a = pipe.run_stage("a", lambda: (_ for _ in ()).throw(AssertionError))
+    with pytest.raises(ZeroDivisionError):
+        pipe.run_stage("b", lambda: 1 / 0)
+    # second run: stage a loads from checkpoint, stage b computes
+    pipe2 = CheckpointedPipeline(spark, root)
+    a2 = pipe2.run_stage("a", lambda: (_ for _ in ()).throw(AssertionError))
+    b = pipe2.run_stage("b", lambda: a2.withColumn("sq", F.col("id") * F.col("id")))
+    assert b.count() == 100
+    snaps = json.load(open(os.path.join(root, "_manifest.json")))["snapshots"]
+    assert len(snaps) == 2
+    assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
+
+
+def test_append_delta_anti_join(spark, tmp_path):
+    pipe = CheckpointedPipeline(spark, str(tmp_path))
+    pipe.run_stage("urls", lambda: spark.range(10).select(F.col("id").alias("url_id")))
+    merged = pipe.append_delta(
+        "urls", spark.range(5, 15).select(F.col("id").alias("url_id")), key_cols=["url_id"]
+    )
+    assert merged.count() == 15  # 10 existing + 5 genuinely new
+    assert merged.select("url_id").distinct().count() == 15
+    # idempotent: re-appending the same batch adds nothing
+    again = pipe.append_delta(
+        "urls", spark.range(5, 15).select(F.col("id").alias("url_id")), key_cols=["url_id"]
+    )
+    assert again.count() == 15

@@ -1,0 +1,126 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, compares row count, column names, and an
+order-insensitive value multiset (values canonicalized: floats by repr,
+timestamps by isoformat, Decimals normalized).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def canon(v):
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(v.normalize())
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v).hex()
+    if isinstance(v, bool):
+        return f"b:{v}"
+    return repr(v)
+
+
+def row_key(row, col_order):
+    return tuple(canon(row[i]) for i in col_order)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from shapefile_rs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="check_oracles", master="local[8]", shuffle_partitions=16,
+        extra_conf={"spark.sql.session.timeZone": "UTC"},
+    )
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as exc:
+            print(f"{name}: SPARK ERROR {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) — no oracle")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:
+            print(f"{name}: DUCKDB ERROR {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        if len(srows) != len(drows):
+            print(f"{name}: COUNT MISMATCH spark={len(srows)} duck={len(drows)}")
+            ok = False
+        if ok:
+            s_order = [scols.index(c) for c in sorted(scols)]
+            d_order = [dcols.index(c) for c in sorted(dcols)]
+            sset = sorted(row_key(tuple(r), s_order) for r in srows)
+            dset = sorted(row_key(tuple(r), d_order) for r in drows)
+            if sset != dset:
+                ok = False
+                diff_s = [r for r in sset if r not in set(dset)][:3]
+                diff_d = [r for r in dset if r not in set(sset)][:3]
+                print(f"{name}: VALUE MISMATCH\n  spark-only: {diff_s}\n  duck-only:  {diff_d}")
+        status = "OK" if ok else "FAIL"
+        if not ok:
+            failures.append(name)
+        print(f"{name}: {status} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    print("\n==", "ALL OK" if not failures else f"FAILURES: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
