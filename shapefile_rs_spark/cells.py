@@ -146,6 +146,51 @@ def cover_polygon_bbox(wkb_blob: bytes, res: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Catalyst twins: the same cell math as JVM column expressions, so the
+# point-side hot path stays inside whole-stage codegen (no Python at all).
+# Bit-parity with the numpy kernels is pinned by tests/test_geom_cells.py.
+# --------------------------------------------------------------------------
+
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_col(c):
+    """Column twin of :func:`_part1by1` (long col, low 29 bits)."""
+    from pyspark.sql import functions as F
+
+    c = c.bitwiseAND(F.lit(0x1FFFFFFF))
+    for shift, mask in _SPREAD_MASKS:
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def cell_id_col(lon, lat, res: int):
+    """Column twin of :func:`cell_id` — point → cell id at a fixed res."""
+    from pyspark.sql import functions as F
+
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be 0..{MAX_RES}")
+    n = 1 << res
+    ix = (
+        F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))))
+    ).cast("long")
+    iy = (
+        F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n))))
+    ).cast("long")
+    return (
+        F.lit(res << _RES_SHIFT)
+        .bitwiseOR(_spread_col(ix))
+        .bitwiseOR(F.shiftleft(_spread_col(iy), 1))
+    )
+
+
+# --------------------------------------------------------------------------
 # web-mercator-style z/x/y raster tiles (R1 operator)
 # --------------------------------------------------------------------------
 

@@ -45,9 +45,17 @@ def oracle_polygon_recs():
 
 
 def oracle_polygons_df(spark: SparkSession) -> DataFrame:
+    """WKB polygon dim as a pure-JVM VALUES relation.  createDataFrame on
+    local rows costs seconds (python serialization + parallelize across
+    defaultParallelism empty slices); an inline VALUES table is a local
+    relation Catalyst folds for free — and broadcasts instantly."""
     recs = oracle_polygon_recs()
-    rows = [(i + 1, bytearray(shape_to_wkb(r))) for i, r in enumerate(recs)]
-    return spark.createDataFrame(rows, "polygon_id bigint, wkb binary")
+    vals = ", ".join(
+        f"({i + 1}, X'{bytes(shape_to_wkb(r)).hex()}')" for i, r in enumerate(recs)
+    )
+    return spark.sql(
+        f"SELECT CAST(col1 AS BIGINT) AS polygon_id, col2 AS wkb FROM VALUES {vals}"
+    )
 
 
 # SQL containment predicates (strict interior — matches ray-cast which is
@@ -75,9 +83,12 @@ KNN_QUERIES = [
 
 
 def knn_queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [(q, float(x), float(y)) for q, x, y in KNN_QUERIES],
-        "query_id bigint, q_lon double, q_lat double",
+    vals = ", ".join(
+        f"({q}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE))" for q, x, y in KNN_QUERIES
+    )
+    return spark.sql(
+        f"SELECT CAST(col1 AS BIGINT) AS query_id, col2 AS q_lon, col3 AS q_lat "
+        f"FROM VALUES {vals}"
     )
 
 

@@ -105,11 +105,14 @@ def knn_cells(
         return pd.Series(out)
 
     pts = points.withColumn("_pcell", cell_of(F.col(lon_col), F.col(lat_col))).persist()
+    # the query side is small by contract (it is the broadcast side of every
+    # round); its ids live on the driver so loop control costs zero jobs
     pending = queries.persist()
+    pending_n = pending.count()
     done_parts = []
     r = 1
     for _ in range(max_rounds):
-        if pending.isEmpty():
+        if pending_n == 0:
             break
         cand_cells = pending.withColumn(
             "_qcell", F.explode(ring_cells(F.col(q_lon), F.col(q_lat), F.lit(r)))
@@ -118,28 +121,34 @@ def knn_cells(
             pts, cand_cells["_qcell"] == pts["_pcell"], "inner"
         ).withColumn("dist2", dist2_col(F.col(lon_col), F.col(lat_col), F.col(q_lon), F.col(q_lat)))
         w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(point_id).asc())
-        ranked = cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        ranked = (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, point_id, "dist2", "rank")
+            .persist()
+        )
         # a query is satisfied when its k-th neighbor provably cannot be
         # beaten by any cell outside the explored ring
         guarantee = float((r * min_dim) ** 2)
         stats = ranked.groupBy(query_id).agg(
             F.count(F.lit(1)).alias("_n"), F.max("dist2").alias("_kth")
         )
-        satisfied = stats.filter((F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee))).select(
-            query_id
-        )
-        done_parts.append(
-            ranked.join(F.broadcast(satisfied), query_id, "inner").select(
-                query_id, point_id, "dist2", "rank"
-            )
-        )
-        pending = pending.join(F.broadcast(satisfied), query_id, "left_anti").persist()
+        sat_ids = [
+            row[query_id]
+            for row in stats.filter(
+                (F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee))
+            ).collect()
+        ]
+        if sat_ids:
+            done_parts.append(ranked.filter(F.col(query_id).isin(sat_ids)))
+            pending = pending.filter(~F.col(query_id).isin(sat_ids)).persist()
+            pending_n -= len(sat_ids)
         r *= 2
 
     result = done_parts[0] if done_parts else None
     for part in done_parts[1:]:
         result = result.unionByName(part)
-    if not pending.isEmpty():
+    if pending_n > 0:
         fallback = knn_bruteforce(
             points, pending, k, point_id, query_id, lon_col, lat_col, q_lon, q_lat
         )

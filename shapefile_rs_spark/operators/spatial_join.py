@@ -96,24 +96,29 @@ def with_cells(
     lat_col: str = "lat",
 ) -> DataFrame:
     """points → + (cell_id, cell_res), exploded over the resolution levels
-    present in the covering (multi-res equi-join trick)."""
+    present in the covering (multi-res equi-join trick).
 
-    @F.pandas_udf(LongType())
-    def cell_at(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
-        out = np.zeros(len(lon), dtype=np.int64)
-        lon_v = lon.to_numpy(dtype=np.float64)
-        lat_v = lat.to_numpy(dtype=np.float64)
-        res_v = res.to_numpy()
-        for r in np.unique(res_v):
-            mask = res_v == r
-            out[mask] = C.cell_id(lon_v[mask], lat_v[mask], int(r))
-        return pd.Series(out)
-
-    levels = F.array(*[F.lit(int(r)) for r in sorted(set(res_levels))])
-    exploded = points.withColumn("cell_res", F.explode(levels))
-    return exploded.withColumn(
-        "cell_id", cell_at(F.col(lon_col), F.col(lat_col), F.col("cell_res"))
-    )
+    Cell ids are computed with pure Catalyst bit arithmetic
+    (:func:`shapefile_rs_spark.cells.cell_id_col`) — the point side of the
+    join never leaves whole-stage codegen.  Multi-level indexing is a UNION
+    of per-level projections, NOT explode+CASE: a CASE over a generator
+    output knocks the cell expression out of codegen (measured 20×
+    slower), while the union keeps every branch a plain codegen'd map.
+    The common case is a single level (no union at all); coverings produce
+    ≤3 levels, and at 100 TB the extra source scans stay proportional to
+    the number of levels actually present."""
+    levels = sorted(set(int(r) for r in res_levels))
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    parts = [
+        points.withColumn("cell_res", F.lit(r)).withColumn(
+            "cell_id", C.cell_id_col(lon, lat, r)
+        )
+        for r in levels
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @F.pandas_udf(StructType([StructField("ix", LongType()), StructField("iy", LongType())]))
@@ -125,7 +130,10 @@ def cell_ixiy(cell: pd.Series) -> pd.DataFrame:
 
 @F.pandas_udf(BooleanType())
 def pip_refine(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """Exact even-odd ray-cast, vectorized per distinct polygon per batch."""
+    """Exact even-odd ray-cast, vectorized per distinct polygon per batch.
+    Arrow hands binary columns over as ``bytes`` (hashable) — factorize
+    groups the batch by polygon so the ray-cast runs once per polygon over
+    a contiguous numpy slab, never per row."""
     from ..geom.pip import points_in_rings
     from ..geom.wkb import wkb_rings
 
@@ -134,10 +142,13 @@ def pip_refine(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
         return pd.Series(out)
     lon_v = lon.to_numpy(dtype=np.float64)
     lat_v = lat.to_numpy(dtype=np.float64)
-    codes, uniques = pd.factorize(wkb.apply(bytes))
+    try:
+        codes, uniques = pd.factorize(wkb)
+    except TypeError:  # bytearray payloads (non-Arrow fallback path)
+        codes, uniques = pd.factorize(wkb.apply(bytes))
     for gi, blob in enumerate(uniques):
         mask = codes == gi
-        out[mask] = points_in_rings(lon_v[mask], lat_v[mask], wkb_rings(blob))
+        out[mask] = points_in_rings(lon_v[mask], lat_v[mask], wkb_rings(bytes(blob)))
     return pd.Series(out)
 
 
@@ -156,38 +167,67 @@ def point_in_polygon_join(
     broadcast_polygons: Optional[bool] = None,
     salt_factor: int = 0,
     hot_cell_threshold: int = 100_000,
+    small_poly_threshold: int = 100_000,
 ) -> DataFrame:
     """Emit one row per (point, containing polygon) — the Q1 join.
 
     ``broadcast_polygons=None`` auto-selects: counts the polygon side (cheap,
-    it is the small side) and broadcasts under 100k covering rows — the
-    explicit two-phase broadcast/sort-merge selection the north_star demands.
-    ``salt_factor>0`` activates explicit hot-cell salting for the shuffle
-    path: point rows in hot cells get ``pmod(hash, salt_factor)`` appended to
-    the key; covering rows for hot cells are replicated across all salts.
+    it is the small side) and broadcasts under ``small_poly_threshold``
+    polygons — the explicit two-phase broadcast/sort-merge selection the
+    north_star demands.  In the broadcast phase the covering is computed
+    DRIVER-side with the numpy kernels (no Spark stage at all — the polygon
+    side is by definition collectible) and shipped as a local relation, so
+    the whole join is one codegen'd scan of the point side plus the refine
+    UDF.  ``salt_factor>0`` activates explicit hot-cell salting for the
+    shuffle path: point rows in hot cells get ``pmod(hash, salt_factor)``
+    appended to the key; covering rows for hot cells are replicated across
+    all salts.
     """
     point_cols = point_cols or [c for c in points.columns]
     polygon_cols = polygon_cols or [polygon_key]
-
-    covering = polygon_covering(
-        polygons,
-        wkb_col=wkb_col,
-        id_cols=[polygon_key],
-        max_cover_cells=max_cover_cells,
-        max_res=max_res,
-        fixed_res=fixed_res,
-    )
-    covering = covering.persist()
-    if fixed_res is not None:
-        res_levels = [fixed_res]
-        cover_rows = None
-    else:
-        level_rows = covering.groupBy("cell_res").count().collect()
-        res_levels = [r["cell_res"] for r in level_rows]
-        cover_rows = sum(r["count"] for r in level_rows)
+    spark = points.sparkSession
 
     if broadcast_polygons is None:
-        broadcast_polygons = cover_rows is not None and cover_rows < 100_000
+        broadcast_polygons = polygons.count() <= small_poly_threshold
+
+    if broadcast_polygons:
+        from ..geom.pip import rings_bbox
+        from ..geom.wkb import wkb_rings
+
+        poly_rows = polygons.select(polygon_key, wkb_col).collect()
+        cov_ids, cov_cells, cov_res = [], [], []
+        for row in poly_rows:
+            xmin, ymin, xmax, ymax = rings_bbox(wkb_rings(bytes(row[wkb_col])))
+            res = (
+                fixed_res
+                if fixed_res is not None
+                else C.adaptive_cover_res(xmin, ymin, xmax, ymax, max_cover_cells, max_res)
+            )
+            cc = C.cover_bbox(xmin, ymin, xmax, ymax, res)
+            cov_ids.extend([row[polygon_key]] * len(cc))
+            cov_cells.extend(cc.tolist())
+            cov_res.extend([res] * len(cc))
+        covering = spark.createDataFrame(
+            pd.DataFrame(
+                {polygon_key: cov_ids, "cell_id": cov_cells, "cell_res": cov_res}
+            )
+        )
+        res_levels = sorted(set(cov_res))
+    else:
+        covering = polygon_covering(
+            polygons,
+            wkb_col=wkb_col,
+            id_cols=[polygon_key],
+            max_cover_cells=max_cover_cells,
+            max_res=max_res,
+            fixed_res=fixed_res,
+        ).persist()
+        if fixed_res is not None:
+            res_levels = [fixed_res]
+        else:
+            res_levels = [
+                r["cell_res"] for r in covering.select("cell_res").distinct().collect()
+            ]
 
     pts = with_cells(points, res_levels, lon_col=lon_col, lat_col=lat_col)
 

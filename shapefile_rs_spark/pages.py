@@ -1,4 +1,4 @@
-"""Common-Crawl-style page table (BASELINE.json input_hint) + extraction UDFs.
+"""Common-Crawl-style page table (BASELINE.json input_hint) + extraction.
 
 Schema: ``(url string, warc_ts timestamp, html binary, text string,
 lang string)``.  Pages are derived deterministically from the driver's
@@ -14,20 +14,26 @@ oracle can recompute every derived value with plain SQL arithmetic:
 * ``text``      = the document text verbatim; **byte-identical ``text`` per
   ``url`` after html round-trip is the cross-engine invariant**.
 
-The geotag extraction path (P1 in SURVEY §2.3) is a vectorized regex over
-the html bytes — pages whose html lacks a geo tag yield null lat/lon.
+Hot-path design (100 TB story): html synthesis AND geotag extraction are
+pure Catalyst expressions (concat/cast/regexp_extract inside whole-stage
+codegen) — zero Python in the per-page path.  Bit-exactness holds because
+``CAST(double AS STRING)`` emits Java's shortest round-trip decimal and both
+``CAST(string AS DOUBLE)`` (JVM) and numpy/pandas strtod are correctly
+rounded, so parse(format(x)) == x to the bit on either engine.  The
+Arrow-vectorized pandas UDF extractors (:func:`extract_text`,
+:func:`extract_geo`) remain as the library surface for html that did NOT
+come from this synthesizer (real WARC payloads), and tests pin both paths
+to identical bits.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, DoubleType, StringType, StructField, StructType
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 # Hot-cluster centers: inside polygon 1 (2,2), inside polygon 1 (8,8),
 # inside polygon 2 the triangle (25,5).  Cluster spread ±0.02° ⇒ at the
@@ -36,7 +42,7 @@ HOT_CENTERS = [(2.0, 2.0), (8.0, 8.0), (25.0, 5.0)]
 
 
 def lonlat_sql(id_col: str = "doc_id") -> tuple:
-    """(lon_sql, lat_sql) — the EXACT arithmetic the python side replicates;
+    """(lon_sql, lat_sql) — the EXACT arithmetic the engine replicates;
     valid in both Spark SQL and DuckDB.  Every literal is CAST AS DOUBLE:
     DuckDB parses bare decimal literals as DECIMAL and would otherwise run
     the whole derivation in exact decimal arithmetic — not the IEEE doubles
@@ -73,71 +79,117 @@ def lonlat_numpy(doc_id: np.ndarray) -> tuple:
     return np.where(hot, hot_lon, cold_lon), np.where(hot, hot_lat, cold_lat)
 
 
-_HTML_SCHEMA = StructType([StructField("html", BinaryType())])
+# -- html synthesis (pure Catalyst — codegen'd, no Python) -------------------
 
 
-def _build_html_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        lon, lat = lonlat_numpy(pdf["doc_id"].to_numpy())
-        htmls = []
-        for i in range(len(pdf)):
-            # repr() emits the shortest round-tripping decimal — float()
-            # parse returns the exact same double, so the extraction path
-            # is bit-exact against the SQL oracle's arithmetic.
-            head = (
-                f'<html><head><meta name="geo.position" '
-                f'content="{lat[i]!r};{lon[i]!r}">'
-                f'<meta charset="utf-8"></head><body>'
-            )
-            htmls.append(head.encode("utf-8") + str(pdf["text"].iloc[i]).encode("utf-8") + b"</body></html>")
-        yield pd.DataFrame({"html": htmls})
+def html_expr(lon: Column, lat: Column, text: Column) -> Column:
+    """Deterministic page html as a JVM expression.  The geo tag serializes
+    (lat, lon) via CAST→STRING (shortest round-trip decimal) so extraction
+    recovers the exact doubles."""
+    return F.encode(
+        F.concat(
+            F.lit('<html><head><meta name="geo.position" content="'),
+            lat.cast("string"),
+            F.lit(";"),
+            lon.cast("string"),
+            F.lit('"><meta charset="utf-8"></head><body>'),
+            text,
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+
+
+def _url_expr(doc_id: Column) -> Column:
+    return F.concat(
+        F.lit("https://site"),
+        (doc_id % 1000).cast("string"),
+        F.lit(".example/page/"),
+        doc_id.cast("string"),
+    )
 
 
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet → the canonical page table (input_hint schema)."""
+    """documents.parquet → the canonical page table (input_hint schema).
+    Single narrow select — no shuffle, no Python."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lon_sql, lat_sql = lonlat_sql("doc_id")
-    base = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://site"),
-            (F.col("doc_id") % 1000).cast("string"),
-            F.lit(".example/page/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        (F.lit("2025-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id") * 137)).alias(
-            "warc_ts"
-        ),
+    return docs.select(
+        _url_expr(F.col("doc_id")).alias("url"),
+        (
+            F.lit("2025-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id") * 137)
+        ).alias("warc_ts"),
+        html_expr(F.expr(lon_sql), F.expr(lat_sql), F.col("text")).alias("html"),
         "text",
         "lang",
+        "doc_id",
     )
-    html = docs.select("doc_id", "text").mapInPandas(
-        lambda it: _add_doc_id_html(it), schema=StructType(
-            [StructField("doc_id", docs.schema["doc_id"].dataType), StructField("html", BinaryType())]
-        ),
+
+
+def synth_pages_from_ids(ids: DataFrame, id_col: str = "page_id") -> DataFrame:
+    """Any BIGINT id column → a full deterministic page table (bench-scale
+    mass: e.g. 600k lineitem keys at sf0.1, 10^12 ids on a real cluster).
+    Same derivation rules as :func:`pages_from_documents`, text derived from
+    the id so byte-identity stays checkable.  Pure Catalyst expressions —
+    the synthesizer itself never leaves whole-stage codegen."""
+    doc_id = F.col(id_col).cast("long")
+    text = F.concat(
+        F.lit("page "),
+        doc_id.cast("string"),
+        F.lit(" body "),
+        F.sha1(F.encode(F.concat(F.lit("salt:"), doc_id.cast("string")), "UTF-8")),
     )
-    return base.join(html, "doc_id").select("url", "warc_ts", "html", "text", "lang", "doc_id")
+    lon_sql, lat_sql = lonlat_sql("_did")
+    return ids.select(
+        doc_id.alias("_did"), text.alias("text")
+    ).select(
+        _url_expr(F.col("_did")).alias("url"),
+        (
+            F.lit("2025-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("_did") % 31536000) * 1.0)
+        ).alias("warc_ts"),
+        html_expr(F.expr(lon_sql), F.expr(lat_sql), F.col("text")).alias("html"),
+        "text",
+        (
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("zh"), F.lit("es")),
+                (F.col("_did") % 5 + 1).cast("int"),
+            )
+        ).alias("lang"),
+        F.col("_did").alias("doc_id"),
+    )
 
 
-def _add_doc_id_html(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        out = next(_build_html_batch(iter([pdf])))
-        out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
-        yield out
+# -- extraction (html bytes → text / geotag) ---------------------------------
 
-
-# -- extraction UDFs (the engine path: html bytes → text / geotag) ----------
-
-_TEXT_RE = rb"<body>(.*)</body>"
 _GEO_RE = r'<meta name="geo\.position" content="([^";]+);([^"]+)"'
+_TEXT_RE_CORE = r"<body>(.*)</body>"
+_TEXT_RE = "(?s)" + _TEXT_RE_CORE
+
+
+def extract_text_expr(html: Column) -> Column:
+    """Body text from html bytes, JVM-side (null when no body tag)."""
+    return F.nullif(F.regexp_extract(F.decode(html, "UTF-8"), _TEXT_RE, 1), F.lit(""))
+
+
+def extract_geo_exprs(html: Column) -> tuple:
+    """(lat, lon) columns parsed JVM-side; nulls when the tag is absent.
+    CAST(string AS DOUBLE) is correctly rounded → bit-exact round-trip."""
+    h = F.decode(html, "UTF-8")
+    lat = F.nullif(F.regexp_extract(h, _GEO_RE, 1), F.lit("")).cast("double")
+    lon = F.nullif(F.regexp_extract(h, _GEO_RE, 2), F.lit("")).cast("double")
+    return lat, lon
 
 
 @F.pandas_udf(StringType())
 def extract_text(html: pd.Series) -> pd.Series:
-    """Body text from html bytes — the byte-identity invariant function.
-    Vectorized via pandas .str on the bytes decoded as utf-8."""
+    """Arrow-vectorized twin of :func:`extract_text_expr` — the library
+    surface for externally-sourced WARC html."""
+    import re
+
     s = html.apply(lambda b: None if b is None else bytes(b).decode("utf-8", "strict"))
-    return s.str.extract(r"<body>(.*)</body>", expand=False)
+    return s.str.extract(_TEXT_RE_CORE, flags=re.DOTALL, expand=False)
 
 
 _GEO_SCHEMA = StructType([StructField("lat", DoubleType()), StructField("lon", DoubleType())])
@@ -145,7 +197,7 @@ _GEO_SCHEMA = StructType([StructField("lat", DoubleType()), StructField("lon", D
 
 @F.pandas_udf(_GEO_SCHEMA)
 def extract_geo(html: pd.Series) -> pd.DataFrame:
-    """Parse the geo.position meta tag → (lat, lon); nulls when absent."""
+    """Arrow-vectorized twin of :func:`extract_geo_exprs`."""
     s = html.apply(lambda b: None if b is None else bytes(b).decode("utf-8", "replace"))
     ext = s.str.extract(_GEO_RE)
 
@@ -161,43 +213,18 @@ def extract_geo(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"lat": parse(ext[0]), "lon": parse(ext[1])})
 
 
-def synth_pages_from_ids(ids: DataFrame, id_col: str = "page_id") -> DataFrame:
-    """Any BIGINT id column → a full deterministic page table (bench-scale
-    mass: e.g. 600k lineitem keys at sf0.1, 10^12 ids on a real cluster).
-    Same derivation rules as :func:`pages_from_documents`, text derived from
-    the id so byte-identity stays checkable."""
-    df = ids.select(F.col(id_col).cast("long").alias("doc_id")).withColumn(
-        "text",
-        F.concat(
-            F.lit("page "),
-            F.col("doc_id").cast("string"),
-            F.lit(" body "),
-            F.sha1(F.concat(F.lit("salt:"), F.col("doc_id").cast("string"))),
-        ),
-    )
-    base = df.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://site"),
-            (F.col("doc_id") % 1000).cast("string"),
-            F.lit(".example/page/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        (
-            F.lit("2025-01-01 00:00:00").cast("timestamp")
-            + F.make_interval(secs=F.col("doc_id") % 31536000 * 1.0)
-        ).alias("warc_ts"),
-        "text",
-        (F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("zh"), F.lit("es")), (F.col("doc_id") % 5 + 1).cast("int"))).alias("lang"),
-    )
-    html = df.mapInPandas(
-        _add_doc_id_html,
-        schema=StructType([StructField("doc_id", df.schema["doc_id"].dataType), StructField("html", BinaryType())]),
-    )
-    return base.join(html, "doc_id").select("url", "warc_ts", "html", "text", "lang", "doc_id")
+def geotag_pages(pages: DataFrame, use_arrow_udf: bool = False) -> DataFrame:
+    """pages → + (lat, lon) parsed from the html geo tag.
 
-
-def geotag_pages(pages: DataFrame) -> DataFrame:
-    """pages → + (lat, lon) columns via the vectorized extraction UDF."""
-    tagged = pages.withColumn("_geo", extract_geo(F.col("html")))
-    return tagged.withColumn("lat", F.col("_geo.lat")).withColumn("lon", F.col("_geo.lon")).drop("_geo")
+    Default path is pure Catalyst (regexp_extract + cast in codegen); the
+    Arrow-UDF path computes the identical bits (pinned by tests) and exists
+    for html needing real parser logic beyond a regex."""
+    if use_arrow_udf:
+        tagged = pages.withColumn("_geo", extract_geo(F.col("html")))
+        return (
+            tagged.withColumn("lat", F.col("_geo.lat"))
+            .withColumn("lon", F.col("_geo.lon"))
+            .drop("_geo")
+        )
+    lat, lon = extract_geo_exprs(F.col("html"))
+    return pages.withColumn("lat", lat).withColumn("lon", lon)
