@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shapefile_rs_spark import demo
+from shapefile_rs_spark.operators import dedup as dd
+from shapefile_rs_spark.operators import textstats as ts
 from shapefile_rs_spark.operators.knn import dist2_col, knn_bruteforce, knn_cells
 from shapefile_rs_spark.operators.spatial_join import point_in_polygon_join, with_cells
 from shapefile_rs_spark.operators.tiles import assign_tiles, tile_polygon_assignment
@@ -240,6 +242,122 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted near-dup variants (id = doc_id*2 + variant)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    orig = docs.select((F.col("doc_id") * 2).alias("id"), "text")
+    nd = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        F.concat(F.col("text"), F.lit(" near dup suffix")).alias("text"),
+    )
+    return orig.unionByName(nd)
+
+
+_DUP_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id * 2 AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS id, text || ' near dup suffix' AS text FROM documents
+)
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs over the planted corpus."""
+    from shapefile_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _dup_corpus(spark, sf_dir), id_col="id", text_col="text", k=3, num_hashes=12, bands=4
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shapefile_rs_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), id_col="doc_id", text_col="text", bits=16)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard between each doc and its planted near-dup."""
+    from shapefile_rs_spark.operators.dedup import ngram_jaccard, word_shingles
+
+    docs = _docs(spark, sf_dir)
+    sa = word_shingles(F.col("text"), 3)
+    sb = word_shingles(F.concat(F.col("text"), F.lit(" near dup suffix")), 3)
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(sa)).alias("n_shingles"),
+        ngram_jaccard(sa, sb).alias("jaccard"),
+    )
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shapefile_rs_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, _emb_queries(spark, sf_dir), k=5)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shapefile_rs_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+    return ivf_topk(emb, _emb_queries(spark, sf_dir), centroids, k=5)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shapefile_rs_spark.operators.textstats import quality_metrics
+
+    return quality_metrics(_docs(spark, sf_dir))
+
+
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shapefile_rs_spark.operators.textstats import winnow_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", winnow_fingerprint(F.col("text"), 8).alias("fp")
+    )
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shapefile_rs_spark.operators.multimodal import attach_fake_media, decode_images
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_images(attach_fake_media(docs))
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shapefile_rs_spark.operators.multimodal import attach_fake_media, resize_images
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return resize_images(attach_fake_media(docs))
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shapefile_rs_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_videos,
+        sample_frames,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return sample_frames(decode_videos(attach_fake_media(docs)), max_frames=8)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-window rollup (batch twin of the streaming hourly aggregation)."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -282,6 +400,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "events_hourly": q_events_hourly,
         "top_users": q_top_users,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "text_quality": q_text_quality,
+        "winnow_fp": q_winnow_fp,
+        "image_stats": q_image_stats,
+        "image_resize": q_image_resize,
+        "video_frames": q_video_frames,
     }
 
 
@@ -410,4 +538,112 @@ SELECT event_type, user_id, n_events, rnk FROM (
   FROM events GROUP BY event_type, user_id
 ) WHERE rnk <= 3
 """,
+        "minhash_lsh": _minhash_lsh_oracle(),
+        "simhash": f"SELECT doc_id, {dd.simhash_sql('text', 16)} AS simhash FROM documents",
+        "ngram_jaccard": f"""
+SELECT doc_id,
+       len(list_distinct({dd.word_shingles_sql('text', 3)})) AS n_shingles,
+       {dd.ngram_jaccard_sql(dd.word_shingles_sql('text', 3), dd.word_shingles_sql("(text || ' near dup suffix')", 3))} AS jaccard
+FROM documents
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 4),
+     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+SELECT query_id, vec_id, rnk FROM (
+  SELECT q.query_id, v.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(ve, qe) DESC, v.vec_id ASC) AS rnk
+  FROM v CROSS JOIN q
+) WHERE rnk <= 5
+""",
+        "ann_ivf": """
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+     va AS (SELECT vec_id, centroid_id FROM (
+         SELECT v.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(ve, ce) DESC, c.centroid_id ASC) AS r
+         FROM v CROSS JOIN c) WHERE r = 1),
+     q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 4),
+     qa AS (SELECT va.vec_id AS query_id, va.centroid_id FROM va WHERE va.vec_id < 4)
+SELECT query_id, vec_id, rnk FROM (
+  SELECT q.query_id, v.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(ve, qe) DESC, v.vec_id ASC) AS rnk
+  FROM q JOIN qa USING (query_id)
+         JOIN va ON va.centroid_id = qa.centroid_id
+         JOIN v ON v.vec_id = va.vec_id
+) WHERE rnk <= 5
+""",
+        "text_quality": ts.quality_metrics_sql("documents"),
+        "winnow_fp": f"SELECT doc_id, {ts.winnow_fingerprint_sql('text', 8)} AS fp FROM documents",
+        "image_stats": """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 48 AS INTEGER) AS width,
+         CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS height
+  FROM documents
+)
+SELECT doc_id, width, height, CAST(width AS BIGINT) * height AS n_pixels,
+       (list_sum(list_transform(range(0, width * height), p -> (doc_id + p * 3 + 0) % 256)) / (width * height)) AS mean_r,
+       (list_sum(list_transform(range(0, width * height), p -> (doc_id + p * 3 + 1) % 256)) / (width * height)) AS mean_g,
+       (list_sum(list_transform(range(0, width * height), p -> (doc_id + p * 3 + 2) % 256)) / (width * height)) AS mean_b
+FROM dims
+""",
+        "image_resize": """
+WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS w,
+         16 + (doc_id * 7) % 48 AS h
+  FROM documents
+), od AS (
+  SELECT doc_id, w, h,
+         CAST((w + 1) // 2 AS INTEGER) AS out_w,
+         CAST((h + 1) // 2 AS INTEGER) AS out_h
+  FROM dims
+)
+SELECT doc_id, out_w, out_h,
+       (list_sum(list_transform(range(0, out_w * out_h),
+          p -> (doc_id + ((p // out_w) * 2 * w + (p % out_w) * 2) * 3) % 256))
+        / (out_w * out_h)) AS mean_r
+FROM od
+""",
+        "video_frames": """
+WITH meta AS (
+  SELECT doc_id, CAST(10 + doc_id % 90 AS INTEGER) AS n_frames FROM documents
+), stepped AS (
+  SELECT doc_id, n_frames,
+         greatest(1, CAST(ceil(n_frames / 8) AS INTEGER)) AS step
+  FROM meta
+)
+SELECT doc_id, n_frames, UNNEST(range(0, n_frames, step)) AS frame_idx
+FROM stepped
+""",
     }
+
+
+def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    rpb = num_hashes // bands
+    sig = dd.minhash_signature_sql(dd.word_shingles_sql("text", 3), num_hashes)
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band, md5(array_to_string(sig[{b * rpb + 1}:{(b + 1) * rpb}], '|')) AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_DUP_CORPUS_SQL.strip().rstrip()},
+sigs AS (SELECT id, {sig} AS sig FROM corpus),
+banded AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.id < r.id
+)
+SELECT p.id_a, p.id_b,
+       len(list_filter(range(0, {num_hashes}), i -> sa.sig[i + 1] = sb.sig[i + 1])) AS n_agree,
+       (len(list_filter(range(0, {num_hashes}), i -> sa.sig[i + 1] = sb.sig[i + 1])) / {num_hashes}) AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.id = p.id_a
+JOIN sigs sb ON sb.id = p.id_b
+"""

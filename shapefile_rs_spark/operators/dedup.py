@@ -1,0 +1,262 @@
+"""Deduplication operators for web-scale corpus hygiene.
+
+Every operator is a pure Catalyst expression pipeline (higher-order array
+functions + md5 — no Python in the hot path), so each has an exactly
+equivalent DuckDB oracle built from the same primitives (md5 hex strings
+compare identically under both engines' binary collation).
+
+Scale notes (100 TB story):
+* exact dedup — one hash-shuffle on the content digest; map-side partial
+  aggregation halves traffic; digest is 16 bytes regardless of doc size.
+* MinHash+LSH — the signature is computed in a single scan (map-only);
+  the only shuffle is the band-bucket self-join, keyed on (band, band_key),
+  which is uniform by construction (md5 output).  Hot buckets (boilerplate
+  pages) can be capped with a count-filter before the self-join to bound
+  the quadratic blowup inside a bucket.
+* SimHash — map-only fingerprint; near-dup candidates then pair via
+  fingerprint-prefix buckets (hamming-ball probing), not implemented here
+  since LSH covers the recall path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "url"
+) -> DataFrame:
+    """Content-hash groups: (text_md5, n_copies, keeper_id).  The keeper is
+    the min id — deterministic and oracle-friendly."""
+    return df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keeper_id")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "url") -> DataFrame:
+    """Keep exactly one row per distinct text (the min-id row)."""
+    w_keeper = exact_dedup_groups(df, text_col, id_col).select(
+        "text_md5", F.col("keeper_id").alias(id_col)
+    )
+    return df.join(
+        w_keeper,
+        on=[
+            F.md5(F.col(text_col).cast("binary")) == F.col("text_md5"),
+            df[id_col] == w_keeper[id_col],
+        ],
+        how="left_semi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string> (whitespace-free texts assumed
+    single-space separated, the documents-table convention).  Texts shorter
+    than k words yield one shingle (the whole text)."""
+    words = F.split(text, " ")
+    n = F.greatest(F.lit(1), F.size(words) - F.lit(k - 1))
+    return F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), k)),
+    )
+
+
+def word_shingles_sql(text_sql: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles` (used by oracle builders)."""
+    words = f"string_split({text_sql}, ' ')"
+    n = f"greatest(1, len({words}) - {k - 1})"
+    return (
+        f"list_transform(range(0, {n}), "
+        f"i -> array_to_string(({words})[(i+1):(i+{k})], ' '))"
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
+    """MinHash signature as array<string> of length ``num_hashes``: the h-th
+    component is min(md5(h || '|' || shingle)).  Salted-md5 min is the
+    standard from-scratch minhash family; hex strings compare identically
+    in Spark and DuckDB (binary collation)."""
+    # NOTE: closure factory, not default-arg lambdas — PySpark binds every
+    # lambda parameter (defaults included) to a higher-order-function
+    # variable, which would silently turn the salt into the element index.
+    def salted(h: int):
+        return lambda s: F.md5(F.encode(F.concat(F.lit(f"{h}|"), s), "UTF-8"))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, salted(h))) for h in range(num_hashes)]
+    )
+
+
+def minhash_signature_sql(shingles_sql: str, num_hashes: int = 12) -> str:
+    comps = ", ".join(
+        f"list_min(list_transform({shingles_sql}, s -> md5('{h}|' || s)))"
+        for h in range(num_hashes)
+    )
+    return f"[{comps}]"
+
+
+def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, band_key:string>> — md5 of each band's slice
+    of the signature.  bands*rows_per_band must equal the signature size."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.encode(
+                        F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band)),
+                        "UTF-8",
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_band_keys_sql(sig_sql: str, bands: int, rows_per_band: int) -> str:
+    """DuckDB twin emitting a list of (band, band_key) structs."""
+    entries = ", ".join(
+        "{'band': %d, 'band_key': md5(array_to_string((%s)[%d:%d], '|'))}"
+        % (b, sig_sql, b * rows_per_band + 1, (b + 1) * rows_per_band)
+        for b in range(bands)
+    )
+    return f"[{entries}]"
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash+LSH.
+
+    Output: (id_a, id_b, n_agree, est_jaccard) — one row per unordered pair
+    of docs sharing ≥1 LSH band bucket; ``n_agree`` is the number of equal
+    signature components (est_jaccard = n_agree / num_hashes).
+
+    Plan shape: one scan computes signatures (map-only), explode to
+    ``bands`` rows/doc, shuffle on (band, band_key), in-bucket self-join,
+    distinct pair set, then two broadcast-free signature joins to score.
+    """
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sigs = docs.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(F.col(text_col), k), num_hashes).alias("_sig"),
+    )
+    sigs = sigs.persist()
+    banded = sigs.select(
+        "_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rpb)).alias("_b")
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+    left = banded.select("band", "band_key", F.col("_id").alias("id_a"))
+    right = banded.select("band", "band_key", F.col("_id").alias("id_b"))
+    pairs = (
+        left.join(right, on=["band", "band_key"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"))
+    sb = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"))
+    scored = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "n_agree",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ),
+        )
+        .withColumn("est_jaccard", F.col("n_agree") / F.lit(num_hashes))
+    )
+    return scored.select("id_a", "id_b", "n_agree", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def token_hashes(text: Column) -> Column:
+    """array<long>: 60-bit md5-derived hash per whitespace token (exactly
+    reproducible in DuckDB via CAST('0x'||substr(md5(w),1,15) AS BIGINT))."""
+    return F.transform(
+        F.split(text, " "),
+        lambda w: F.conv(F.substring(F.md5(F.encode(w, "UTF-8")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over pre-computed token hashes: bit b of the
+    fingerprint is set iff the sum over tokens of ±1 (sign of token-hash
+    bit b) is positive.  Duplicate tokens vote multiply — standard."""
+    def voter(b: int):
+        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    fp = F.lit(0)
+    for b in range(bits):
+        vote_sum = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
+        fp = fp + F.when(vote_sum > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return fp
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(id, simhash) per doc — map-only fingerprint pass."""
+    return docs.select(
+        F.col(id_col), F.col(text_col)
+    ).withColumn("_h", token_hashes(F.col(text_col))).select(
+        id_col, simhash_from_hashes(F.col("_h"), bits).alias("simhash")
+    )
+
+
+def simhash_sql(text_sql: str, bits: int = 16) -> str:
+    """DuckDB twin of the full simhash pipeline for one text expression."""
+    hashes = (
+        f"list_transform(string_split({text_sql}, ' '), "
+        f"w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT))"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({hashes}, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"({terms})"
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(sa: Column, sb: Column) -> Column:
+    """Exact Jaccard similarity of two shingle arrays (set semantics)."""
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return inter / union
+
+
+def ngram_jaccard_sql(sa_sql: str, sb_sql: str) -> str:
+    return (
+        f"(len(list_intersect({sa_sql}, {sb_sql})) / "
+        f"len(list_distinct(list_concat({sa_sql}, {sb_sql}))))"
+    )

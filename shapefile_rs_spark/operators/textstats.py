@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (regex + higher-order array functions), each
+with an exact DuckDB twin: language-ID heuristics, quality scoring, BPE-ish
+token counting, and winnowing-style document fingerprints.  Ratios are
+int/int divisions — bit-identical doubles on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks.
+# Kept to constructs whose semantics agree between Java regex (Spark) and
+# DuckDB's RE2.
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of BPE-ish pre-tokens (regex token runs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+
+
+def bpe_token_count_sql(text_sql: str) -> str:
+    return f"len(regexp_extract_all({text_sql}, '{TOKEN_RE}'))"
+
+
+def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: sizes, stopword/digit ratios, mean word
+    length, and a composite keep-score — the standard web-corpus filters
+    (C4/Gopher-style) as one codegen'd projection."""
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
+    n_digit_runs = F.size(F.regexp_extract_all(text, F.lit("[0-9]+"), 0))
+    mean_word_len = (n_chars - (n_words - F.lit(1))) / n_words
+    stop_ratio = n_stop / n_words
+    quality = (
+        F.when((n_words >= 5) & (mean_word_len >= 2.0) & (mean_word_len <= 12.0), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        bpe_token_count(text).alias("n_bpe_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_digit_runs.alias("n_digit_runs"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality_pass"),
+    )
+
+
+def quality_metrics_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    words = f"string_split({text_col}, ' ')"
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    n_words = f"len({words})"
+    mean_wl = f"((length({text_col}) - ({n_words} - 1)) / {n_words})"
+    return f"""
+SELECT {id_col},
+       {n_words} AS n_words,
+       length({text_col}) AS n_chars,
+       {bpe_token_count_sql(text_col)} AS n_bpe_tokens,
+       len(list_filter({words}, w -> w IN ({stop_list}))) AS n_stopwords,
+       len(regexp_extract_all({text_col}, '[0-9]+')) AS n_digit_runs,
+       {mean_wl} AS mean_word_len,
+       (len(list_filter({words}, w -> w IN ({stop_list}))) / {n_words}) AS stop_ratio,
+       (CASE WHEN {n_words} >= 5 AND {mean_wl} >= 2.0 AND {mean_wl} <= 12.0
+             THEN 1 ELSE 0 END) AS quality_pass
+FROM {table}
+"""
+
+
+def winnow_fingerprint(text: Column, window: int = 8) -> Column:
+    """Document fingerprint: min md5 over all ``window``-char substrings
+    (stride 1) — the winnowing/rolling-hash fingerprint family.  Texts
+    shorter than the window fingerprint their whole content."""
+    n = F.greatest(F.lit(1), F.length(text) - F.lit(window - 1))
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.md5(F.encode(F.substring(text, i + F.lit(1), window), "UTF-8")),
+        )
+    )
+
+
+def winnow_fingerprint_sql(text_sql: str, window: int = 8) -> str:
+    n = f"greatest(1, length({text_sql}) - {window - 1})"
+    return (
+        f"list_min(list_transform(range(0, {n}), "
+        f"i -> md5(substr({text_sql}, i + 1, {window}))))"
+    )
+
+
+def trigram_lang_score(text: Column, trigrams=("th", "he", "an", "in", "er")) -> Column:
+    """Cheap n-gram language evidence: count of common-English bigram hits.
+    (Named trigram for the family; uses bigrams — enough signal for the
+    synthetic corpus and cheap on both engines.)"""
+    total = F.lit(0)
+    for g in trigrams:
+        total = total + F.size(F.split(text, g)) - F.lit(1)
+    return total

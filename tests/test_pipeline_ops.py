@@ -1,0 +1,168 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing.  Mirrors the reference's golden-assert test style over
+tiny constructed corpora (the DuckDB oracle gate covers scale parity)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near dup
+        (4, "completely different words about spark partitions shuffles and joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark):
+    from shapefile_rs_spark.operators.dedup import exact_dedup, exact_dedup_groups
+
+    corpus = _corpus(spark)
+    groups = exact_dedup_groups(corpus, id_col="doc_id").collect()
+    assert len(groups) == 3
+    dup = [g for g in groups if g["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["keeper_id"] == 1
+    kept = exact_dedup(corpus, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_minhash_identical_and_near_dup(spark):
+    from shapefile_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_lsh_pairs(_corpus(spark), id_col="doc_id").collect()
+    }
+    # exact duplicates agree on every hash and must pair
+    assert (1, 2) in pairs and pairs[(1, 2)]["n_agree"] == 12
+    assert pairs[(1, 2)]["est_jaccard"] == 1.0
+    # near-dups (one word changed) collide in >=1 band with high agreement
+    assert (1, 3) in pairs and pairs[(1, 3)]["n_agree"] >= 6
+    # the unrelated doc never pairs with anything
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_properties(spark):
+    from shapefile_rs_spark.operators.dedup import simhash
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(_corpus(spark)).collect()}
+    assert fps[1] == fps[2]  # identical text -> identical fingerprint
+    assert 0 <= fps[1] < (1 << 16)
+    ham_near = bin(fps[1] ^ fps[3]).count("1")
+    ham_far = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated text
+
+
+def test_ngram_jaccard_bounds(spark):
+    from shapefile_rs_spark.operators.dedup import ngram_jaccard, word_shingles
+
+    df = _corpus(spark).select(
+        "doc_id",
+        ngram_jaccard(
+            word_shingles(F.col("text"), 3), word_shingles(F.col("text"), 3)
+        ).alias("self_j"),
+    )
+    assert all(r["self_j"] == 1.0 for r in df.collect())
+
+
+def test_cosine_topk_self_rank1(spark):
+    from shapefile_rs_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(42)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    top = cosine_topk(emb, queries, k=4)
+    rows = top.collect()
+    assert len(rows) == 12
+    r1 = {r["query_id"]: r["vec_id"] for r in rows if r["rnk"] == 1}
+    assert r1 == {0: 0, 1: 1, 2: 2}  # a vector's own query ranks first
+
+
+def test_ivf_matches_bruteforce_within_cell(spark):
+    from shapefile_rs_spark.operators.similarity import assign_centroids, cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+    queries = emb.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = {(r["query_id"], r["vec_id"], r["rnk"]) for r in ivf_topk(emb, queries, centroids, k=3).collect()}
+    # oracle: brute-force restricted to the query's own cell
+    assign = {r["vec_id"]: r["centroid_id"] for r in assign_centroids(emb, centroids).collect()}
+    cell = assign[5]
+    members = [v for v, c in assign.items() if c == cell]
+    sub = emb.filter(F.col("vec_id").isin(members))
+    want = {(r["query_id"], r["vec_id"], r["rnk"]) for r in cosine_topk(sub, queries, k=3).collect()}
+    assert got == want
+
+
+def test_quality_metrics_golden(spark):
+    from shapefile_rs_spark.operators.textstats import quality_metrics
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat 42 times!")], "doc_id bigint, text string"
+    )
+    row = quality_metrics(df).collect()[0]
+    assert row["n_words"] == 8
+    assert row["n_chars"] == 30
+    assert row["n_stopwords"] == 2  # the, a
+    assert row["n_digit_runs"] == 1
+    assert row["n_bpe_tokens"] == 9  # 7 letter runs + '42' + '!'
+    assert row["quality_pass"] == 1
+
+
+def test_winnow_fingerprint_deterministic(spark):
+    from shapefile_rs_spark.operators.textstats import winnow_fingerprint
+
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, "abcdefghij"), (3, "short")],
+                               "doc_id bigint, text string")
+    rows = {r["doc_id"]: r["fp"] for r in df.select("doc_id", winnow_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert rows[1] == rows[2]
+    assert len(rows[3]) == 32  # short text still fingerprints (whole content)
+
+
+def test_multimodal_roundtrip(spark):
+    from shapefile_rs_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_images,
+        decode_videos,
+        decode_real_audio,
+        img_dims,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 5, 100)], "doc_id bigint")
+    media = attach_fake_media(docs)
+    stats = {r["doc_id"]: r for r in decode_images(media).collect()}
+    for did in (0, 5, 100):
+        w, h = img_dims(did)
+        assert (stats[did]["width"], stats[did]["height"]) == (w, h)
+        assert stats[did]["n_pixels"] == w * h
+        assert 0.0 <= stats[did]["mean_r"] <= 255.0
+
+    rs = {r["doc_id"]: r for r in resize_images(media).collect()}
+    for did in (0, 5, 100):
+        w, h = img_dims(did)
+        assert (rs[did]["out_w"], rs[did]["out_h"]) == ((w + 1) // 2, (h + 1) // 2)
+
+    frames = sample_frames(decode_videos(media), max_frames=8).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for did, idxs in per_doc.items():
+        assert len(idxs) <= 8 and idxs[0] == 0
+
+    with pytest.raises(NotImplementedError):
+        decode_real_audio(b"\x00")
