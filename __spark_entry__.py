@@ -99,6 +99,23 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "polygon_id")
 
 
+def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join, forced down the shuffle path with explicit hot-cell
+    salting (W1): point rows in hot cells fan out over salted keys, the
+    covering side replicates — exactness unchanged (same oracle as
+    pip_join)."""
+    pages = _geopages(spark, sf_dir).select("doc_id", "lon", "lat")
+    return point_in_polygon_join(
+        pages,
+        demo.oracle_polygons_df(spark),
+        point_cols=["doc_id"],
+        polygon_cols=["polygon_id"],
+        broadcast_polygons=False,
+        salt_factor=8,
+        hot_cell_threshold=50,
+    ).select("doc_id", "polygon_id")
+
+
 def q_pip_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_pip_join(spark, sf_dir)
@@ -387,6 +404,7 @@ def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
+        "pip_join_salted": q_pip_join_salted,
         "pip_join_count": q_pip_join_count,
         "tile_assign": q_tile_assign,
         "tile_polygons": q_tile_polygons,
@@ -469,6 +487,7 @@ WHERE (polygon_id = 1 AND {p1}) OR (polygon_id = 2 AND {p2})
 """.format(p1=demo.POLY1_SQL, p2=demo.POLY2_SQL)
     return {
         "pip_join": _PIP_UNION,
+        "pip_join_salted": _PIP_UNION,
         "pip_join_count": f"SELECT polygon_id, COUNT(*) AS n_pages, COUNT(DISTINCT doc_id) AS n_docs FROM ({_PIP_UNION}) GROUP BY polygon_id",
         "tile_assign": f"""
 {_PAGES_CTE}

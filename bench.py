@@ -104,19 +104,58 @@ def main():
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # N vs 4N cluster-size proxy (BASELINE.md): same job, same input, at
+        # local[8] vs local[32].  The input must be COMPUTE-BOUND — the sf0.1
+        # table finishes in ~3s warm, where scheduling overhead (constant in
+        # core count) swamps the signal — so the flagship runs over a
+        # spark.range-synthesized page table large enough that per-core work
+        # dominates (rows via $SPARK_GRAFT_SCALE_ROWS, default 10M).
+        # The sandbox host shows heavy run-to-run noise (likely CPU steal:
+        # identical jobs measured 8-25s), so each level takes the MIN of
+        # `repeats` runs — the standard noise-robust estimator.
+        n_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "100000000"))
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
         scaling = {}
         for cores in (8, 32):
             s = get_spark(
                 app_name=f"bench{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)
             )
             s.sparkContext.setLogLevel("ERROR")
-            s.range(1000).select(F.sum("id")).collect()
-            time_flagship(s, SF_DIR)  # warm-up run
-            dt, _ = time_flagship(s, SF_DIR)
-            scaling[str(cores)] = {"sec": round(dt, 3), "pages_per_sec": round(n_pages / dt, 1)}
+
+            def big_pipeline(n):
+                from shapefile_rs_spark import demo
+                from shapefile_rs_spark.operators.spatial_join import point_in_polygon_join
+                from shapefile_rs_spark.pages import geotag_pages, synth_pages_from_ids
+
+                ids = s.range(0, n, 1, cores * 4).withColumnRenamed("id", "page_id")
+                pages = geotag_pages(synth_pages_from_ids(ids))
+                return point_in_polygon_join(
+                    pages.select("doc_id", "lon", "lat"),
+                    demo.oracle_polygons_df(s),
+                    point_cols=["doc_id"],
+                    polygon_cols=["polygon_id"],
+                    broadcast_polygons=True,  # skip the selection-count job
+                ).groupBy("polygon_id").count()
+
+            big_pipeline(max(n_rows // 10, 1)).collect()  # JIT/worker warm-up
+            runs = []
+            for _ in range(repeats):
+                t0 = time.time()
+                big_pipeline(n_rows).collect()
+                runs.append(time.time() - t0)
+            dt = min(runs)
+            scaling[str(cores)] = {
+                "sec": round(dt, 3),
+                "runs": [round(r, 3) for r in runs],
+                "pages_per_sec": round(n_rows / dt, 1),
+            }
             s.stop()
         eff = scaling["32"]["pages_per_sec"] / (4.0 * scaling["8"]["pages_per_sec"])
-        result["scaling"] = {**scaling, "efficiency_8_to_32": round(eff, 3)}
+        result["scaling"] = {
+            **scaling,
+            "rows": n_rows,
+            "efficiency_8_to_32": round(eff, 3),
+        }
 
     print(json.dumps(result))
 

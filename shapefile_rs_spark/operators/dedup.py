@@ -82,28 +82,72 @@ def word_shingles_sql(text_sql: str, k: int = 3) -> str:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
-    """MinHash signature as array<string> of length ``num_hashes``: the h-th
-    component is min(md5(h || '|' || shingle)).  Salted-md5 min is the
-    standard from-scratch minhash family; hex strings compare identically
-    in Spark and DuckDB (binary collation)."""
-    # NOTE: closure factory, not default-arg lambdas — PySpark binds every
-    # lambda parameter (defaults included) to a higher-order-function
-    # variable, which would silently turn the salt into the element index.
-    def salted(h: int):
-        return lambda s: F.md5(F.encode(F.concat(F.lit(f"{h}|"), s), "UTF-8"))
+_MERSENNE31 = (1 << 31) - 1
 
-    return F.array(
-        *[F.array_min(F.transform(shingles, salted(h))) for h in range(num_hashes)]
+
+def _mh_params(num_hashes: int) -> tuple:
+    """Deterministic universal-hash parameters (a_i, b_i), identical on
+    the Spark and DuckDB sides by construction (seeded PRNG)."""
+    import random
+
+    rng = random.Random(0x5EED)
+    a = [rng.randrange(1, _MERSENNE31) for _ in range(num_hashes)]
+    b = [rng.randrange(0, _MERSENNE31) for _ in range(num_hashes)]
+    return a, b
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """array<long>: one 60-bit md5-derived base hash per shingle, reduced
+    mod 2^31-1 so the universal-hash products stay inside a signed 64-bit."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % F.lit(_MERSENNE31),
     )
+
+
+def minhash_from_hashes(hs: Column, num_hashes: int = 12) -> Column:
+    """MinHash signature (array<long>) over precomputed base hashes:
+    component i is min over shingles of (a_i·h + b_i) mod (2^31-1) — the
+    textbook universal-hash construction.  The mins are UNROLLED with
+    literal (a_i, b_i): higher-order lambdas are interpreted (not
+    codegen'd), and an element_at parameter table inside a nested lambda
+    measured 8× slower than literal constants.
+
+    Feed a ``hs`` COLUMN from a prior projection (as
+    :func:`minhash_lsh_pairs` does) so the md5 base-hash pass runs once,
+    not once per hash function."""
+
+    def mapper(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)
+
+    a, b = _mh_params(num_hashes)
+    return F.array(
+        *[F.array_min(F.transform(hs, mapper(a[i], b[i]))) for i in range(num_hashes)]
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
+    """Convenience one-expression form; prefer the two-projection shape
+    (shingle_hashes → minhash_from_hashes) in hot paths."""
+    return minhash_from_hashes(shingle_hashes(shingles), num_hashes)
 
 
 def minhash_signature_sql(shingles_sql: str, num_hashes: int = 12) -> str:
-    comps = ", ".join(
-        f"list_min(list_transform({shingles_sql}, s -> md5('{h}|' || s)))"
-        for h in range(num_hashes)
+    a, b = _mh_params(num_hashes)
+    a_sql = "[" + ", ".join(str(x) for x in a) + "]"
+    b_sql = "[" + ", ".join(str(x) for x in b) + "]"
+    hs = (
+        f"list_transform({shingles_sql}, "
+        f"s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_MERSENNE31})"
     )
-    return f"[{comps}]"
+    return (
+        f"list_transform(range(0, {num_hashes}), "
+        f"i -> list_min(list_transform({hs}, "
+        f"h -> (({a_sql})[i+1] * h + ({b_sql})[i+1]) % {_MERSENNE31})))"
+    )
 
 
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -115,7 +159,13 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
                 F.lit(b).alias("band"),
                 F.md5(
                     F.encode(
-                        F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band)),
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
                         "UTF-8",
                     )
                 ).alias("band_key"),
@@ -157,9 +207,13 @@ def minhash_lsh_pairs(
     rpb = num_hashes // bands
     sigs = docs.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(F.col(text_col), k), num_hashes).alias("_sig"),
-    )
+        shingle_hashes(word_shingles(F.col(text_col), k)).alias("_hs"),
+    ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
+    # eager materialization: three downstream consumers (banding + both
+    # sides of the scoring join) would otherwise race the cache inside one
+    # job and recompute the signature pass ~3x (measured)
     sigs = sigs.persist()
+    sigs.count()
     banded = sigs.select(
         "_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rpb)).alias("_b")
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
