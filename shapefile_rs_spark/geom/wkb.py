@@ -54,6 +54,18 @@ def point_wkb(x: float, y: float) -> bytes:
     return _LE + struct.pack("<I", WKB_POINT) + struct.pack("<2d", x, y)
 
 
+def points_wkb_bulk(xy: np.ndarray) -> list:
+    """Vectorized Point-WKB encoder: one (n, 21) uint8 assembly for the
+    whole batch, no per-row struct packing.  Returns a list of bytes."""
+    xy = np.ascontiguousarray(np.asarray(xy, dtype="<f8")).reshape(-1, 2)
+    n = xy.shape[0]
+    out = np.empty((n, 21), dtype=np.uint8)
+    out[:, 0] = 1  # little-endian marker
+    out[:, 1:5] = np.frombuffer(struct.pack("<I", WKB_POINT), dtype=np.uint8)
+    out[:, 5:21] = xy.view(np.uint8).reshape(n, 16)
+    return [b.tobytes() for b in out]
+
+
 def multipoint_wkb(xy: np.ndarray) -> bytes:
     out = [_LE, struct.pack("<II", WKB_MULTIPOINT, len(xy))]
     for i in range(len(xy)):

@@ -89,10 +89,6 @@ def knn_cells(
     cell_h = 180.0 / (1 << res)
     min_dim = min(cell_w, cell_h)
 
-    @F.pandas_udf(LongType())
-    def cell_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(C.cell_id(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res))
-
     @F.pandas_udf(ArrayType(LongType()))
     def ring_cells(lon: pd.Series, lat: pd.Series, radius: pd.Series) -> pd.Series:
         out = []
@@ -104,7 +100,10 @@ def knn_cells(
             out.append(C.k_ring(int(base[i]), int(rad_v[i])).tolist())
         return pd.Series(out)
 
-    pts = points.withColumn("_pcell", cell_of(F.col(lon_col), F.col(lat_col))).persist()
+    # big side indexed JVM-side (codegen'd Morton twin — no Python pass)
+    pts = points.withColumn(
+        "_pcell", C.cell_id_col(F.col(lon_col), F.col(lat_col), res)
+    ).persist()
     # the query side is small by contract (it is the broadcast side of every
     # round); its ids live on the driver so loop control costs zero jobs
     pending = queries.persist()

@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # throughput GC: G1's pause targets cost ~15-20% on the string-heavy
+        # synth/parse stages (measured at 32 threads); batch jobs prefer
+        # ParallelGC (on a cluster: spark.executor.extraJavaOptions)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -61,12 +61,16 @@ SHAPES_SCHEMA = StructType(
 
 
 def _decode_stem_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..geom.wkb import shape_to_wkb
+    import json as _json
+
+    from ..geom.wkb import points_wkb_bulk, shape_to_wkb
     from ..shapelib.dbf import read_dbf, resolve_encoding
-    from ..shapelib.shp import read_shp
+    from ..shapelib.shp import read_header, read_points_xy, read_shp
+    from ..shapelib.shptypes import POINT
 
     for pdf in batches:
         out_rows = []
+        fast_frames = []
         for _, row in pdf.iterrows():
             shp = bytes(row["shp"]) if row["shp"] is not None else None
             if not shp:
@@ -75,6 +79,40 @@ def _decode_stem_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             dbf = bytes(row["dbf"]) if row["dbf"] is not None else None
             cpg = bytes(row["cpg"]) if row["cpg"] is not None else None
             encoding = resolve_encoding(cpg.decode("ascii", "replace") if cpg else None)
+
+            # bulk fast path: POINT files decode as one numpy gather (no
+            # per-record Python) — the dominant web-scale case (geocoded
+            # point layers with millions of records)
+            if shx is not None and read_header(shp).shape_type == POINT:
+                nums_v, xy = read_points_xy(shp, shx)
+                attrs = None
+                if dbf:
+                    _, attr_rows = read_dbf(dbf, encoding=encoding)
+                    attrs = [
+                        _json.dumps(a, default=str) if a else None for a in attr_rows
+                    ]
+                    attrs += [None] * (len(nums_v) - len(attrs))
+                fast_frames.append(
+                    pd.DataFrame(
+                        {
+                            "source_file": row["stem"],
+                            "record_number": nums_v.astype("int32"),
+                            "shape_type": POINT,
+                            "wkb": points_wkb_bulk(xy),
+                            "xmin": xy[:, 0],
+                            "ymin": xy[:, 1],
+                            "xmax": xy[:, 0],
+                            "ymax": xy[:, 1],
+                            "num_points": 1,
+                            "num_parts": 0,
+                            "z": None,
+                            "m": None,
+                            "attrs_json": attrs,
+                        }
+                    )
+                )
+                continue
+
             header, recs, nums = read_shp(shp, shx=shx)
             attr_rows = [None] * len(recs)
             if dbf:
@@ -104,10 +142,12 @@ def _decode_stem_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                         "attrs_json": json.dumps(attrs, default=str) if attrs else None,
                     }
                 )
-        yield pd.DataFrame(
-            out_rows,
-            columns=[f.name for f in SHAPES_SCHEMA.fields],
-        )
+        cols = [f.name for f in SHAPES_SCHEMA.fields]
+        slow = pd.DataFrame(out_rows, columns=cols)
+        if fast_frames:
+            yield pd.concat([slow[cols]] + [f[cols] for f in fast_frames], ignore_index=True)
+        else:
+            yield slow
 
 
 def read_shapefiles(

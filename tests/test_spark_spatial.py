@@ -101,3 +101,46 @@ def test_shapefile_sink_roundtrip(spark, join_fixture_dir, tmp_path):
     assert len(rows) == len(orig) == 2
     for a, b in zip(rows, orig):
         assert a.wkb == b.wkb and a.num_points == b.num_points
+
+
+def test_cell_id_col_matches_numpy_kernel(spark):
+    """The Catalyst Morton twin must be bit-identical to the numpy kernel
+    (cells.cell_id_col vs cells.cell_id) across resolutions and edges."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark import cells as C
+
+    rng = np.random.default_rng(7)
+    lon = np.concatenate(
+        [rng.uniform(-180, 180, 5000), [-180.0, 180.0, 0.0, -179.9999999, 179.9999999]]
+    )
+    lat = np.concatenate(
+        [rng.uniform(-90, 90, 5000), [-90.0, 90.0, 0.0, 89.9999999, -89.9999999]]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    for res in (0, 6, 8, 29):
+        got = np.array(
+            [r[0] for r in df.select(C.cell_id_col(F.col("lon"), F.col("lat"), res)).collect()]
+        )
+        assert (got == C.cell_id(lon, lat, res)).all()
+
+
+def test_with_cells_multi_level_union(spark):
+    """Multi-resolution indexing (union-of-levels) yields one row per
+    (point, level) with the right per-level ids."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark import cells as C
+    from shapefile_rs_spark.operators.spatial_join import with_cells
+
+    pts = spark.createDataFrame(pd.DataFrame({"lon": [1.0, 50.0], "lat": [2.0, -10.0]}))
+    out = with_cells(pts, [4, 8]).collect()
+    assert len(out) == 4
+    for r in out:
+        import numpy as np
+
+        want = C.cell_id(np.array([r["lon"]]), np.array([r["lat"]]), r["cell_res"])[0]
+        assert r["cell_id"] == want
