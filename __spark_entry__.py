@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from shapefile_rs_spark import demo
 from shapefile_rs_spark.operators import dedup as dd
 from shapefile_rs_spark.operators import textstats as ts
-from shapefile_rs_spark.operators.knn import dist2_col, knn_bruteforce, knn_cells
+from shapefile_rs_spark.operators.knn import knn_bruteforce, knn_cells
 from shapefile_rs_spark.operators.spatial_join import point_in_polygon_join, with_cells
 from shapefile_rs_spark.operators.tiles import assign_tiles, tile_polygon_assignment
 from shapefile_rs_spark.pages import geotag_pages, lonlat_sql, pages_from_documents

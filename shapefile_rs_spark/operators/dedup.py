@@ -20,7 +20,6 @@ Scale notes (100 TB story):
 
 from __future__ import annotations
 
-from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -18,7 +18,6 @@ the cell metric (FIXTURES.md §4).
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd

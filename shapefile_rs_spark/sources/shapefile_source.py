@@ -60,7 +60,9 @@ SHAPES_SCHEMA = StructType(
 )
 
 
-def _decode_stem_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _decode_stem_group(
+    batches: Iterator[pd.DataFrame], expected_type: Optional[int] = None
+) -> Iterator[pd.DataFrame]:
     import json as _json
 
     from ..geom.wkb import points_wkb_bulk, shape_to_wkb
@@ -83,7 +85,11 @@ def _decode_stem_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             # bulk fast path: POINT files decode as one numpy gather (no
             # per-record Python) — the dominant web-scale case (geocoded
             # point layers with millions of records)
-            if shx is not None and read_header(shp).shape_type == POINT:
+            if (
+                shx is not None
+                and read_header(shp).shape_type == POINT
+                and expected_type in (None, POINT)
+            ):
                 nums_v, xy = read_points_xy(shp, shx)
                 attrs = None
                 if dbf:
@@ -113,7 +119,7 @@ def _decode_stem_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 )
                 continue
 
-            header, recs, nums = read_shp(shp, shx=shx)
+            header, recs, nums = read_shp(shp, shx=shx, expected_type=expected_type)
             attr_rows = [None] * len(recs)
             if dbf:
                 _, attr_rows = read_dbf(dbf, encoding=encoding)
@@ -151,12 +157,18 @@ def _decode_stem_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def read_shapefiles(
-    spark: SparkSession, path: str, pattern: str = "*"
+    spark: SparkSession,
+    path: str,
+    pattern: str = "*",
+    expected_type: Optional[int] = None,
 ) -> DataFrame:
     """Read a directory of shapefiles into the canonical shapes DataFrame.
 
     ``path`` may hold many ``stem.shp`` (+``.shx``/``.dbf``/``.cpg``) sets;
-    each decodes in its own task.
+    each decodes in its own task.  ``expected_type`` is the typed-scan mode
+    (SURVEY EP2 / src/record/mod.rs:55-68): the first record whose type code
+    differs fails the task with MismatchShapeType — row-level strictness
+    identical to the reference's ``read_as``.
     """
     raw = (
         spark.read.format("binaryFile")
@@ -174,7 +186,9 @@ def read_shapefiles(
             for e in ("shp", "shx", "dbf", "cpg")
         ]
     )
-    return grouped.mapInPandas(_decode_stem_group, schema=SHAPES_SCHEMA)
+    return grouped.mapInPandas(
+        lambda it: _decode_stem_group(it, expected_type), schema=SHAPES_SCHEMA
+    )
 
 
 def shapes_with_typed_attrs(shapes: DataFrame, fields: dict) -> DataFrame:

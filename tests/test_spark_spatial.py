@@ -144,3 +144,53 @@ def test_with_cells_multi_level_union(spark):
 
         want = C.cell_id(np.array([r["lon"]]), np.array([r["lat"]]), r["cell_res"])[0]
         assert r["cell_id"] == want
+
+
+def test_typed_scan_mismatch_fails(spark, join_fixture_dir):
+    """EP2 typed-scan parity: reading a polygon file as POINT must raise
+    MismatchShapeType inside the task (reference src/record/mod.rs:55-68)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from shapefile_rs_spark.shapelib.shptypes import POINT, POLYGON
+    from shapefile_rs_spark.sources.shapefile_source import read_shapefiles
+
+    ok = read_shapefiles(spark, join_fixture_dir, pattern="points", expected_type=POINT)
+    assert ok.count() == 7
+    bad = read_shapefiles(spark, join_fixture_dir, pattern="polygons", expected_type=POINT)
+    with pytest.raises(Exception) as exc:
+        bad.count()
+    assert "MismatchShapeType" in str(exc.value)
+
+
+def test_salting_bounds_hot_cells(spark, sf_dir):
+    """W1: with salting active, no single (cell, salt) key holds more than
+    ~1/salt_factor of a hot cell's rows (the reducer-bound guarantee)."""
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators.spatial_join import with_cells
+    from shapefile_rs_spark.pages import geotag_pages, pages_from_documents
+
+    pts = with_cells(
+        geotag_pages(pages_from_documents(spark, sf_dir)).select("doc_id", "lon", "lat"),
+        [8],
+    )
+    salt_factor = 8
+    hot_threshold = 20
+    hot = (
+        pts.groupBy("cell_res", "cell_id")
+        .count()
+        .filter(F.col("count") >= hot_threshold)
+        .select("cell_res", "cell_id", F.col("count").alias("cell_rows"))
+    )
+    assert hot.count() > 0  # the generator plants hot clusters
+    salted = (
+        pts.join(F.broadcast(hot), ["cell_res", "cell_id"])
+        .withColumn("_salt", F.pmod(F.xxhash64("lon", "lat"), F.lit(salt_factor)))
+        .groupBy("cell_res", "cell_id", "_salt", "cell_rows")
+        .count()
+    )
+    # every salted shard must be well under the whole hot cell (bound with
+    # slack for hash imbalance on small cells)
+    bad = salted.filter(F.col("count") > (F.col("cell_rows") * 3) / salt_factor)
+    assert bad.count() == 0
