@@ -336,6 +336,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _emb_queries(spark, sf_dir), centroids, k=5)
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (hyperplane-LSH blocked) over the
+    embeddings table with planted exact duplicates (vec_id + 100000)."""
+    from shapefile_rs_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
+    )
+    return embedding_neardup_pairs(corpus, planes, threshold=0.99)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.textstats import quality_metrics
 
@@ -423,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "embed_neardup": q_embed_neardup,
         "text_quality": q_text_quality,
         "winnow_fp": q_winnow_fp,
         "image_stats": q_image_stats,
@@ -595,6 +611,29 @@ SELECT query_id, vec_id, rnk FROM (
          JOIN va ON va.centroid_id = qa.centroid_id
          JOIN v ON v.vec_id = va.vec_id
 ) WHERE rnk <= 5
+""",
+        "embed_neardup": """
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+), planes AS (
+  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id < 8
+), bucketed AS (
+  SELECT c.id,
+         SUM(CASE WHEN list_dot_product(c.e, p.pe) > 0
+                  THEN (1 << CAST(p.pid AS INTEGER)) ELSE 0 END) AS bucket
+  FROM corpus c CROSS JOIN planes p GROUP BY c.id
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b
+FROM pairs p
+JOIN corpus ca ON ca.id = p.id_a
+JOIN corpus cb ON cb.id = p.id_b
+WHERE list_cosine_similarity(ca.e, cb.e) >= 0.99
 """,
         "text_quality": ts.quality_metrics_sql("documents"),
         "winnow_fp": f"SELECT doc_id, {ts.winnow_fingerprint_sql('text', 8)} AS fp FROM documents",

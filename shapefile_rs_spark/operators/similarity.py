@@ -62,6 +62,54 @@ def cosine_topk(
     )
 
 
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    planes: DataFrame,
+    threshold: float = 0.99,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_id: str = "plane_id",
+    plane_col: str = "p_embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with random-hyperplane LSH
+    blocking: bucket = sign bits of the dot product against each plane
+    (identical vectors always share a bucket), candidate pairs form only
+    inside a bucket, exact cosine refines.
+
+    Scale shape: one scan buckets every vector (planes broadcast), the
+    self-join shuffles on the bucket id (2^n_planes keys), and the cosine
+    refine runs only on in-bucket pairs — the same
+    block→join→refine decomposition as the spatial PIP join."""
+    b = (
+        vectors.select(F.col(vec_id).alias("_id"), _as_double(F.col(vec_col)).alias("_e"))
+        .crossJoin(
+            F.broadcast(
+                planes.select(F.col(plane_id).alias("_pid"), _as_double(F.col(plane_col)).alias("_pe"))
+            )
+        )
+        .withColumn("_dot", dot_expr(F.col("_e"), F.col("_pe")))
+        .groupBy("_id")
+        .agg(
+            F.sum(
+                # SQL shiftleft: the python wrapper only takes literal shift
+                # amounts, the SQL function shifts by a column
+                F.when(F.col("_dot") > 0, F.expr("shiftleft(1, CAST(_pid AS INT))")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_bucket")
+        )
+    )
+    left = b.select(F.col("_id").alias("id_a"), "_bucket")
+    right = b.select(F.col("_id").alias("id_b"), "_bucket")
+    pairs = left.join(right, "_bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    va = vectors.select(F.col(vec_id).alias("id_a"), _as_double(F.col(vec_col)).alias("_ea"))
+    vb = vectors.select(F.col(vec_id).alias("id_b"), _as_double(F.col(vec_col)).alias("_eb"))
+    scored = pairs.join(va, "id_a").join(vb, "id_b").withColumn(
+        "_cos", cosine_expr(F.col("_ea"), F.col("_eb"))
+    )
+    return scored.filter(F.col("_cos") >= threshold).select("id_a", "id_b")
+
+
 def assign_centroids(
     vectors: DataFrame,
     centroids: DataFrame,
