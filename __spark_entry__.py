@@ -210,6 +210,23 @@ def q_shapes_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shapes_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBF attribute path: join-fixture points with typed attrs lifted from
+    the dynamic attrs_json map (S11 + dbase record semantics)."""
+    from shapefile_rs_spark.fixtures import write_join_fixture
+    from shapefile_rs_spark.sources.shapefile_source import (
+        read_shapefiles,
+        shapes_with_typed_attrs,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="fxattrs_")
+    write_join_fixture(tmp)
+    shapes = read_shapefiles(spark, tmp, pattern="points")
+    return shapes_with_typed_attrs(shapes, {"id": "bigint", "value": "double"}).select(
+        "record_number", "id", "value", "xmin", "ymin"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash over a 3× replicated page corpus
     (variants 0,1 byte-identical; variant 2 a near-dup with a suffix)."""
@@ -390,6 +407,33 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(decode_videos(attach_fake_media(docs)), max_frames=8)
 
 
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-stat report via ROLLUP (grouping-sets family, SURVEY §2.2):
+    per-(tile_x, tile_y) counts plus per-tile_x and grand totals."""
+    pages = _geopages(spark, sf_dir)
+    return (
+        assign_tiles(pages, z=4)
+        .rollup("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("tile_x").cast("long").alias("tile_x"),
+            F.col("tile_y").cast("long").alias("tile_y"),
+            "n_pages",
+        )
+    )
+
+
+def q_lang_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT) over doc-id slices: long English
+    docs = (en docs) ∩ (docs above the median char count), minus a banned
+    source slice."""
+    docs = _docs(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    big = docs.filter(F.col("n_chars") >= 400).select("doc_id")
+    banned = docs.filter(F.col("source") == "src0").select("doc_id")
+    return en.intersect(big).exceptAll(banned).select("doc_id")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-window rollup (batch twin of the streaming hourly aggregation)."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -428,11 +472,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_agg": q_bbox_agg,
         "cell_census": q_cell_census,
         "shapes_decode": q_shapes_decode,
+        "shapes_attrs": q_shapes_attrs,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "events_hourly": q_events_hourly,
         "top_users": q_top_users,
+        "tile_rollup": q_tile_rollup,
+        "lang_set_ops": q_lang_set_ops,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -530,6 +577,19 @@ SELECT fixture, record_number, shape_type, num_points, num_parts,
 FROM (VALUES {_SHAPES_GOLDEN_ROWS})
 AS t(fixture, record_number, shape_type, num_points, num_parts, xmin, ymin, xmax, ymax)
 """,
+        "shapes_attrs": """
+SELECT record_number, CAST(id AS BIGINT) AS id, CAST(value AS DOUBLE) AS value,
+       CAST(x AS DOUBLE) AS xmin, CAST(y AS DOUBLE) AS ymin
+FROM (VALUES
+  (1, 1, 1.5, 2.0, 2.0),
+  (2, 2, 3.0, 5.0, 5.0),
+  (3, 3, 4.5, 8.0, 9.0),
+  (4, 4, 6.0, 22.0, 5.0),
+  (5, 5, 7.5, 29.0, 5.0),
+  (6, 6, 9.0, 15.0, 5.0),
+  (7, 7, 10.5, -3.0, -3.0)
+) AS t(record_number, id, value, x, y)
+""",
         "dedup_exact": """
 WITH expanded AS (
   SELECT 'https://site' || CAST(doc_id % 1000 AS VARCHAR) || '.example/page/' || CAST(doc_id AS VARCHAR)
@@ -572,6 +632,20 @@ SELECT event_type, user_id, n_events, rnk FROM (
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id ASC) AS rnk
   FROM events GROUP BY event_type, user_id
 ) WHERE rnk <= 3
+""",
+        "tile_rollup": f"""
+{_PAGES_CTE}
+SELECT CAST(LEAST(15, GREATEST(0, CAST(FLOOR((lon + 180.0) / 360.0 * 16.0) AS BIGINT))) AS BIGINT) AS tile_x,
+       CAST(LEAST(15, GREATEST(0, CAST(FLOOR((90.0 - lat) / 180.0 * 16.0) AS BIGINT))) AS BIGINT) AS tile_y,
+       COUNT(*) AS n_pages
+FROM pages GROUP BY ROLLUP(tile_x, tile_y)
+""",
+        "lang_set_ops": """
+(SELECT doc_id FROM documents WHERE lang = 'en'
+ INTERSECT
+ SELECT doc_id FROM documents WHERE n_chars >= 400)
+EXCEPT ALL
+SELECT doc_id FROM documents WHERE source = 'src0'
 """,
         "minhash_lsh": _minhash_lsh_oracle(),
         "simhash": f"SELECT doc_id, {dd.simhash_sql('text', 16)} AS simhash FROM documents",

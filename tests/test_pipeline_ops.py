@@ -166,3 +166,16 @@ def test_multimodal_roundtrip(spark):
 
     with pytest.raises(NotImplementedError):
         decode_real_audio(b"\x00")
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL) is the cardinality path for hot-cell
+    census at scale; pin its error envelope against the exact count."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = docs.agg(
+        F.count_distinct("doc_id").alias("exact"),
+        F.approx_count_distinct("doc_id", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(5, 0.06 * row["exact"])
