@@ -396,6 +396,13 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(attach_fake_media(docs))
 
 
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shapefile_rs_spark.operators.multimodal import attach_fake_media, decode_audio
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_audio(attach_fake_media(docs))
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.multimodal import (
         attach_fake_media,
@@ -490,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "image_stats": q_image_stats,
         "image_resize": q_image_resize,
+        "audio_stats": q_audio_stats,
         "video_frames": q_video_frames,
     }
 
@@ -741,6 +749,20 @@ SELECT doc_id, out_w, out_h,
           p -> (doc_id + ((p // out_w) * 2 * w + (p % out_w) * 2) * 3) % 256))
         / (out_w * out_h)) AS mean_r
 FROM od
+""",
+        "audio_stats": """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(8000 AS INTEGER) AS sample_rate,
+         CAST(256 + doc_id % 256 AS INTEGER) AS n_samples
+  FROM documents
+)
+SELECT doc_id, sample_rate, n_samples,
+       CAST(list_sum(list_transform(range(0, n_samples),
+              i -> abs((doc_id * 31 + i * 17) % 2048 - 1024))) AS BIGINT) AS sum_abs,
+       (list_sum(list_transform(range(0, n_samples),
+              i -> abs((doc_id * 31 + i * 17) % 2048 - 1024))) / n_samples) AS mean_abs
+FROM meta
 """,
         "video_frames": """
 WITH meta AS (

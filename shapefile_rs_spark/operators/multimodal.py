@@ -74,11 +74,30 @@ def fake_video_bytes(doc_id: int) -> bytes:
     return VID_MAGIC + struct.pack(">HH", 10 + doc_id % 90, 24)
 
 
+AUD_MAGIC = b"AUD1"
+
+
+def fake_audio_bytes(doc_id: int) -> bytes:
+    """header | u16 sample_rate | u16 n_samples, payload = signed 16-bit LE
+    samples s[i] = ((doc_id * 31 + i * 17) % 2048) - 1024 (pure arithmetic
+    so channel stats are SQL-recomputable)."""
+    sr = 8000
+    n = 256 + doc_id % 256
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 31 + i * 17) % 2048 - 1024).astype("<i2")
+    return AUD_MAGIC + struct.pack(">HH", sr, n) + samples.tobytes()
+
+
 def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """+ (image binary, video binary) columns derived from the id."""
+    """+ (image, video, audio) binary columns derived from the id."""
     fields = [f for f in docs.schema.fields]
     out_schema = StructType(
-        fields + [StructField("image", BinaryType()), StructField("video", BinaryType())]
+        fields
+        + [
+            StructField("image", BinaryType()),
+            StructField("video", BinaryType()),
+            StructField("audio", BinaryType()),
+        ]
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,6 +106,7 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             pdf = pdf.copy()
             pdf["image"] = [fake_image_bytes(int(i)) for i in ids]
             pdf["video"] = [fake_video_bytes(int(i)) for i in ids]
+            pdf["audio"] = [fake_audio_bytes(int(i)) for i in ids]
             yield pdf
 
     return docs.mapInPandas(synth, schema=out_schema)
@@ -196,6 +216,42 @@ def decode_videos(df: DataFrame, id_col: str = "doc_id", bin_col: str = "video")
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(decode, schema=VIDEO_META_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("mean_abs", DoubleType()),
+    ]
+)
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id", bin_col: str = "audio") -> DataFrame:
+    """AUD1 binary → (sample_rate, n_samples, sum|s|, mean|s|): real numpy
+    frombuffer parsing of the fake format; :func:`decode_real_audio` is the
+    stub where soundfile/ffmpeg plug in."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "sum_abs", "mean_abs")}
+            for did, blob in zip(pdf[id_col], pdf[bin_col]):
+                blob = bytes(blob)
+                if blob[:4] != AUD_MAGIC:
+                    raise ValueError("not an AUD1 blob")
+                sr, n = struct.unpack(">HH", blob[4:8])
+                samples = np.frombuffer(blob, dtype="<i2", offset=8, count=n).astype(np.int64)
+                s = int(np.abs(samples).sum())
+                out["doc_id"].append(int(did))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["sum_abs"].append(s)
+                out["mean_abs"].append(s / n)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema=AUDIO_STATS_SCHEMA)
 
 
 def sample_frames(videos_meta: DataFrame, max_frames: int = 8) -> DataFrame:

@@ -60,3 +60,43 @@ def test_sessionize_stream_runs(spark, sf_dir, tmp_path):
     for r in rows:
         assert r["session_start"] <= r["session_end"]
         assert r["n_events"] >= 1
+
+
+def test_stream_pip_tiles_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static spatial join: availableNow replay of the page stream
+    joined to the static polygon dim equals the batch PIP+tile rollup."""
+    from shapefile_rs_spark import demo
+    from shapefile_rs_spark.operators.spatial_join import point_in_polygon_join
+    from shapefile_rs_spark.pages import geotag_pages, pages_from_documents
+    from shapefile_rs_spark.streaming.events import run_available_now
+    from shapefile_rs_spark.streaming.geostream import read_page_stream, stream_pip_tiles
+
+    pages = pages_from_documents(spark, sf_dir)
+    pdir = str(tmp_path / "pages_pq")
+    pages.write.parquet(pdir)
+    polys = demo.oracle_polygons_df(spark)
+
+    sdf = stream_pip_tiles(read_page_stream(spark, pdir), polys, z=6)
+    got = {
+        (r["polygon_id"], r["tile_x"], r["tile_y"], r["n_pages"])
+        for r in run_available_now(sdf, "pip_stream_test", str(tmp_path / "ck")).collect()
+    }
+
+    joined = point_in_polygon_join(
+        geotag_pages(spark.read.parquet(pdir)).select("url", "lon", "lat"),
+        polys,
+        point_cols=["url", "lon", "lat"],
+        polygon_cols=["polygon_id"],
+    )
+    batch = (
+        joined.withColumn(
+            "tile_x", F.floor((F.col("lon") + 180.0) / 360.0 * 64).cast("long")
+        )
+        .withColumn("tile_y", F.floor((90.0 - F.col("lat")) / 180.0 * 64).cast("long"))
+        .groupBy("polygon_id", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    want = {
+        (r["polygon_id"], r["tile_x"], r["tile_y"], r["n_pages"]) for r in batch.collect()
+    }
+    assert got and got == want
