@@ -56,6 +56,8 @@ SHAPES_SCHEMA = StructType(
         StructField("z", ArrayType(DoubleType())),
         StructField("m", ArrayType(DoubleType())),  # NO_DATA sentinel preserved
         StructField("attrs_json", StringType()),  # DBF row as JSON object
+        StructField("crs_wkt", StringType()),  # .prj contents (passthrough —
+        # the reference stores but never parses .prj; same contract here)
     ]
 )
 
@@ -80,6 +82,8 @@ def _decode_stem_group(
             shx = bytes(row["shx"]) if row["shx"] is not None else None
             dbf = bytes(row["dbf"]) if row["dbf"] is not None else None
             cpg = bytes(row["cpg"]) if row["cpg"] is not None else None
+            prj = bytes(row["prj"]) if row.get("prj") is not None else None
+            crs_wkt = prj.decode("utf-8", "replace").strip() if prj else None
             encoding = resolve_encoding(cpg.decode("ascii", "replace") if cpg else None)
 
             # bulk fast path: POINT files decode as one numpy gather (no
@@ -114,6 +118,7 @@ def _decode_stem_group(
                             "z": None,
                             "m": None,
                             "attrs_json": attrs,
+                            "crs_wkt": crs_wkt,
                         }
                     )
                 )
@@ -146,6 +151,7 @@ def _decode_stem_group(
                         "z": rec.z.tolist() if rec.z is not None else None,
                         "m": rec.m.tolist() if rec.m is not None else None,
                         "attrs_json": json.dumps(attrs, default=str) if attrs else None,
+                        "crs_wkt": crs_wkt,
                     }
                 )
         cols = [f.name for f in SHAPES_SCHEMA.fields]
@@ -172,7 +178,7 @@ def read_shapefiles(
     """
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", f"{pattern}.{{shp,shx,dbf,cpg}}")
+        .option("pathGlobFilter", f"{pattern}.{{shp,shx,dbf,cpg,prj}}")
         .load(path)
         .select(
             F.regexp_replace(F.col("path"), r"\.[a-z]{3}$", "").alias("stem"),
@@ -183,7 +189,7 @@ def read_shapefiles(
     grouped = raw.groupBy("stem").agg(
         *[
             F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e)
-            for e in ("shp", "shx", "dbf", "cpg")
+            for e in ("shp", "shx", "dbf", "cpg", "prj")
         ]
     )
     return grouped.mapInPandas(
