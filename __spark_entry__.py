@@ -448,7 +448,11 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("hour_start")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        # Exact decimal sum (order-independent), then one deterministic
+        # round-to-nearest double so Spark and DuckDB emit the same dtype
+        # (DuckDB renders SUM(DECIMAL) as float64 via .df(); Spark would
+        # otherwise return Decimal objects — driver hash mismatch, r1 verdict).
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
 
@@ -616,9 +620,10 @@ WITH per_doc AS (
          length(regexp_replace(text, '[^aeiou]', '', 'g')) AS vowels
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(tokens) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens,
        MIN(tokens) AS min_tokens, MAX(tokens) AS max_tokens,
-       SUM(chars) AS total_chars, SUM(vowels) AS total_vowels
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       CAST(SUM(vowels) AS BIGINT) AS total_vowels
 FROM per_doc GROUP BY lang
 """,
         "lang_id": """
@@ -631,7 +636,8 @@ FROM documents
 """,
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,6))) AS sum_value, COUNT(DISTINCT user_id) AS n_users
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """,
         "top_users": """

@@ -52,6 +52,56 @@ def row_key(row, col_order):
     return tuple(canon(row[i]) for i in col_order)
 
 
+def spark_numeric_kind(dt) -> str | None:
+    """Map a Spark type to a pandas dtype-kind for driver-parity checks.
+
+    The driver compares Spark results against ``duckdb.df()`` output, where
+    HUGEINT (SUM of BIGINT) and DECIMAL both surface as float64.  Our canon()
+    comparison normalizes that away, so we separately enforce that numeric
+    dtype *kinds* agree — a Spark bigint against a DuckDB float64 (or any
+    Spark decimal output at all) would hash-mismatch on the driver even when
+    values are equal (r1 verdict: doc_stats, events_hourly).
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    return None
+
+
+def dtype_mismatches(sdf, duck_df) -> list[str]:
+    problems = []
+    for field in sdf.schema.fields:
+        sk = spark_numeric_kind(field.dataType)
+        if sk is None:
+            continue
+        if sk == "decimal":
+            problems.append(
+                f"column {field.name!r}: Spark emits DECIMAL — the driver's "
+                "DuckDB .df() twin renders decimals as float64; cast both "
+                "sides to DOUBLE or BIGINT"
+            )
+            continue
+        if field.name not in duck_df.columns:
+            continue
+        col = duck_df[field.name]
+        dk = col.dtype.kind
+        if dk == "f" and sk == "i" and col.isna().any():
+            # nullable BIGINT (e.g. ROLLUP grouping keys) surfaces as float64
+            # with NaN in pandas — the driver's r1 hash accepted this case
+            continue
+        if dk in ("i", "u", "f") and dk.replace("u", "i") != sk:
+            problems.append(
+                f"column {field.name!r}: Spark kind {sk!r} vs DuckDB .df() "
+                f"dtype {duck_df[field.name].dtype} — driver hash would differ"
+            )
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -92,11 +142,15 @@ def main():
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            duck_df = con.execute(oracles[name]).df()
         except Exception as exc:
             print(f"{name}: DUCKDB ERROR {type(exc).__name__}: {exc}")
             failures.append(name)
             continue
         ok = True
+        for msg in dtype_mismatches(sdf, duck_df):
+            print(f"{name}: DRIVER-DTYPE {msg}")
+            ok = False
         if sorted(scols) != sorted(dcols):
             print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
             ok = False
