@@ -196,7 +196,10 @@ def q_shapes_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(shp)
         with open(os.path.join(tmp, f"{name}.shx"), "wb") as fh:
             fh.write(shx)
-    shapes = read_shapefiles(spark, tmp)
+    # the fixture corpus deliberately includes the reference's
+    # inner-before-outer polygon (tests/read_tests.rs:311-347), whose
+    # geo-export errors; scan-everything mode nulls its wkb instead
+    shapes = read_shapefiles(spark, tmp, on_invalid="null")
     return shapes.select(
         F.element_at(F.split("source_file", "/"), -1).alias("fixture"),
         "record_number",

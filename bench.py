@@ -113,19 +113,34 @@ def codec_microbench(n_records: int = 200_000) -> dict:
         "point_bulk_rec_per_sec": round(n_records / dt_bulk, 1),
         "point_bulk_mb_per_sec": round(len(shp) / dt_bulk / 1e6, 1),
     }
+    from shapefile_rs_spark.geom.wkb import multilinestrings_wkb_bulk
+    from shapefile_rs_spark.shapelib.shp import read_shp_bulk
+
     lines = [
         ShapeRec(POLYLINE, rng.uniform(-180, 180, (40, 2)), parts=[0, 20])
         for _ in range(n_records // 20)
     ]
     shp2, shx2 = write_shp(lines)
+    read_shp_bulk(shp2, shx2)  # warm the allocator (first-touch page faults
+    # on this host cost seconds; executors are long-lived, so warm is the
+    # representative state — see CLAUDE.md noise notes)
     t0 = time.time()
-    read_shp(shp2, shx=shx2)
+    read_shp(shp2, shx=shx2)  # ShapeRec-materializing API path
     dt2 = time.time() - t0
+    t0 = time.time()
+    b = read_shp_bulk(shp2, shx2)  # SoA path the Spark source runs
+    dt2b = time.time() - t0
+    t0 = time.time()
+    multilinestrings_wkb_bulk(b.xy, b.point_offsets, b.parts, b.part_offsets)
+    dt2w = time.time() - t0
     out.update(
         {
             "polyline_records": len(lines),
             "polyline_decode_sec": round(dt2, 3),
             "polyline_mb_per_sec": round(len(shp2) / dt2 / 1e6, 1),
+            "polyline_bulk_decode_sec": round(dt2b, 4),
+            "polyline_bulk_mb_per_sec": round(len(shp2) / dt2b / 1e6, 1),
+            "polyline_bulk_wkb_sec": round(dt2w, 4),
         }
     )
     return out

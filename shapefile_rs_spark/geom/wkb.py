@@ -66,6 +66,98 @@ def points_wkb_bulk(xy: np.ndarray) -> list:
     return [b.tobytes() for b in out]
 
 
+def _bulk_split(buf: np.ndarray, rec_offsets: np.ndarray) -> list:
+    return [
+        buf[rec_offsets[i] : rec_offsets[i + 1]].tobytes()
+        for i in range(len(rec_offsets) - 1)
+    ]
+
+
+def multipoints_wkb_bulk(xy: np.ndarray, point_offsets: np.ndarray) -> list:
+    """Vectorized MultiPoint-WKB for a whole BulkShapes file: one buffer
+    assembly + scatter, no per-record/per-point Python (same technique as
+    :func:`points_wkb_bulk`).  ``point_offsets`` is the (R+1,) record
+    delimiter; returns a list of R bytes objects."""
+    xy = np.ascontiguousarray(np.asarray(xy, dtype="<f8")).reshape(-1, 2)
+    po = np.asarray(point_offsets, dtype=np.int64)
+    R = len(po) - 1
+    n = np.diff(po)
+    rec_sizes = 9 + 21 * n  # MultiPoint hdr + 21-byte point WKBs
+    rec_off = np.concatenate([[0], np.cumsum(rec_sizes)])
+    buf = np.zeros(int(rec_off[-1]), dtype=np.uint8)
+    # record headers: 01 | u32 type=4 | u32 n
+    hdr = np.zeros((R, 9), dtype=np.uint8)
+    hdr[:, 0] = 1
+    hdr[:, 1:5] = np.frombuffer(struct.pack("<I", WKB_MULTIPOINT), dtype=np.uint8)
+    hdr[:, 5:9] = n.astype("<u4").view(np.uint8).reshape(R, 4)
+    buf[rec_off[:-1, None] + np.arange(9)] = hdr
+    # per-point 21-byte WKBs at rec_off[rec_of_point] + 9 + 21*local_idx
+    N = int(po[-1])
+    if N:
+        rec_of_pt = np.repeat(np.arange(R), n)
+        local = np.arange(N) - np.repeat(po[:-1], n)
+        dst = rec_off[rec_of_pt] + 9 + 21 * local
+        pt = np.empty((N, 21), dtype=np.uint8)
+        pt[:, 0] = 1
+        pt[:, 1:5] = np.frombuffer(struct.pack("<I", WKB_POINT), dtype=np.uint8)
+        pt[:, 5:21] = xy.view(np.uint8).reshape(N, 16)
+        buf[dst[:, None] + np.arange(21)] = pt
+    return _bulk_split(buf, rec_off)
+
+
+def multilinestrings_wkb_bulk(
+    xy: np.ndarray,
+    point_offsets: np.ndarray,
+    parts: np.ndarray,
+    part_offsets: np.ndarray,
+) -> list:
+    """Vectorized MultiLineString-WKB for a whole BulkShapes polyline file.
+
+    ``parts`` holds record-local start offsets (as stored on disk); part
+    point-counts fall out of one global diff because parts partition each
+    record's points in order (src/record/io.rs:144-187 semantics)."""
+    xy = np.ascontiguousarray(np.asarray(xy, dtype="<f8")).reshape(-1, 2)
+    po = np.asarray(point_offsets, dtype=np.int64)
+    fo = np.asarray(part_offsets, dtype=np.int64)
+    R = len(po) - 1
+    P = len(parts)
+    N = int(po[-1])
+    p = np.diff(fo)
+    n = np.diff(po)
+    if (p == 0).any() and (n[p == 0] > 0).any():
+        raise ValueError("record with points but no parts")
+    rec_of_part = np.repeat(np.arange(R), p)
+    # global point index where each part starts; boundary diff = part sizes
+    g_start = po[:-1][rec_of_part] + np.asarray(parts, dtype=np.int64)
+    part_n = np.diff(np.concatenate([g_start, [N]]))
+    if (part_n < 0).any():
+        raise ValueError("non-monotonic part offsets")
+    # layout: [9 rec hdr][per part: 9 hdr + 16*c coords]...
+    rec_sizes = 9 + 9 * p + 16 * n
+    rec_off = np.concatenate([[0], np.cumsum(rec_sizes)])
+    buf = np.zeros(int(rec_off[-1]), dtype=np.uint8)
+    hdr = np.zeros((R, 9), dtype=np.uint8)
+    hdr[:, 0] = 1
+    hdr[:, 1:5] = np.frombuffer(struct.pack("<I", WKB_MULTILINESTRING), dtype=np.uint8)
+    hdr[:, 5:9] = p.astype("<u4").view(np.uint8).reshape(R, 4)
+    buf[rec_off[:-1, None] + np.arange(9)] = hdr
+    if P:
+        local_part = np.arange(P) - np.repeat(fo[:-1], p)
+        pts_before = g_start - po[:-1][rec_of_part]  # points before this part
+        part_hdr_off = rec_off[rec_of_part] + 9 + 9 * local_part + 16 * pts_before
+        ph = np.zeros((P, 9), dtype=np.uint8)
+        ph[:, 0] = 1
+        ph[:, 1:5] = np.frombuffer(struct.pack("<I", WKB_LINESTRING), dtype=np.uint8)
+        ph[:, 5:9] = part_n.astype("<u4").view(np.uint8).reshape(P, 4)
+        buf[part_hdr_off[:, None] + np.arange(9)] = ph
+    if N:
+        part_of_pt = np.repeat(np.arange(P), part_n)
+        pt_local = np.arange(N) - np.repeat(g_start, part_n)
+        dst = part_hdr_off[part_of_pt] + 9 + 16 * pt_local
+        buf[dst[:, None] + np.arange(16)] = xy.view(np.uint8).reshape(N, 16)
+    return _bulk_split(buf, rec_off)
+
+
 def multipoint_wkb(xy: np.ndarray) -> bytes:
     out = [_LE, struct.pack("<II", WKB_MULTIPOINT, len(xy))]
     for i in range(len(xy)):

@@ -62,15 +62,103 @@ SHAPES_SCHEMA = StructType(
 )
 
 
-def _decode_stem_group(
-    batches: Iterator[pd.DataFrame], expected_type: Optional[int] = None
-) -> Iterator[pd.DataFrame]:
+def _attrs_json_column(dbf, encoding, n_records):
+    """DBF rows → JSON strings, padded with None for missing trailing rows
+    and truncated when the DBF has MORE rows than the shp (matching the
+    reference iterator's zip semantics, src/reader.rs:164-193)."""
     import json as _json
 
-    from ..geom.wkb import points_wkb_bulk, shape_to_wkb
-    from ..shapelib.dbf import read_dbf, resolve_encoding
-    from ..shapelib.shp import read_header, read_points_xy, read_shp
-    from ..shapelib.shptypes import POINT
+    from ..shapelib.dbf import read_dbf
+
+    if not dbf:
+        return [None] * n_records
+    _, attr_rows = read_dbf(dbf, encoding=encoding)
+    attrs = [_json.dumps(a, default=str) if a else None for a in attr_rows]
+    attrs += [None] * (n_records - len(attrs))
+    return attrs[:n_records]
+
+
+def _shape_wkb_or_null(rec, on_invalid):
+    """WKB with the reference's conversion error surface: TriangleStrip/Fan
+    multipatch is defined-unsupported (always None,
+    src/record/multipatch.rs:359-402); OrphanedInnerRing propagates like the
+    reference's TryFrom error (src/record/polygon.rs:606-640) unless the
+    caller opted into ``on_invalid='null'`` scan-everything mode."""
+    from ..geom.wkb import shape_to_wkb
+    from ..shapelib.shptypes import InvalidPatchType, OrphanedInnerRing
+
+    try:
+        return shape_to_wkb(rec)
+    except InvalidPatchType:
+        return None
+    except OrphanedInnerRing:
+        if on_invalid == "null":
+            return None
+        raise
+
+
+def _bulk_frame(bulk, stem, crs_wkt, attrs, on_invalid):
+    """Column-vectorized shapes frame from a BulkShapes decode — the whole
+    file becomes pandas columns with zero per-record Python except polygon
+    ring grouping (which needs per-record shoelace classification)."""
+    import numpy as np
+
+    from ..geom.wkb import (
+        multilinestrings_wkb_bulk,
+        multipoints_wkb_bulk,
+        points_wkb_bulk,
+    )
+    from ..shapelib.shp import bulk_to_records
+    from ..shapelib.shptypes import is_multipoint_family, is_point_family
+
+    st = bulk.shape_type
+    po = bulk.point_offsets
+    if is_point_family(st):
+        wkb = points_wkb_bulk(bulk.xy)
+    elif is_multipoint_family(st):
+        wkb = multipoints_wkb_bulk(bulk.xy, po)
+    elif st in (3, 13, 23):  # polyline family → MultiLineString
+        wkb = multilinestrings_wkb_bulk(bulk.xy, po, bulk.parts, bulk.part_offsets)
+    else:  # polygon / multipatch: ring classification is per record
+        wkb = [
+            _shape_wkb_or_null(rec, on_invalid) for rec in bulk_to_records(bulk)[0]
+        ]
+
+    n_pts = np.diff(po)
+    cuts = po[1:-1]
+    return pd.DataFrame(
+        {
+            "source_file": stem,
+            "record_number": bulk.record_numbers.astype("int32"),
+            "shape_type": np.int32(st),
+            "wkb": wkb,
+            "xmin": bulk.bbox[:, 0],
+            "ymin": bulk.bbox[:, 1],
+            "xmax": bulk.bbox[:, 2],
+            "ymax": bulk.bbox[:, 3],
+            "num_points": n_pts.astype("int32"),
+            "num_parts": (
+                np.diff(bulk.part_offsets).astype("int32")
+                if bulk.part_offsets is not None
+                else np.int32(0)
+            ),
+            "z": np.split(bulk.z, cuts) if bulk.z is not None else None,
+            "m": np.split(bulk.m, cuts) if bulk.m is not None else None,
+            "attrs_json": attrs,
+            "crs_wkt": crs_wkt,
+        }
+    )
+
+
+def _decode_stem_group(
+    batches: Iterator[pd.DataFrame],
+    expected_type: Optional[int] = None,
+    on_invalid: str = "error",
+    require_dbf: bool = False,
+) -> Iterator[pd.DataFrame]:
+    from ..shapelib.dbf import resolve_encoding
+    from ..shapelib.shp import _BulkUnsupported, read_shp, read_shp_bulk
+    from ..shapelib.shptypes import MissingDbf
 
     for pdf in batches:
         out_rows = []
@@ -83,58 +171,32 @@ def _decode_stem_group(
             dbf = bytes(row["dbf"]) if row["dbf"] is not None else None
             cpg = bytes(row["cpg"]) if row["cpg"] is not None else None
             prj = bytes(row["prj"]) if row.get("prj") is not None else None
+            if require_dbf and not dbf:
+                # src/reader.rs:654-662 — Reader::from_path requires the
+                # attribute sidecar when records are to be read with attrs
+                raise MissingDbf(f"{row['stem']}: .shp without .dbf")
             crs_wkt = prj.decode("utf-8", "replace").strip() if prj else None
             encoding = resolve_encoding(cpg.decode("ascii", "replace") if cpg else None)
 
-            # bulk fast path: POINT files decode as one numpy gather (no
-            # per-record Python) — the dominant web-scale case (geocoded
-            # point layers with millions of records)
-            if (
-                shx is not None
-                and read_header(shp).shape_type == POINT
-                and expected_type in (None, POINT)
-            ):
-                nums_v, xy = read_points_xy(shp, shx)
-                attrs = None
-                if dbf:
-                    _, attr_rows = read_dbf(dbf, encoding=encoding)
-                    attrs = [
-                        _json.dumps(a, default=str) if a else None for a in attr_rows
-                    ]
-                    attrs += [None] * (len(nums_v) - len(attrs))
-                fast_frames.append(
-                    pd.DataFrame(
-                        {
-                            "source_file": row["stem"],
-                            "record_number": nums_v.astype("int32"),
-                            "shape_type": POINT,
-                            "wkb": points_wkb_bulk(xy),
-                            "xmin": xy[:, 0],
-                            "ymin": xy[:, 1],
-                            "xmax": xy[:, 0],
-                            "ymax": xy[:, 1],
-                            "num_points": 1,
-                            "num_parts": 0,
-                            "z": None,
-                            "m": None,
-                            "attrs_json": attrs,
-                            "crs_wkt": crs_wkt,
-                        }
+            # bulk fast path: homogeneous indexed files of EVERY family
+            # decode as numpy gathers + vectorized WKB assembly — no
+            # per-record Python (r1 verdict item 2)
+            if shx is not None:
+                try:
+                    bulk = read_shp_bulk(shp, shx, expected_type=expected_type)
+                except _BulkUnsupported:
+                    pass
+                else:
+                    attrs = _attrs_json_column(dbf, encoding, bulk.num_records)
+                    fast_frames.append(
+                        _bulk_frame(bulk, row["stem"], crs_wkt, attrs, on_invalid)
                     )
-                )
-                continue
+                    continue
 
             header, recs, nums = read_shp(shp, shx=shx, expected_type=expected_type)
-            attr_rows = [None] * len(recs)
-            if dbf:
-                _, attr_rows = read_dbf(dbf, encoding=encoding)
-                if len(attr_rows) < len(recs):
-                    attr_rows = attr_rows + [None] * (len(recs) - len(attr_rows))
+            attr_rows = _attrs_json_column(dbf, encoding, len(recs))
             for rec, num, attrs in zip(recs, nums, attr_rows):
-                try:
-                    wkb = shape_to_wkb(rec)
-                except Exception:
-                    wkb = None  # TriangleStrip/Fan multipatch etc.
+                wkb = _shape_wkb_or_null(rec, on_invalid)
                 bb = rec.bbox_xy or (None, None, None, None)
                 out_rows.append(
                     {
@@ -150,14 +212,15 @@ def _decode_stem_group(
                         "num_parts": rec.num_parts,
                         "z": rec.z.tolist() if rec.z is not None else None,
                         "m": rec.m.tolist() if rec.m is not None else None,
-                        "attrs_json": json.dumps(attrs, default=str) if attrs else None,
+                        "attrs_json": attrs,
                         "crs_wkt": crs_wkt,
                     }
                 )
         cols = [f.name for f in SHAPES_SCHEMA.fields]
         slow = pd.DataFrame(out_rows, columns=cols)
         if fast_frames:
-            yield pd.concat([slow[cols]] + [f[cols] for f in fast_frames], ignore_index=True)
+            frames = ([slow[cols]] if len(slow) else []) + [f[cols] for f in fast_frames]
+            yield pd.concat(frames, ignore_index=True)
         else:
             yield slow
 
@@ -167,6 +230,8 @@ def read_shapefiles(
     path: str,
     pattern: str = "*",
     expected_type: Optional[int] = None,
+    on_invalid: str = "error",
+    require_dbf: bool = False,
 ) -> DataFrame:
     """Read a directory of shapefiles into the canonical shapes DataFrame.
 
@@ -175,6 +240,12 @@ def read_shapefiles(
     (SURVEY EP2 / src/record/mod.rs:55-68): the first record whose type code
     differs fails the task with MismatchShapeType — row-level strictness
     identical to the reference's ``read_as``.
+
+    ``on_invalid`` controls geometry-export errors (the reference's TryFrom
+    conversion surface): ``"error"`` (default) propagates OrphanedInnerRing
+    (src/record/polygon.rs:606-640); ``"null"`` nulls the wkb column instead
+    (scan-everything mode for pathological corpora).  TriangleStrip/Fan
+    multipatch is defined-unsupported and always nulls.
     """
     raw = (
         spark.read.format("binaryFile")
@@ -193,7 +264,8 @@ def read_shapefiles(
         ]
     )
     return grouped.mapInPandas(
-        lambda it: _decode_stem_group(it, expected_type), schema=SHAPES_SCHEMA
+        lambda it: _decode_stem_group(it, expected_type, on_invalid, require_dbf),
+        schema=SHAPES_SCHEMA,
     )
 
 

@@ -253,3 +253,71 @@ def test_shx_header_length_math():
     shp, shx = S.write_shp(FX.fx_pointm())
     h = S.read_header(shx)
     assert h.file_length_words == 50 + 4 * 2  # 100-byte header + 8 bytes/record
+
+
+@pytest.mark.parametrize("name", sorted(FX.FIXTURE_BUILDERS))
+def test_bulk_decode_equals_sequential(name):
+    """read_shp_bulk (vectorized SoA) must reproduce every field the
+    sequential decoder produces, for every shape family."""
+    shp1, shx1 = FX.build_fixture(name)
+    _, seq, nums_seq = S.read_shp(shp1, shx=None)  # force sequential
+    try:
+        bulk = S.read_shp_bulk(shp1, shx1)
+    except S._BulkUnsupported:
+        pytest.skip("fixture not bulk-decodable (mixed/null types)")
+    recs, nums = S.bulk_to_records(bulk)
+    assert nums == nums_seq
+    assert len(recs) == len(seq)
+    for a, b in zip(recs, seq):
+        assert a.shape_type == b.shape_type
+        assert np.array_equal(a.xy, b.xy)
+        assert a.bbox_xy == b.bbox_xy
+        assert a.z_range == b.z_range and a.m_range == b.m_range
+        for attr in ("z", "m", "parts", "patch_types"):
+            av, bv = getattr(a, attr), getattr(b, attr)
+            assert (av is None) == (bv is None)
+            assert av is None or np.array_equal(av, bv)
+
+
+def test_bulk_wkb_equals_per_record():
+    """Vectorized WKB assembly == per-record encoder for polyline/multipoint."""
+    from shapefile_rs_spark.geom.wkb import (
+        multilinestrings_wkb_bulk,
+        multipoints_wkb_bulk,
+        shape_to_wkb,
+    )
+    from shapefile_rs_spark.shapelib.shptypes import MULTIPOINT_Z, POLYLINE_M
+
+    rng = np.random.default_rng(7)
+    lines = [
+        S.ShapeRec(POLYLINE_M, rng.uniform(-90, 90, (k, 2)), parts=p, m=rng.uniform(0, 9, k))
+        for k, p in [(5, [0]), (9, [0, 4]), (12, [0, 3, 8]), (2, [0])]
+    ]
+    shp, shx = S.write_shp(lines)
+    b = S.read_shp_bulk(shp, shx)
+    assert multilinestrings_wkb_bulk(
+        b.xy, b.point_offsets, b.parts, b.part_offsets
+    ) == [shape_to_wkb(r) for r in S.bulk_to_records(b)[0]]
+
+    mpts = [
+        S.ShapeRec(MULTIPOINT_Z, rng.uniform(-90, 90, (k, 2)), z=rng.uniform(0, 4, k), m=rng.uniform(0, 4, k))
+        for k in (1, 6, 3)
+    ]
+    shp, shx = S.write_shp(mpts)
+    b = S.read_shp_bulk(shp, shx)
+    assert multipoints_wkb_bulk(b.xy, b.point_offsets) == [
+        shape_to_wkb(r) for r in S.bulk_to_records(b)[0]
+    ]
+
+
+def test_bulk_oversized_records_and_odd_pad_guard():
+    """Oversized (padded) records decode through the bulk path too; odd pads
+    are rejected at write time (16-bit-word sizes)."""
+    shp, shx = S.write_shp(FX.fx_linem(), pad_records=8)
+    bulk = S.read_shp_bulk(shp, shx)
+    _, seq, _ = S.read_shp(shp, shx=None)
+    recs, _ = S.bulk_to_records(bulk)
+    for a, b in zip(recs, seq):
+        assert np.array_equal(a.xy, b.xy) and np.array_equal(a.m, b.m)
+    with pytest.raises(ValueError):
+        S.write_shp(FX.fx_linem(), pad_records=3)

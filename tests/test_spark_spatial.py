@@ -150,7 +150,7 @@ def test_typed_scan_mismatch_fails(spark, join_fixture_dir):
     """EP2 typed-scan parity: reading a polygon file as POINT must raise
     MismatchShapeType inside the task (reference src/record/mod.rs:55-68)."""
     import pytest
-    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
 
     from shapefile_rs_spark.shapelib.shptypes import POINT, POLYGON
     from shapefile_rs_spark.sources.shapefile_source import read_shapefiles
@@ -194,3 +194,31 @@ def test_salting_bounds_hot_cells(spark, sf_dir):
     # slack for hash imbalance on small cells)
     bad = salted.filter(F.col("count") > (F.col("cell_rows") * 3) / salt_factor)
     assert bad.count() == 0
+
+
+def test_source_error_surface(spark, tmp_path):
+    """Reference error parity (tests/read_tests.rs:803-845 analogs):
+    OrphanedInnerRing propagates from the default-mode source, MissingDbf
+    under require_dbf, MissingIndexFile from random access without .shx."""
+    from pyspark.errors import PythonException
+
+    from shapefile_rs_spark.shapelib.shp import read_nth_shape, write_shp
+    from shapefile_rs_spark.shapelib.shptypes import MissingIndexFile
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    shp, shx = write_shp(FX.fx_polygon())  # inner-before-outer record
+    (d / "orphan.shp").write_bytes(shp)
+    (d / "orphan.shx").write_bytes(shx)
+
+    with pytest.raises(PythonException, match="OrphanedInnerRing"):
+        read_shapefiles(spark, str(d)).collect()
+    # scan-everything mode nulls the wkb instead
+    rows = read_shapefiles(spark, str(d), on_invalid="null").collect()
+    assert len(rows) == 1 and rows[0].wkb is None
+
+    with pytest.raises(PythonException, match="MissingDbf"):
+        read_shapefiles(spark, str(d), on_invalid="null", require_dbf=True).collect()
+
+    with pytest.raises(MissingIndexFile):
+        read_nth_shape(shp, None, 0)
