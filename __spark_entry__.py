@@ -230,6 +230,102 @@ def q_shapes_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_input_rows():
+    """Deterministic 14-record corpus covering all 13 concrete shape types
+    plus a NullShape — integer-valued coordinates/measures so every float in
+    the oracle VALUES literal is exact.  Built worker-side (mapInPandas) to
+    avoid the measured createDataFrame cost."""
+    import numpy as np
+
+    from shapefile_rs_spark.geom.wkb import (
+        multilinestring_wkb,
+        multipoint_wkb,
+        multipolygon_wkb,
+        point_wkb,
+    )
+
+    square = np.array([[0, 0], [0, 4], [4, 4], [4, 0], [0, 0]], dtype=float)  # CW
+    rows = [
+        ("point", 1, 1, point_wkb(1.0, 2.0), None, None),
+        ("point", 2, None, None, None, None),  # NullShape pass-through
+        ("pointm", 1, 21, point_wkb(3.0, 4.0), None, [5.0]),
+        ("pointz", 1, 11, point_wkb(6.0, 7.0), [8.0], [9.0]),
+        ("line", 1, 3, multilinestring_wkb([np.array([[0, 0], [1, 1], [2, 0]], float)]), None, None),
+        (
+            "linem", 1, 23,
+            multilinestring_wkb([np.array([[0, 0], [1, 2]], float), np.array([[3, 2], [4, 0]], float)]),
+            None, [1.0, 2.0, 3.0, 4.0],
+        ),
+        (
+            "linez", 1, 13,
+            multilinestring_wkb([np.array([[0, 0], [2, 2], [4, 0]], float)]),
+            [1.0, 2.0, 3.0], [4.0, 5.0, 6.0],
+        ),
+        ("multipoint", 1, 8, multipoint_wkb(np.array([[1, 1], [2, 3], [5, 2]], float)), None, None),
+        ("multipointm", 1, 28, multipoint_wkb(np.array([[1, 2], [3, 4]], float)), None, [7.0, 8.0]),
+        ("multipointz", 1, 18, multipoint_wkb(np.array([[1, 2], [3, 4]], float)), [1.0, 2.0], [3.0, 4.0]),
+        ("polygon", 1, 5, multipolygon_wkb([[square]]), None, None),
+        ("polygonm", 1, 25, multipolygon_wkb([[square]]), None, [1.0, 2.0, 3.0, 4.0, 5.0]),
+        (
+            "polygonz", 1, 15, multipolygon_wkb([[square]]),
+            [1.0, 1.0, 2.0, 2.0, 3.0], [0.0, 0.0, 0.0, 0.0, 0.0],
+        ),
+        (
+            "multipatch", 1, 31, multipolygon_wkb([[square]]),
+            [1.0, 2.0, 3.0, 4.0, 1.0], [2.0, 2.0, 2.0, 2.0, 2.0],
+        ),
+    ]
+    return rows
+
+
+def q_shapes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write all 13 shape families (+NullShape) through the DataFrame sink,
+    re-read through the source, and surface decode-visible facts — the
+    write-path twin of shapes_decode (reference writer contract
+    src/writer.rs:97-221, write_tests.rs:18-151 methodology)."""
+    from shapefile_rs_spark.sources.shapefile_sink import write_shapefiles
+    from shapefile_rs_spark.sources.shapefile_source import read_shapefiles
+
+    def gen(batches):
+        import pandas as pd
+
+        if sum(len(b) for b in batches):  # exactly one partition holds the seed row
+            yield pd.DataFrame(
+                _roundtrip_input_rows(),
+                columns=["stem", "record_number", "shape_type", "wkb", "z", "m"],
+            )
+
+    inp = spark.range(0, 1, 1, 1).mapInPandas(
+        gen,
+        schema="stem string, record_number int, shape_type int, wkb binary, "
+        "z array<double>, m array<double>",
+    )
+    tmp = tempfile.mkdtemp(prefix="fxroundtrip_")
+    write_shapefiles(
+        inp,
+        tmp,
+        stem_col="stem",
+        shape_type_col="shape_type",
+        z_col="z",
+        m_col="m",
+    )
+    shapes = read_shapefiles(spark, tmp)
+    agg_sum = "aggregate({0}, cast(0.0 as double), (a, x) -> a + x)"
+    return shapes.select(
+        F.element_at(F.split("source_file", "/"), -1).alias("family"),
+        "record_number",
+        "shape_type",
+        "num_points",
+        "num_parts",
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+        F.expr(agg_sum.format("z")).alias("z_sum"),
+        F.expr(agg_sum.format("m")).alias("m_sum"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash over a 3× replicated page corpus
     (variants 0,1 byte-identical; variant 2 a near-dup with a suffix)."""
@@ -486,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_agg": q_bbox_agg,
         "cell_census": q_cell_census,
         "shapes_decode": q_shapes_decode,
+        "shapes_roundtrip": q_shapes_roundtrip,
         "shapes_attrs": q_shapes_attrs,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
@@ -584,6 +681,25 @@ SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 256.0) AS BIGINT) AS ix,
        CAST(FLOOR((lat + 90.0) / 180.0 * 256.0) AS BIGINT) AS iy,
        COUNT(*) AS n_pages, COUNT(DISTINCT url) AS n_urls
 FROM pages GROUP BY 1, 2
+""",
+        "shapes_roundtrip": """
+SELECT * FROM (VALUES
+  ('line',        1,  3, 3, 1, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(2 AS DOUBLE), CAST(1 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+  ('linem',       1, 23, 4, 2, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(4 AS DOUBLE), CAST(2 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(10 AS DOUBLE)),
+  ('linez',       1, 13, 3, 1, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(4 AS DOUBLE), CAST(2 AS DOUBLE), CAST(6 AS DOUBLE),    CAST(15 AS DOUBLE)),
+  ('multipatch',  1, 31, 5, 1, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(4 AS DOUBLE), CAST(4 AS DOUBLE), CAST(11 AS DOUBLE),   CAST(10 AS DOUBLE)),
+  ('multipoint',  1,  8, 3, 0, CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(5 AS DOUBLE), CAST(3 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+  ('multipointm', 1, 28, 2, 0, CAST(1 AS DOUBLE), CAST(2 AS DOUBLE), CAST(3 AS DOUBLE), CAST(4 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(15 AS DOUBLE)),
+  ('multipointz', 1, 18, 2, 0, CAST(1 AS DOUBLE), CAST(2 AS DOUBLE), CAST(3 AS DOUBLE), CAST(4 AS DOUBLE), CAST(3 AS DOUBLE),    CAST(7 AS DOUBLE)),
+  ('point',       1,  1, 1, 0, CAST(1 AS DOUBLE), CAST(2 AS DOUBLE), CAST(1 AS DOUBLE), CAST(2 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+  ('point',       2,  0, 0, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+  ('pointm',      1, 21, 1, 0, CAST(3 AS DOUBLE), CAST(4 AS DOUBLE), CAST(3 AS DOUBLE), CAST(4 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(5 AS DOUBLE)),
+  ('pointz',      1, 11, 1, 0, CAST(6 AS DOUBLE), CAST(7 AS DOUBLE), CAST(6 AS DOUBLE), CAST(7 AS DOUBLE), CAST(8 AS DOUBLE),    CAST(9 AS DOUBLE)),
+  ('polygon',     1,  5, 5, 1, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(4 AS DOUBLE), CAST(4 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+  ('polygonm',    1, 25, 5, 1, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(4 AS DOUBLE), CAST(4 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(15 AS DOUBLE)),
+  ('polygonz',    1, 15, 5, 1, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(4 AS DOUBLE), CAST(4 AS DOUBLE), CAST(9 AS DOUBLE),    CAST(0 AS DOUBLE))
+) AS t(family, record_number, shape_type, num_points, num_parts,
+       xmin, ymin, xmax, ymax, z_sum, m_sum)
 """,
         "shapes_decode": f"""
 SELECT fixture, record_number, shape_type, num_points, num_parts,

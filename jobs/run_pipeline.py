@@ -66,7 +66,9 @@ def run(spark, args) -> dict:
 
     pages = pipe.run_stage("pages", stage_pages)
 
-    # cell index, partitioned by cell so downstream joins co-locate
+    # cell index, partitioned by cell so the downstream join co-locates;
+    # the pip stage consumes THIS output (pre_indexed + fixed_res), so the
+    # checkpoint is on the join's critical path, not a dead side write
     indexed = pipe.run_stage(
         "indexed", lambda: with_cells(pages, [8]).repartition(F.col("cell_id"))
     )
@@ -75,10 +77,12 @@ def run(spark, args) -> dict:
 
     def stage_pip():
         return point_in_polygon_join(
-            pages,
+            indexed,
             polygons,
             point_cols=["url", "doc_id", "lon", "lat"],
             polygon_cols=["polygon_id"],
+            fixed_res=8,
+            pre_indexed=True,
             broadcast_polygons=None if args.salt == 0 else False,
             salt_factor=args.salt,
         )

@@ -70,21 +70,35 @@ def polygon_covering(
         from ..geom.pip import rings_bbox
         from ..geom.wkb import wkb_rings
 
+        cols = [f.name for f in out_schema.fields]
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                blob = bytes(row[wkb_col])
-                xmin, ymin, xmax, ymax = rings_bbox(wkb_rings(blob))
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            # one Python step per polygon (WKB parse is inherently per-blob);
+            # the per-CELL expansion — up to max_cover_cells rows each — is
+            # numpy repeat/concat, not row dicts (r1 verdict item 8)
+            covers, res_v = [], []
+            for blob in pdf[wkb_col]:
+                xmin, ymin, xmax, ymax = rings_bbox(wkb_rings(bytes(blob)))
                 res = (
                     fixed_res
                     if fixed_res is not None
                     else C.adaptive_cover_res(xmin, ymin, xmax, ymax, max_cover_cells, max_res)
                 )
-                cover_cells = C.cover_bbox(xmin, ymin, xmax, ymax, res)
-                base = {c: row[c] for c in id_cols}
-                for cid in cover_cells.tolist():
-                    rows.append({**base, "cell_id": cid, "cell_res": res})
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                covers.append(C.cover_bbox(xmin, ymin, xmax, ymax, res))
+                res_v.append(res)
+            counts = np.array([len(c) for c in covers])
+            out = {
+                c: np.repeat(pdf[c].to_numpy(), counts) for c in id_cols
+            }
+            out["cell_id"] = (
+                np.concatenate(covers) if covers else np.empty(0, dtype=np.int64)
+            )
+            out["cell_res"] = np.repeat(
+                np.asarray(res_v, dtype=np.int32), counts
+            )
+            yield pd.DataFrame(out, columns=cols)
 
     return polygons.mapInPandas(cover, schema=out_schema)
 
@@ -168,6 +182,7 @@ def point_in_polygon_join(
     salt_factor: int = 0,
     hot_cell_threshold: int = 100_000,
     small_poly_threshold: int = 100_000,
+    pre_indexed: bool = False,
 ) -> DataFrame:
     """Emit one row per (point, containing polygon) — the Q1 join.
 
@@ -182,6 +197,11 @@ def point_in_polygon_join(
     shuffle path: point rows in hot cells get ``pmod(hash, salt_factor)``
     appended to the key; covering rows for hot cells are replicated across
     all salts.
+
+    ``pre_indexed=True`` declares that ``points`` already carries
+    ``cell_res``/``cell_id`` at every covering resolution (use with
+    ``fixed_res`` so the levels are known up front) — lets a checkpointed
+    cell-index stage feed the join without recomputing cells.
     """
     point_cols = point_cols or [c for c in points.columns]
     polygon_cols = polygon_cols or [polygon_key]
@@ -229,7 +249,12 @@ def point_in_polygon_join(
                 r["cell_res"] for r in covering.select("cell_res").distinct().collect()
             ]
 
-    pts = with_cells(points, res_levels, lon_col=lon_col, lat_col=lat_col)
+    if pre_indexed:
+        if "cell_id" not in points.columns or "cell_res" not in points.columns:
+            raise ValueError("pre_indexed points need cell_id/cell_res columns")
+        pts = points
+    else:
+        pts = with_cells(points, res_levels, lon_col=lon_col, lat_col=lat_col)
 
     if broadcast_polygons:
         candidates = pts.join(

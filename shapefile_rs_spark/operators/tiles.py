@@ -72,19 +72,33 @@ def polygon_tiles(
         from ..geom.pip import rings_bbox
         from ..geom.wkb import wkb_rings
 
+        cols = [f.name for f in out_schema.fields]
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                xmin, ymin, xmax, ymax = rings_bbox(wkb_rings(bytes(row[wkb_col])))
-                tx0 = max(0, min(n - 1, int(np.floor((xmin + 180.0) / 360.0 * n))))
-                tx1 = max(0, min(n - 1, int(np.floor((xmax + 180.0) / 360.0 * n))))
-                ty0 = max(0, min(n - 1, int(np.floor((90.0 - ymax) / 180.0 * n))))
-                ty1 = max(0, min(n - 1, int(np.floor((90.0 - ymin) / 180.0 * n))))
-                base = {c: row[c] for c in id_cols}
-                for tx in range(tx0, tx1 + 1):
-                    for ty in range(ty0, ty1 + 1):
-                        rows.append({**base, "tile_z": z, "tile_x": tx, "tile_y": ty})
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            # WKB parse per polygon; the tile-rectangle expansion is numpy
+            # meshgrid-style repeat/tile, not nested Python loops
+            bb = np.array(
+                [rings_bbox(wkb_rings(bytes(b))) for b in pdf[wkb_col]], dtype=np.float64
+            )
+            tx0 = np.clip(np.floor((bb[:, 0] + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+            tx1 = np.clip(np.floor((bb[:, 2] + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+            ty0 = np.clip(np.floor((90.0 - bb[:, 3]) / 180.0 * n), 0, n - 1).astype(np.int64)
+            ty1 = np.clip(np.floor((90.0 - bb[:, 1]) / 180.0 * n), 0, n - 1).astype(np.int64)
+            nx = tx1 - tx0 + 1
+            ny = ty1 - ty0 + 1
+            counts = nx * ny
+            total = int(counts.sum())
+            # per-tile local index within each polygon's nx×ny rectangle
+            csum = np.cumsum(counts) - counts
+            local = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+            ny_rep = np.repeat(ny, counts)
+            out = {c: np.repeat(pdf[c].to_numpy(), counts) for c in id_cols}
+            out["tile_z"] = np.full(total, z, dtype=np.int32)
+            out["tile_x"] = np.repeat(tx0, counts) + local // ny_rep
+            out["tile_y"] = np.repeat(ty0, counts) + local % ny_rep
+            yield pd.DataFrame(out, columns=cols)
 
     return polygons.mapInPandas(cover, schema=out_schema)
 

@@ -121,6 +121,11 @@ def _parse_value(f: DbfField, raw: bytes, encoding: str):
         if len(text) == 8 and text.isdigit():
             return datetime.date(int(text[:4]), int(text[4:6]), int(text[6:8]))
         return None
+    if f.ftype == "M":
+        # Memo fields store a .dbt block pointer; without the sidecar the
+        # value is meaningless — tolerate (None) rather than crash the task
+        # (the dbase crate the reference re-exports reads these via .dbt)
+        return None
     return text
 
 

@@ -23,32 +23,145 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from ..geom.wkb import parse_wkb, WKB_MULTILINESTRING, WKB_MULTIPOINT, WKB_MULTIPOLYGON, WKB_POINT
+from ..geom import rings as RG
+from ..geom.wkb import (
+    WKB_LINESTRING,
+    WKB_MULTILINESTRING,
+    WKB_MULTIPOINT,
+    WKB_MULTIPOLYGON,
+    WKB_POINT,
+    WKB_POLYGON,
+    parse_wkb,
+)
 from ..shapelib.dbf import DbfField, write_dbf
 from ..shapelib.shp import ShapeRec, write_shp
-from ..shapelib.shptypes import MULTIPOINT, POINT, POLYGON, POLYLINE
+from ..shapelib.shptypes import (
+    INNER_RING,
+    MULTIPATCH,
+    MULTIPOINT,
+    NULL_SHAPE,
+    OUTER_RING,
+    POINT,
+    POLYGON,
+    POLYLINE,
+    has_m,
+    has_z,
+    is_multipoint_family,
+    is_point_family,
+)
 
 _SINK_SCHEMA = StructType([StructField("stem", StringType()), StructField("path", StringType())])
 
+# WKB geometry → the 2D shape type it lifts to, and the Z/M variants that
+# type may be promoted to via an explicit shape_type (src/writer.rs:97-145:
+# the reference writer accepts all 13 concrete types)
+_WKB_FAMILIES = {
+    WKB_POINT: (POINT, {POINT, 11, 21}),
+    WKB_MULTIPOINT: (MULTIPOINT, {MULTIPOINT, 18, 28}),
+    WKB_LINESTRING: (POLYLINE, {POLYLINE, 13, 23}),
+    WKB_MULTILINESTRING: (POLYLINE, {POLYLINE, 13, 23}),
+    WKB_POLYGON: (POLYGON, {POLYGON, 15, 25, MULTIPATCH}),
+    WKB_MULTIPOLYGON: (POLYGON, {POLYGON, 15, 25, MULTIPATCH}),
+}
 
-def wkb_to_shape_rec(wkb: bytes) -> ShapeRec:
-    """Inverse of shape_to_wkb for the 2D types (geo-types import analog,
-    src/record/mod.rs:484-509)."""
+
+def _ring_index_map(polygons: List[List[np.ndarray]]) -> tuple:
+    """Write-side ring normalization with an index mapping so Z/M columns
+    follow their vertices.
+
+    Mirrors the reference writer's Polygon::new (src/record/polygon.rs:150-169):
+    every ring is closed (first vertex appended if needed) and reversed when
+    its orientation contradicts its declared role — first ring per polygon =
+    OUTER, the rest = INNER.  Returns ``(index_array, parts, patch_types)``
+    where ``index_array`` maps output vertices to input-vertex positions
+    (closing points re-use the first vertex's index, as closing a
+    Vec<PointZ> would)."""
+    idx_chunks: List[np.ndarray] = []
+    parts: List[int] = []
+    patch_types: List[int] = []
+    off = 0
+    total = 0
+    for rings_ in polygons:
+        for k, ring in enumerate(rings_):
+            n = len(ring)
+            idx = np.arange(off, off + n, dtype=np.int64)
+            closed = n > 0 and bool(np.all(ring[0] == ring[-1]))
+            ring_c = ring if closed else np.vstack([ring, ring[:1]])
+            if not closed:
+                idx = np.append(idx, idx[:1])
+            declared = RG.OUTER if k == 0 else RG.INNER
+            if len(ring_c) and RG.ring_role(ring_c) != declared:
+                idx = idx[::-1]
+            parts.append(total)
+            patch_types.append(OUTER_RING if k == 0 else INNER_RING)
+            total += len(idx)
+            idx_chunks.append(idx)
+            off += n
+    index = np.concatenate(idx_chunks) if idx_chunks else np.empty(0, dtype=np.int64)
+    return index, parts, patch_types
+
+
+def wkb_to_shape_rec(
+    wkb: Optional[bytes],
+    shape_type: Optional[int] = None,
+    z=None,
+    m=None,
+) -> ShapeRec:
+    """Inverse of shape_to_wkb for ALL 13 concrete types (geo-types import
+    analog, src/record/mod.rs:484-509 + writer contract src/writer.rs:97-145).
+
+    ``shape_type`` lifts the 2D geometry to a Z/M variant (or MULTIPATCH),
+    attaching the ``z``/``m`` arrays (indexed per original WKB vertex order —
+    ring closing/reordering carries them along).  ``wkb=None`` produces a
+    NullShape record (the reference writes NullShape in any file,
+    src/record/mod.rs:236)."""
+    if wkb is None:
+        return ShapeRec(NULL_SHAPE, np.empty((0, 2)), bbox_xy=(0.0, 0.0, 0.0, 0.0))
     gtype, payload = parse_wkb(wkb)
-    if gtype == WKB_POINT:
-        return ShapeRec(POINT, [list(payload)])
-    if gtype == WKB_MULTIPOINT:
-        return ShapeRec(MULTIPOINT, payload)
-    if gtype == WKB_MULTILINESTRING:
-        xy = np.vstack(payload)
-        parts = np.cumsum([0] + [len(p) for p in payload[:-1]])
-        return ShapeRec(POLYLINE, xy, parts=parts)
-    if gtype == WKB_MULTIPOLYGON:
-        rings: List[np.ndarray] = [r for poly in payload for r in poly]
-        xy = np.vstack(rings)
-        parts = np.cumsum([0] + [len(r) for r in rings[:-1]])
-        return ShapeRec(POLYGON, xy, parts=parts)
-    raise ValueError(f"unsupported WKB type {gtype} for shapefile export")
+    if gtype not in _WKB_FAMILIES:
+        raise ValueError(f"unsupported WKB type {gtype} for shapefile export")
+    base, allowed = _WKB_FAMILIES[gtype]
+    st = base if shape_type is None else int(shape_type)
+    if st not in allowed:
+        raise ValueError(f"WKB geometry {gtype} cannot be written as shape type {st}")
+
+    z_arr = None if z is None else np.asarray(z, dtype=np.float64).ravel()
+    m_arr = None if m is None else np.asarray(m, dtype=np.float64).ravel()
+
+    if is_point_family(st):
+        xy = np.array([list(payload)])
+        index = np.zeros(1, dtype=np.int64)
+        parts = patch = None
+    elif is_multipoint_family(st):
+        xy = np.asarray(payload, dtype=np.float64).reshape(-1, 2)
+        index = np.arange(len(xy), dtype=np.int64)
+        parts = patch = None
+    elif st in (POLYLINE, 13, 23):
+        segs = [payload] if gtype == WKB_LINESTRING else payload
+        xy = np.vstack(segs) if segs else np.empty((0, 2))
+        index = np.arange(len(xy), dtype=np.int64)
+        parts = np.cumsum([0] + [len(p) for p in segs[:-1]])
+        patch = None
+    else:  # polygon family / multipatch
+        polygons = [payload] if gtype == WKB_POLYGON else payload
+        rings_flat = [r for poly in polygons for r in poly]
+        xy_in = np.vstack(rings_flat) if rings_flat else np.empty((0, 2))
+        index, parts, patch = _ring_index_map(polygons)
+        xy = xy_in[index]
+        patch = patch if st == MULTIPATCH else None
+
+    if z_arr is not None or m_arr is not None:
+        z_arr = None if z_arr is None else z_arr[index]
+        m_arr = None if m_arr is None else m_arr[index]
+    if not has_z(st):
+        z_arr = None
+    if not has_m(st):
+        m_arr = None
+    return ShapeRec(st, xy, z=z_arr, m=m_arr, parts=parts, patch_types=patch)
+
+
+# reverse of dbf.resolve_encoding for the labels the read side understands
+_CPG_LABELS = {"utf-8": "UTF-8", "cp936": "936", "cp950": "950", "cp1252": "1252"}
 
 
 def write_shapefiles(
@@ -59,16 +172,28 @@ def write_shapefiles(
     order_col: str = "record_number",
     dbf_fields: Optional[List[DbfField]] = None,
     attr_cols: Optional[List[str]] = None,
+    shape_type_col: Optional[str] = None,
+    z_col: Optional[str] = None,
+    m_col: Optional[str] = None,
+    encoding: Optional[str] = None,
 ) -> List[str]:
     """Write one shapefile per distinct ``stem_col`` value; returns paths.
 
     One shuffle (repartition by stem) then one encoding task per stem — the
     Spark inversion of the reference's running-fold writer.
-    """
+
+    ``shape_type_col``/``z_col``/``m_col`` carry Z/M/Multipatch exports: the
+    target ESRI code per row plus per-vertex measure arrays (writer contract
+    src/writer.rs:97-145).  A null ``wkb`` writes a NullShape record.
+    ``encoding`` applies to the DBF text fields AND emits the matching
+    ``.cpg`` sidecar so the label survives a round trip
+    (src/reader.rs:664-684 read contract)."""
     os.makedirs(out_dir, exist_ok=True)
     attr_cols = attr_cols or []
-    cols = [stem_col, wkb_col, order_col] + attr_cols
+    extra = [c for c in (shape_type_col, z_col, m_col) if c]
+    cols = [stem_col, wkb_col, order_col] + extra + attr_cols
     fields = dbf_fields
+    enc = encoding
 
     def write_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = [pdf for pdf in batches if len(pdf)]
@@ -79,7 +204,19 @@ def write_shapefiles(
         out = []
         for stem, grp in pdf.groupby(stem_col):
             grp = grp.sort_values(order_col)
-            recs = [wkb_to_shape_rec(bytes(b)) for b in grp[wkb_col]]
+            recs = [
+                wkb_to_shape_rec(
+                    None if row[wkb_col] is None else bytes(row[wkb_col]),
+                    shape_type=(
+                        None
+                        if not shape_type_col or pd.isna(row[shape_type_col])
+                        else int(row[shape_type_col])
+                    ),
+                    z=row[z_col] if z_col and row[z_col] is not None else None,
+                    m=row[m_col] if m_col and row[m_col] is not None else None,
+                )
+                for _, row in grp.iterrows()
+            ]
             shp, shx = write_shp(recs)
             base = os.path.join(out_dir, str(stem))
             with open(base + ".shp", "wb") as fh:
@@ -89,7 +226,10 @@ def write_shapefiles(
             if fields:
                 rows = grp[attr_cols].to_dict("records")
                 with open(base + ".dbf", "wb") as fh:
-                    fh.write(write_dbf(fields, rows))
+                    fh.write(write_dbf(fields, rows, encoding=enc or "ascii"))
+            if enc:
+                with open(base + ".cpg", "w") as fh:
+                    fh.write(_CPG_LABELS.get(enc.lower(), enc))
             out.append({"stem": str(stem), "path": base + ".shp"})
         yield pd.DataFrame(out)
 

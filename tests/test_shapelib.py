@@ -321,3 +321,23 @@ def test_bulk_oversized_records_and_odd_pad_guard():
         assert np.array_equal(a.xy, b.xy) and np.array_equal(a.m, b.m)
     with pytest.raises(ValueError):
         S.write_shp(FX.fx_linem(), pad_records=3)
+
+
+def test_dbf_memo_field_tolerated():
+    """'M' memo fields (block pointers into .dbt) read as None instead of
+    crashing — real-world .dbf tolerance, reference reads them via dbase."""
+    import struct
+
+    fields = [DbfField("NOTE", "M", 10, 0), DbfField("ID", "N", 4, 0)]
+    # hand-build: header + one record with a memo block number + id
+    blob = bytearray()
+    record_size = 1 + 10 + 4
+    header_size = 32 + 32 * 2 + 1
+    blob += struct.pack("<BBBBIHH", 0x03, 126, 1, 1, 1, header_size, record_size)
+    blob += b"\x00" * 20
+    for f in fields:
+        blob += f.name.encode().ljust(11, b"\x00") + f.ftype.encode()
+        blob += b"\x00" * 4 + struct.pack("<BB", f.length, f.decimals) + b"\x00" * 14
+    blob += b"\x0d" + b" " + b"0000000042" + b"  17" + b"\x1a"
+    fields2, rows = read_dbf(bytes(blob))
+    assert rows == [{"NOTE": None, "ID": 17}]

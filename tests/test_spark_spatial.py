@@ -222,3 +222,65 @@ def test_source_error_surface(spark, tmp_path):
 
     with pytest.raises(MissingIndexFile):
         read_nth_shape(shp, None, 0)
+
+
+def test_sink_zm_multipatch_null_and_cpg(spark, tmp_path):
+    """Sink parity: Z/M export with ring normalization, NullShape
+    pass-through, and .cpg emission honoring GBK on re-read
+    (src/writer.rs:97-145; src/reader.rs:664-684)."""
+    import numpy as np
+
+    from shapefile_rs_spark.geom import rings as R
+    from shapefile_rs_spark.geom.wkb import multipolygon_wkb, point_wkb, parse_wkb
+    from shapefile_rs_spark.shapelib.dbf import DbfField
+    from shapefile_rs_spark.sources.shapefile_sink import write_shapefiles
+
+    # GIS-convention CCW + unclosed outer ring: the write side must close
+    # and reorder so the file re-reads with an OUTER first ring
+    ccw_open = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    rows = [
+        ("pz", 1, 15, multipolygon_wkb([[ccw_open]]), [1.0, 2.0, 3.0, 4.0], None, "聚合"),
+        ("pz", 2, None, None, None, None, "空"),
+    ]
+
+    def gen(batches):
+        import pandas as pd
+
+        if sum(len(b) for b in batches):
+            yield pd.DataFrame(
+                rows, columns=["stem", "record_number", "shape_type", "wkb", "z", "m", "名称"]
+            )
+
+    inp = spark.range(0, 1, 1, 1).mapInPandas(
+        gen,
+        schema="stem string, record_number int, shape_type int, wkb binary,"
+        " z array<double>, m array<double>, `名称` string",
+    )
+    out = tmp_path / "sunk"
+    write_shapefiles(
+        inp,
+        str(out),
+        stem_col="stem",
+        shape_type_col="shape_type",
+        z_col="z",
+        m_col="m",
+        dbf_fields=[DbfField("名称", "C", 20, 0)],
+        attr_cols=["名称"],
+        encoding="cp936",
+    )
+    assert (out / "pz.cpg").read_text() == "936"
+
+    got = read_shapefiles(spark, str(out)).orderBy("record_number").collect()
+    assert [r.shape_type for r in got] == [15, 0]
+    r1 = got[0]
+    assert r1.num_points == 5  # closed on write
+    # first ring classifies OUTER after normalization
+    _, payload = parse_wkb(bytes(r1.wkb))
+    assert R.ring_role(payload[0][0]) == R.OUTER
+    # z followed the reversed/closed ring: same multiset, closing dup added
+    assert sorted(r1.z) == [1.0, 1.0, 2.0, 3.0, 4.0]
+    # GBK attrs honored via the emitted .cpg
+    import json
+
+    assert json.loads(r1.attrs_json)["名称"] == "聚合"
+    assert got[1].wkb is None and got[1].num_points == 0
