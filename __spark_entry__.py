@@ -399,12 +399,23 @@ corpus AS (
 """
 
 
+# hot-bucket cap for the LSH self-join (boilerplate-bucket B² guard);
+# mirrored in the DuckDB oracle's QUALIFY so the comparison stays exact
+_LSH_BUCKET_CAP = 50
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs over the planted corpus."""
     from shapefile_rs_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _dup_corpus(spark, sf_dir), id_col="id", text_col="text", k=3, num_hashes=12, bands=4
+        _dup_corpus(spark, sf_dir),
+        id_col="id",
+        text_col="text",
+        k=3,
+        num_hashes=12,
+        bands=4,
+        bucket_cap=_LSH_BUCKET_CAP,
     )
 
 
@@ -461,10 +472,23 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    planes = emb.filter(F.col("vec_id") < 8).select(
+    # plane count scales with corpus size: 2^n_planes buckets keeps the
+    # expected in-bucket population (and thus the self-join's quadratic
+    # term) bounded as N grows — fixed 8 planes = N/256 per bucket at 100 TB
+    n_planes = _neardup_n_planes(emb.count() * 2)
+    planes = emb.filter(F.col("vec_id") < n_planes).select(
         F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
     )
     return embedding_neardup_pairs(corpus, planes, threshold=0.99)
+
+
+def _neardup_n_planes(corpus_rows: int) -> int:
+    """ceil(log2 N) + 2 hyperplanes (min 8): expected bucket size N/2^planes
+    stays O(1) as the corpus grows.  The DuckDB oracle computes the SAME
+    expression in SQL so both sides derive identical plane sets."""
+    import math
+
+    return max(8, math.ceil(math.log2(max(corpus_rows, 2))) + 2)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,8 +849,11 @@ WITH corpus AS (
   UNION ALL
   SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
 ), planes AS (
+  -- same ceil(log2 N)+2 plane-count rule as _neardup_n_planes
   SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
-  FROM embeddings WHERE vec_id < 8
+  FROM embeddings
+  WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(LOG2(GREATEST(2 * COUNT(*), 2))) AS INTEGER) + 2)
+                  FROM embeddings)
 ), bucketed AS (
   SELECT c.id,
          SUM(CASE WHEN list_dot_product(c.e, p.pe) > 0
@@ -913,7 +940,11 @@ def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
     return f"""
 WITH {_DUP_CORPUS_SQL.strip().rstrip()},
 sigs AS (SELECT id, {sig} AS sig FROM corpus),
-banded AS ({band_selects}),
+banded0 AS ({band_selects}),
+banded AS (
+  SELECT id, band, band_key FROM banded0
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {_LSH_BUCKET_CAP}
+),
 pairs AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key

@@ -191,6 +191,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash+LSH.
 
@@ -201,6 +202,15 @@ def minhash_lsh_pairs(
     Plan shape: one scan computes signatures (map-only), explode to
     ``bands`` rows/doc, shuffle on (band, band_key), in-bucket self-join,
     distinct pair set, then two broadcast-free signature joins to score.
+
+    ``bucket_cap`` bounds the quadratic in-bucket blowup: a band bucket
+    holding more than ``bucket_cap`` docs (boilerplate — identical headers,
+    templated pages) is dropped entirely before the self-join, turning a
+    B² explosion into 0 candidate pairs for that bucket.  Exact duplicates
+    inside a hot bucket are :func:`exact_dedup`'s job, not LSH's.  The
+    count is a window over the SAME (band, band_key) partitioning the
+    self-join shuffles on, so the cap costs no extra shuffle of the banded
+    rows.
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
@@ -216,6 +226,15 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rpb)).alias("_b")
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= bucket_cap)
+            .drop("_n")
+        )
     left = banded.select("band", "band_key", F.col("_id").alias("id_a"))
     right = banded.select("band", "band_key", F.col("_id").alias("id_b"))
     pairs = (

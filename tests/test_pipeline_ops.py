@@ -46,6 +46,37 @@ def test_minhash_identical_and_near_dup(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_bucket_cap_bounds_boilerplate(spark):
+    """A planted boilerplate bucket (200 byte-identical docs) would emit
+    200·199/2 = 19900 candidate pairs; bucket_cap drops the hot bucket
+    before the self-join so the quadratic term is bounded, while ordinary
+    small buckets (the near-dup pair) still pair."""
+    from shapefile_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("subscribe to our newsletter terms privacy cookie policy footer").alias("text"),
+    )
+    pair = spark.range(1000, 1002).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog again and "),
+            F.when(F.col("id") == 1000, F.lit("today")).otherwise(F.lit("tonight")),
+        ).alias("text"),
+    )
+    corpus = boiler.unionByName(pair)
+
+    uncapped = minhash_lsh_pairs(corpus, id_col="doc_id").count()
+    assert uncapped >= 19900  # the quadratic blowup is real
+
+    capped = minhash_lsh_pairs(corpus, id_col="doc_id", bucket_cap=50)
+    rows = capped.collect()
+    ids = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1000, 1001) in ids  # small buckets unaffected
+    assert all(p[0] >= 1000 for p in ids)  # boilerplate bucket fully dropped
+    assert len(rows) < 50
+
+
 def test_simhash_properties(spark):
     from shapefile_rs_spark.operators.dedup import simhash
 
