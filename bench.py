@@ -146,6 +146,76 @@ def codec_microbench(n_records: int = 200_000) -> dict:
     return out
 
 
+def ann_microbench(spark, n: int = 200_000, d: int = 64, nq: int = 4, k: int = 5) -> dict:
+    """Vectorized-vs-interpreted ANN scoring at a scale where the plan (not
+    job overhead) dominates: the sf0.1 embeddings table is only 2k rows, so
+    the headline ann_* queries measure scheduling.  Here a 200k×64 synthetic
+    table is scored by (a) the round-1 plan — crossJoin + interpreted HOF
+    cosine + full N×q window shuffle — and (b) cosine_topk's scan-side
+    numpy partial top-k.  Both must return the identical rank set."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators.similarity import cosine_expr, cosine_topk
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(int(ids[0]) + 7)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(rng.normal(size=(len(ids), d)))}
+            )
+
+    vecs = spark.range(0, n, 1, 32).mapInPandas(
+        gen, "vec_id long, embedding array<double>"
+    ).persist()
+    vecs.count()
+    queries = vecs.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+
+    def hof_plan():
+        pairs = vecs.crossJoin(F.broadcast(queries))
+        scored = pairs.withColumn(
+            "_cos", cosine_expr(F.col("embedding"), F.col("q_embedding"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_cos").desc(), F.col("vec_id").asc()
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "rnk")
+        )
+
+    want = {tuple(r) for r in hof_plan().collect()}
+    got = {tuple(r) for r in cosine_topk(vecs, queries, k=k).collect()}
+    assert got == want, "vectorized top-k diverged from the expression plan"
+
+    t_hof = min(_timed(hof_plan) for _ in range(2))
+    t_vec = min(_timed(lambda: cosine_topk(vecs, queries, k=k)) for _ in range(2))
+    vecs.unpersist()
+    return {
+        "rows": n,
+        "dim": d,
+        "queries": nq,
+        "hof_crossjoin_sec": round(t_hof, 3),
+        "vectorized_topk_sec": round(t_vec, 3),
+        "speedup": round(t_hof / t_vec, 2),
+    }
+
+
+def _timed(plan_fn) -> float:
+    t0 = time.time()
+    plan_fn().count()
+    return time.time() - t0
+
+
 def main():
     from shapefile_rs_spark.session import get_spark
 
@@ -178,6 +248,7 @@ def main():
         "pages_per_sec": round(n_pages / flagship_s, 1),
         "cpus": CPUS,
         "codec": codec_microbench(),
+        "ann": ann_microbench(spark),
     }
     spark.stop()
 

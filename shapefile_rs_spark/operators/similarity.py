@@ -1,28 +1,47 @@
 """Similarity search over embedding columns (array<float>).
 
-* :func:`cosine_topk` — exact brute-force cosine top-k: the embedding table
-  is scanned once, the (small) query set is broadcast, ranking is a window
-  per query.  The dot product is a codegen'd higher-order ``aggregate`` over
-  ``zip_with`` — JVM-side, no Python.
+* :func:`cosine_topk` — exact brute-force cosine top-k.  The query set is
+  small (collected driver-side, the same provably-small pattern as the
+  polygon side of the PIP join); the embedding table is scanned ONCE by a
+  ``mapInPandas`` stage that scores each Arrow batch with a single numpy
+  matmul (B×d @ d×q) and emits only the per-batch top-k per query.  The
+  global rank is then a window over ≤ k·q·n_batches rows — the N×q
+  crossJoin+shuffle of the naive plan never materializes.  At 100 TB this
+  is the canonical partial-aggregation shape: the full-table work is
+  map-only, the shuffle is O(k·q·partitions).
 * :func:`ivf_topk` — the scale path: a deterministic coarse quantizer
   (centroid set) partitions vectors into cells; queries probe only their
   own cell.  At 100 TB the vector table is written partitioned by
   ``centroid_id`` so a probe prunes to one partition (partition pruning on
-  the scan); here the assignment join demonstrates the same plan.
+  the scan); here the assignment carries the embedding through the same
+  scan (no re-join) and candidates are scored by an Arrow-batched pandas
+  UDF.
 
 Outputs are rank-only (query_id, vec_id, rnk): float similarity values are
 engine-rounding-sensitive, ranks of random embeddings are not — that is
-what the DuckDB oracle pins.
+what the DuckDB oracle pins.  numpy's pairwise-summation dot differs from
+a sequential fold in the last ulp; rank order of distinct random vectors
+is insensitive to that.
+
+Expression-based :func:`dot_expr` / :func:`cosine_expr` remain exported for
+oracle-twin spellings and non-hot-path uses (they are interpreted, not
+codegen'd — measured in CLAUDE.md; keep them off the scan path).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 
 def dot_expr(a: Column, b: Column) -> Column:
-    """Σ a_i·b_i in double precision (left-to-right fold, codegen'd)."""
+    """Σ a_i·b_i in double precision (left-to-right fold, interpreted)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
@@ -38,6 +57,36 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def cosine_pd(a: Column, b: Column) -> Column:
+    """Row-wise cosine of two array columns as an Arrow-batched pandas UDF:
+    one einsum per batch instead of an interpreted fold per row."""
+
+    @F.pandas_udf("double")
+    def _cos(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        A = np.vstack(sa.to_numpy()).astype(np.float64, copy=False)
+        B = np.vstack(sb.to_numpy()).astype(np.float64, copy=False)
+        num = np.einsum("ij,ij->i", A, B)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = num / np.sqrt(
+                np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+            )
+        return pd.Series(out)
+
+    return _cos(a, b)
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str, normalize: bool):
+    """Driver-side (id array, row matrix) of a provably-small frame, rows
+    sorted by id so numpy first-max tie-breaks resolve to the lowest id."""
+    rows = sorted(df.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    ids = [r[0] for r in rows]
+    M = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if normalize:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            M = M / np.sqrt((M * M).sum(axis=1))[:, None]
+    return ids, M
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -47,16 +96,51 @@ def cosine_topk(
     query_id: str = "query_id",
     query_col: str = "q_embedding",
 ) -> DataFrame:
-    """(query_id, vec_id, rnk): exact top-k by cosine, ties → lower vec_id."""
-    pairs = vectors.select(
-        F.col(vec_id), _as_double(F.col(vec_col)).alias("_v")
-    ).crossJoin(
-        F.broadcast(queries.select(F.col(query_id), _as_double(F.col(query_col)).alias("_q")))
+    """(query_id, vec_id, rnk): exact top-k by cosine, ties → lower vec_id.
+
+    Scan-side partial top-k: any global top-k row is in its batch's top-k
+    under the same (cos desc, vec_id asc) order, so selecting k per batch
+    per query is lossless; the final window ranks the small union."""
+    qids, Qn = _collect_matrix(queries, query_id, query_col, normalize=True)
+    nq = len(qids)
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(vec_id, vectors.schema[vec_id].dataType),
+            StructField("_cos", DoubleType()),
+        ]
     )
-    scored = pairs.withColumn("_cos", cosine_expr(F.col("_v"), F.col("_q")))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [query_id, vec_id, "_cos"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
+            S = Vn @ Qn.T  # B×q, one matmul per Arrow batch
+            vids = pdf[vec_id].to_numpy()
+            parts = []
+            for j in range(nq):
+                s = S[:, j]
+                keep = ~np.isnan(s)  # zero-norm vectors can't rank
+                order = np.lexsort((vids[keep], -s[keep]))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_id: [qids[j]] * len(order),
+                            vec_id: vids[keep][order],
+                            "_cos": s[keep][order],
+                        }
+                    )
+                )
+            yield pd.concat(parts)[cols] if parts else pd.DataFrame(columns=cols)
+
+    partials = vectors.select(vec_id, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(vec_id).asc())
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        partials.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(query_id, vec_id, "rnk")
     )
@@ -76,36 +160,39 @@ def embedding_neardup_pairs(
     (identical vectors always share a bucket), candidate pairs form only
     inside a bucket, exact cosine refines.
 
-    Scale shape: one scan buckets every vector (planes broadcast), the
-    self-join shuffles on the bucket id (2^n_planes keys), and the cosine
-    refine runs only on in-bucket pairs — the same
-    block→join→refine decomposition as the spatial PIP join."""
-    b = (
-        vectors.select(F.col(vec_id).alias("_id"), _as_double(F.col(vec_col)).alias("_e"))
-        .crossJoin(
-            F.broadcast(
-                planes.select(F.col(plane_id).alias("_pid"), _as_double(F.col(plane_col)).alias("_pe"))
-            )
-        )
-        .withColumn("_dot", dot_expr(F.col("_e"), F.col("_pe")))
-        .groupBy("_id")
-        .agg(
-            F.sum(
-                # SQL shiftleft: the python wrapper only takes literal shift
-                # amounts, the SQL function shifts by a column
-                F.when(F.col("_dot") > 0, F.expr("shiftleft(1, CAST(_pid AS INT))")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("_bucket")
-        )
+    Scale shape: ONE map-only scan buckets every vector (the plane matrix
+    rides the closure — a B×d @ d×p matmul per Arrow batch replaces the
+    old N×p crossJoin + groupBy re-shuffle), the self-join shuffles on the
+    bucket id (2^n_planes keys), and the Arrow-batched cosine refine runs
+    only on in-bucket pairs — the same block→join→refine decomposition as
+    the spatial PIP join."""
+    pids, P = _collect_matrix(planes, plane_id, plane_col, normalize=False)
+    weights = (1 << np.arange(len(pids), dtype=np.int64))  # plane i → bit i
+    b_schema = StructType(
+        [
+            StructField("_id", vectors.schema[vec_id].dataType),
+            StructField("_bucket", LongType()),
+        ]
     )
+
+    def bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            signs = (V @ P.T) > 0  # B×p
+            yield pd.DataFrame(
+                {"_id": pdf[vec_id].to_numpy(), "_bucket": signs @ weights}
+            )
+
+    b = vectors.select(vec_id, vec_col).mapInPandas(bucket, schema=b_schema)
     left = b.select(F.col("_id").alias("id_a"), "_bucket")
     right = b.select(F.col("_id").alias("id_b"), "_bucket")
     pairs = left.join(right, "_bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     va = vectors.select(F.col(vec_id).alias("id_a"), _as_double(F.col(vec_col)).alias("_ea"))
     vb = vectors.select(F.col(vec_id).alias("id_b"), _as_double(F.col(vec_col)).alias("_eb"))
     scored = pairs.join(va, "id_a").join(vb, "id_b").withColumn(
-        "_cos", cosine_expr(F.col("_ea"), F.col("_eb"))
+        "_cos", cosine_pd(F.col("_ea"), F.col("_eb"))
     )
     return scored.filter(F.col("_cos") >= threshold).select("id_a", "id_b")
 
@@ -117,23 +204,40 @@ def assign_centroids(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_col: str = "c_embedding",
+    carry_vec: bool = False,
 ) -> DataFrame:
     """(vec_id, centroid_id): nearest centroid by cosine (ties → lower id).
-    Centroid side broadcast; one scan of the vector table."""
-    pairs = vectors.select(
-        F.col(vec_id), _as_double(F.col(vec_col)).alias("_v")
-    ).crossJoin(
-        F.broadcast(
-            centroids.select(F.col(centroid_id), _as_double(F.col(centroid_col)).alias("_c"))
-        )
-    )
-    scored = pairs.withColumn("_cos", cosine_expr(F.col("_v"), F.col("_c")))
-    w = Window.partitionBy(vec_id).orderBy(F.col("_cos").desc(), F.col(centroid_id).asc())
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(vec_id, centroid_id)
-    )
+
+    Centroid matrix rides the mapInPandas closure: one scan, one matmul +
+    argmax per Arrow batch — no crossJoin, no window shuffle.  Centroid
+    rows are sorted by id so numpy's first-max argmax IS the lower-id
+    tie-break.  ``carry_vec=True`` additionally emits the embedding column
+    (as ``_v``, array<double>) so downstream consumers avoid a re-join
+    against the vector table."""
+    cids, Cn = _collect_matrix(centroids, centroid_id, centroid_col, normalize=True)
+    cid_arr = np.asarray(cids)
+    fields = [
+        StructField(vec_id, vectors.schema[vec_id].dataType),
+        StructField(centroid_id, centroids.schema[centroid_id].dataType),
+    ]
+    if carry_vec:
+        fields.append(StructField("_v", ArrayType(DoubleType())))
+    out_schema = StructType(fields)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
+            best = np.argmax(Vn @ Cn.T, axis=1)  # first max = lowest cid
+            out = {vec_id: pdf[vec_id].to_numpy(), centroid_id: cid_arr[best]}
+            if carry_vec:
+                out["_v"] = [r.astype(np.float64) for r in V]
+            yield pd.DataFrame(out)
+
+    return vectors.select(vec_id, vec_col).mapInPandas(assign, schema=out_schema)
 
 
 def ivf_topk(
@@ -152,19 +256,17 @@ def ivf_topk(
 
     Recall < 1 by design (the oracle encodes the same approximation, so the
     comparison is exact).  nprobe>1 = union over the n nearest centroids.
-    """
-    v_assign = assign_centroids(vectors, centroids, vec_id, vec_col, centroid_id, centroid_col)
-    q_assign = assign_centroids(
-        queries, centroids, query_id, query_col, centroid_id, centroid_col
+    Plan: one assignment scan per side (embedding carried through — no
+    re-join against the vector table), broadcast the tiny assigned-query
+    set, Arrow-batched cosine on the in-cell candidates, window top-k."""
+    v_assigned = assign_centroids(
+        vectors, centroids, vec_id, vec_col, centroid_id, centroid_col, carry_vec=True
     )
-    vecs = vectors.select(F.col(vec_id), _as_double(F.col(vec_col)).alias("_v")).join(
-        v_assign, vec_id
-    )
-    qs = queries.select(F.col(query_id), _as_double(F.col(query_col)).alias("_q")).join(
-        q_assign, query_id
-    )
-    cands = vecs.join(F.broadcast(qs), on=centroid_id, how="inner")
-    scored = cands.withColumn("_cos", cosine_expr(F.col("_v"), F.col("_q")))
+    q_assigned = assign_centroids(
+        queries, centroids, query_id, query_col, centroid_id, centroid_col, carry_vec=True
+    ).withColumnRenamed("_v", "_q")
+    cands = v_assigned.join(F.broadcast(q_assigned), on=centroid_id, how="inner")
+    scored = cands.withColumn("_cos", cosine_pd(F.col("_v"), F.col("_q")))
     w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(vec_id).asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
