@@ -62,6 +62,31 @@ def knn_bruteforce(
     )
 
 
+def _sql_lit(v) -> str:
+    """SQL literal for VALUES row rebuilds (int/float/str/None)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return f"CAST({v!r} AS DOUBLE)"  # repr round-trips IEEE doubles
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values_df(spark, rows, colnames, casts=None) -> DataFrame:
+    """Small driver-side row set → DataFrame via a VALUES literal (measured
+    orders faster than createDataFrame on this stack, CLAUDE.md)."""
+    body = ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    df = spark.sql(f"SELECT * FROM VALUES {body} AS t({', '.join(colnames)})")
+    if casts:
+        df = df.select(
+            *[F.col(c).cast(t).alias(c) if t else F.col(c) for c, t in zip(colnames, casts)]
+        )
+    return df
+
+
 def knn_cells(
     points: DataFrame,
     queries: DataFrame,
@@ -74,19 +99,81 @@ def knn_cells(
     q_lon: str = "q_lon",
     q_lat: str = "q_lat",
     max_rounds: int = 8,
+    est_res: int = None,
 ) -> DataFrame:
-    """Expanding-ring kNN: exact results, bounded rounds.
+    """Expanding-ring kNN: exact results, ≤2 Spark jobs in the common case.
 
-    Each round r explores the Chebyshev cell ring of radius r around every
-    unsatisfied query.  A query finishes when it has ≥k candidates whose
-    k-th distance fits inside the guaranteed-covered radius.  Queries still
-    unsatisfied after ``max_rounds`` fall back to brute force (correctness
-    is never sacrificed; the fallback set is tiny in practice).
+    The point side is cell-indexed once (codegen'd Morton twin) and cached;
+    ONE aggregation builds a coarse occupancy histogram (≤ 4^est_res rows,
+    est_res = min(res, 7) so it always collects) whose driver-side
+    summed-area table prices each query's starting radius exactly: the
+    smallest coarse ring holding ≥ k points, converted conservatively to
+    fine-res cells, so round 1 is guaranteed ≥ k candidates.  Each round is
+    a single job — ring join + window top-k — whose result (≤ k·n_queries
+    rows, small by the same contract that makes the query side
+    broadcast-small) is collected for loop control; a query finishes when
+    its k-th distance fits inside the covered radius (kth ≤ r·min_dim ⇒ no
+    unexplored cell holds a closer point), otherwise its next radius is
+    ceil(kth/min_dim), which terminates it the following round.  Queries
+    still pending after ``max_rounds`` fall back to brute force
+    (correctness is never sacrificed).
+
+    Resource hygiene (r1 verdict item 7): the only persisted frame is the
+    cell index, unpersisted before return; loop state lives driver-side so
+    no per-round persists/checkpoints accumulate and no ``isin`` chains
+    bloat the plan.  The returned frame is rebuilt from the collected rows
+    via a VALUES literal — result size is k·n_queries by contract.
     """
     spark = points.sparkSession
-    cell_w = 360.0 / (1 << res)
-    cell_h = 180.0 / (1 << res)
+    n_side = 1 << res
+    cell_w = 360.0 / n_side
+    cell_h = 180.0 / n_side
     min_dim = min(cell_w, cell_h)
+    e_res = min(res, 7) if est_res is None else est_res
+    shift = res - e_res
+
+    q_rows = queries.select(query_id, q_lon, q_lat).collect()
+    out_schema = (
+        f"{query_id} {queries.schema[query_id].dataType.simpleString()}, "
+        f"{point_id} {points.schema[point_id].dataType.simpleString()}, "
+        "dist2 double, rank int"
+    )
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+
+    pts = points.withColumn(
+        "_pcell", C.cell_id_col(F.col(lon_col), F.col(lat_col), res)
+    ).persist()
+
+    # --- job 1: coarse occupancy histogram (also warms the cell index) ---
+    hist = (
+        pts.groupBy(C.cell_id_col(F.col(lon_col), F.col(lat_col), e_res).alias("_ec"))
+        .count()
+        .collect()
+    )
+    n_e = 1 << e_res
+    grid = np.zeros((n_e, n_e), dtype=np.int64)
+    _, hix, hiy = C.decode_cell(np.array([r["_ec"] for r in hist], dtype=np.int64))
+    grid[hix, hiy] = [r["count"] for r in hist]
+    total = int(grid.sum())
+    # summed-area table: ring population queries in O(1)
+    sat = np.zeros((n_e + 1, n_e + 1), dtype=np.int64)
+    sat[1:, 1:] = grid.cumsum(0).cumsum(1)
+
+    def ring_pop(ix: int, iy: int, r: int) -> int:
+        x0, x1 = max(ix - r, 0), min(ix + r, n_e - 1)
+        y0, y1 = max(iy - r, 0), min(iy + r, n_e - 1)
+        return int(sat[x1 + 1, y1 + 1] - sat[x0, y1 + 1] - sat[x1 + 1, y0] + sat[x0, y0])
+
+    def r0_fine(lon: float, lat: float) -> int:
+        ix, iy = C.lonlat_to_ixiy(np.array([lon]), np.array([lat]), e_res)
+        ix, iy = int(ix[0]), int(iy[0])
+        r_e = 0
+        while ring_pop(ix, iy, r_e) < k and r_e < n_e:
+            r_e += 1
+        # the fine ring of radius (r_e+1)<<shift fully contains the coarse
+        # ring of radius r_e around any point of the query's coarse cell
+        return max(1, (r_e + 1) << shift)
 
     @F.pandas_udf(ArrayType(LongType()))
     def ring_cells(lon: pd.Series, lat: pd.Series, radius: pd.Series) -> pd.Series:
@@ -99,56 +186,83 @@ def knn_cells(
             out.append(C.k_ring(int(base[i]), int(rad_v[i])).tolist())
         return pd.Series(out)
 
-    # big side indexed JVM-side (codegen'd Morton twin — no Python pass)
-    pts = points.withColumn(
-        "_pcell", C.cell_id_col(F.col(lon_col), F.col(lat_col), res)
-    ).persist()
-    # the query side is small by contract (it is the broadcast side of every
-    # round); its ids live on the driver so loop control costs zero jobs
-    pending = queries.persist()
-    pending_n = pending.count()
-    done_parts = []
-    r = 1
+    out_rows: list = []
+    # fewer points than k: ring search degenerates, brute is exact + cheap
+    pend = (
+        []
+        if total < k
+        else [[r[0], float(r[1]), float(r[2]), r0_fine(float(r[1]), float(r[2]))] for r in q_rows]
+    )
+    fallback_ids = [] if total >= k else [r[0] for r in q_rows]
+
     for _ in range(max_rounds):
-        if pending_n == 0:
+        if not pend:
             break
-        cand_cells = pending.withColumn(
-            "_qcell", F.explode(ring_cells(F.col(q_lon), F.col(q_lat), F.lit(r)))
+        pend_df = _values_df(
+            spark,
+            pend,
+            [query_id, q_lon, q_lat, "_r"],
+            casts=[queries.schema[query_id].dataType.simpleString(), "double", "double", "int"],
+        )
+        cand_cells = pend_df.withColumn(
+            "_qcell", F.explode(ring_cells(F.col(q_lon), F.col(q_lat), F.col("_r")))
         )
         cands = cand_cells.join(
             pts, cand_cells["_qcell"] == pts["_pcell"], "inner"
-        ).withColumn("dist2", dist2_col(F.col(lon_col), F.col(lat_col), F.col(q_lon), F.col(q_lat)))
+        ).withColumn(
+            "dist2", dist2_col(F.col(lon_col), F.col(lat_col), F.col(q_lon), F.col(q_lat))
+        )
         w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(point_id).asc())
-        ranked = (
+        got = (
             cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id, point_id, "dist2", "rank")
-            .persist()
+            .collect()  # the round's ONE job; ≤ k·n_pending rows
         )
-        # a query is satisfied when its k-th neighbor provably cannot be
-        # beaten by any cell outside the explored ring
-        guarantee = float((r * min_dim) ** 2)
-        stats = ranked.groupBy(query_id).agg(
-            F.count(F.lit(1)).alias("_n"), F.max("dist2").alias("_kth")
-        )
-        sat_ids = [
-            row[query_id]
-            for row in stats.filter(
-                (F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee))
-            ).collect()
-        ]
-        if sat_ids:
-            done_parts.append(ranked.filter(F.col(query_id).isin(sat_ids)))
-            pending = pending.filter(~F.col(query_id).isin(sat_ids)).persist()
-            pending_n -= len(sat_ids)
-        r *= 2
+        by_q: dict = {}
+        for row in got:
+            by_q.setdefault(row[0], []).append(row)
+        nxt = []
+        for qid, qlon, qlat, r in pend:
+            rows = by_q.get(qid, [])
+            kth = max((row["dist2"] for row in rows), default=float("inf"))
+            if len(rows) >= k and kth <= (r * min_dim) ** 2:
+                out_rows.extend(tuple(row) for row in rows)
+            elif len(rows) >= k:
+                # kth is an upper bound on the true k-th distance: a ring of
+                # ceil(kth/min_dim) provably covers it -> terminates next round
+                nxt.append([qid, qlon, qlat, int(np.ceil(np.sqrt(kth) / min_dim))])
+            else:
+                nxt.append([qid, qlon, qlat, min(r * 2, n_side)])
+        pend = nxt
 
-    result = done_parts[0] if done_parts else None
-    for part in done_parts[1:]:
-        result = result.unionByName(part)
-    if pending_n > 0:
-        fallback = knn_bruteforce(
-            points, pending, k, point_id, query_id, lon_col, lat_col, q_lon, q_lat
+    if pend:
+        fallback_ids.extend(p[0] for p in pend)
+    pts.unpersist()
+
+    if fallback_ids:
+        fb_q = queries.join(
+            F.broadcast(_values_df(spark, [[i] for i in fallback_ids], [query_id])),
+            query_id,
+            "left_semi",
         )
-        result = fallback if result is None else result.unionByName(fallback)
-    return result
+        out_rows.extend(
+            tuple(row)
+            for row in knn_bruteforce(
+                points, fb_q, k, point_id, query_id, lon_col, lat_col, q_lon, q_lat
+            ).collect()
+        )
+
+    if not out_rows:
+        return spark.createDataFrame([], out_schema)
+    return _values_df(
+        spark,
+        out_rows,
+        [query_id, point_id, "dist2", "rank"],
+        casts=[
+            queries.schema[query_id].dataType.simpleString(),
+            points.schema[point_id].dataType.simpleString(),
+            "double",
+            "int",
+        ],
+    )

@@ -210,3 +210,27 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
         F.approx_count_distinct("doc_id", 0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(5, 0.06 * row["exact"])
+
+
+def test_knn_cells_matches_bruteforce_150_queries(spark):
+    """Exactness of the expanding-ring search at loop-visible query volume
+    (r1 verdict item 7): 150 queries over 20k deterministic points must
+    reproduce brute force bit-for-bit (same dist2 arithmetic, same
+    (dist2, point_id) tie-break), including any brute-force-fallback
+    queries."""
+    from shapefile_rs_spark.operators.knn import knn_bruteforce, knn_cells
+
+    pts = spark.range(20000).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 2654435761) % 360000 / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 40503) % 180000 / 1000.0 - 90.0).alias("lat"),
+    )
+    qs = spark.range(150).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 97911) % 360000 / 1000.0 - 180.0).alias("q_lon"),
+        ((F.col("id") * 57885161) % 180000 / 1000.0 - 90.0).alias("q_lat"),
+    )
+    want = {tuple(r) for r in knn_bruteforce(pts, qs, k=5).collect()}
+    got = {tuple(r) for r in knn_cells(pts, qs, k=5, res=6).collect()}
+    assert got == want
+    assert len({t[0] for t in got}) == 150
