@@ -5,9 +5,7 @@ hot paths stay inside whole-stage codegen."""
 
 from pyspark.sql import functions as F
 
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from shapefile_rs_spark.plans import executed_plan as _plan
 
 
 def test_documents_scan_prunes_columns(spark, sf_dir):
