@@ -419,6 +419,22 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clustering: connected components (min-label propagation
+    + pointer jumping) over a deterministic chain-pair graph — docs chained
+    (doc_id, doc_id+1) inside groups of 5, so components need multi-hop
+    merging, which the recursive-CTE oracle reproduces exactly."""
+    from shapefile_rs_spark.operators.dedup import dedup_clusters
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = (
+        docs.filter(F.col("doc_id") % 5 != 4)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    return dedup_clusters(pairs).select("id", "cluster_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.dedup import simhash
 
@@ -616,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "lang_set_ops": q_lang_set_ops,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
@@ -805,6 +822,21 @@ EXCEPT ALL
 SELECT doc_id FROM documents WHERE source = 'src0'
 """,
         "minhash_lsh": _minhash_lsh_oracle(),
+        "dedup_clusters": """
+WITH RECURSIVE pairs AS (
+  SELECT d.doc_id AS a, d.doc_id + 1 AS b
+  FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 5 <> 4
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT e.b AS id, w.comp FROM walk w JOIN edges e ON e.a = w.id
+)
+SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id
+""",
         "simhash": f"SELECT doc_id, {dd.simhash_sql('text', 16)} AS simhash FROM documents",
         "ngram_jaccard": f"""
 SELECT doc_id,

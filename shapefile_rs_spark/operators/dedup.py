@@ -386,3 +386,76 @@ def ngram_jaccard_sql(sa_sql: str, sb_sql: str) -> str:
         f"(len(list_intersect({sa_sql}, {sb_sql})) / "
         f"len(list_distinct(list_concat({sa_sql}, {sb_sql}))))"
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in ``pairs`` — connected
+    components with cluster_id = the component's minimum id (deterministic,
+    oracle-friendly).  The standard final step of fuzzy dedup: near-dup
+    PAIRS (MinHash/SimHash/embedding) are transitive in intent, so keeping
+    one doc per CLUSTER needs components, not pairs.
+
+    Algorithm: min-label propagation with pointer jumping.  Each round
+    (1) every vertex takes the min label over its neighbors, then
+    (2) labels jump to their label's label (path halving), so convergence
+    is O(log diameter) rounds, not O(diameter).  Loop control is one
+    driver-side agg per round — labels only decrease, so an unchanged
+    label-sum ⟺ a fixed point.  Per-round frames persist only within the
+    round (eagerly materialized by the agg, unpersisted after the swap).
+
+    Scale: each round is two shuffles (edge join on dst, self-join on
+    comp) over (V + E) rows; web-dedup components are shallow (near-dup
+    clusters of a page family), so rounds ≈ 2-4.  Isolated docs never
+    appear in ``pairs`` — union them back as their own singleton clusters
+    downstream if required.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
+    ).persist()
+    # sum of labels strictly decreases until the fixed point (ANSI mode:
+    # decimal accumulator so huge ids cannot overflow loudly)
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("_nbr"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select("id", F.least(F.col("comp"), F.coalesce("_nbr", "comp")).alias("comp"))
+        )
+        hop = stepped.select(F.col("id").alias("_hid"), F.col("comp").alias("_hcomp"))
+        jumped = (
+            stepped.join(hop, stepped["comp"] == hop["_hid"], "left")
+            .select("id", F.least(F.col("comp"), F.coalesce("_hcomp", "comp")).alias("comp"))
+            .persist()
+        )
+        cur_sum = jumped.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels.unpersist()
+        labels = jumped
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    out = labels.select("id", F.col("comp").alias("cluster_id"))
+    # the caller consumes a cached frame; hand over a checkpointed copy so
+    # the loop's last persist can be released without recompute
+    final = out.localCheckpoint(eager=True)
+    labels.unpersist()
+    return final

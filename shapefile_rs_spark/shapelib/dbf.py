@@ -126,6 +126,25 @@ def _parse_value(f: DbfField, raw: bytes, encoding: str):
         # value is meaningless — tolerate (None) rather than crash the task
         # (the dbase crate the reference re-exports reads these via .dbt)
         return None
+    # FoxPro/dBASE-7 binary field types (the rest of the dbase-crate
+    # surface the reference re-exports, src/lib.rs:60): fixed-width
+    # little-endian payloads, not text
+    if f.ftype == "I":  # Integer: i32 LE
+        return struct.unpack("<i", raw[:4])[0] if len(raw) >= 4 else None
+    if f.ftype in ("O", "B"):  # Double: f64 LE
+        return struct.unpack("<d", raw[:8])[0] if len(raw) >= 8 else None
+    if f.ftype == "Y":  # Currency: i64 LE scaled by 10^4
+        return struct.unpack("<q", raw[:8])[0] / 10000.0 if len(raw) >= 8 else None
+    if f.ftype == "T":  # DateTime: (julian day, ms since midnight), both i32 LE
+        if len(raw) < 8:
+            return None
+        jdn, ms = struct.unpack("<ii", raw[:8])
+        if jdn == 0:
+            return None
+        day = datetime.date.fromordinal(jdn - 1721425)  # JDN(0001-01-01)=1721426
+        return datetime.datetime.combine(day, datetime.time()) + datetime.timedelta(
+            milliseconds=ms
+        )
     return text
 
 
@@ -153,6 +172,20 @@ def _format_value(f: DbfField, value) -> bytes:
         if value is None:
             return b" " * f.length
         return value.strftime("%Y%m%d").encode("ascii")[: f.length].ljust(f.length, b" ")
+    if f.ftype == "I":
+        return struct.pack("<i", 0 if value is None else int(value))
+    if f.ftype in ("O", "B"):
+        return struct.pack("<d", 0.0 if value is None else float(value))
+    if f.ftype == "Y":
+        # round-half-away like currency stores expect; exact for 4-decimal inputs
+        q = 0 if value is None else int(round(float(value) * 10000))
+        return struct.pack("<q", q)
+    if f.ftype == "T":
+        if value is None:
+            return struct.pack("<ii", 0, 0)
+        jdn = value.date().toordinal() + 1721425
+        ms = (value.hour * 3600 + value.minute * 60 + value.second) * 1000 + value.microsecond // 1000
+        return struct.pack("<ii", jdn, ms)
     raise DbfError(f"unsupported field type {f.ftype}")
 
 

@@ -257,3 +257,22 @@ def test_functions_registry_importable():
     import shapefile_rs_spark.functions as SF
 
     assert all(hasattr(SF, n) for n in SF.__all__)
+
+
+def test_dedup_clusters_components(spark):
+    """Connected components: an 8-chain (multi-hop merging, exercises
+    pointer jumping), a triangle, and an isolated pair; cluster_id is the
+    component min."""
+    from shapefile_rs_spark.operators.dedup import dedup_clusters
+
+    rows = [(i, i + 1) for i in range(7)] + [(100, 101), (101, 102), (100, 102), (200, 201)]
+    pairs = spark.sql(
+        "SELECT * FROM VALUES " + ",".join(map(str, rows)) + " AS t(id_a, id_b)"
+    )
+    got = {(r["id"], r["cluster_id"]) for r in dedup_clusters(pairs).collect()}
+    want = (
+        {(i, 0) for i in range(8)}
+        | {(i, 100) for i in (100, 101, 102)}
+        | {(200, 200), (201, 200)}
+    )
+    assert got == want

@@ -341,3 +341,30 @@ def test_dbf_memo_field_tolerated():
     blob += b"\x0d" + b" " + b"0000000042" + b"  17" + b"\x1a"
     fields2, rows = read_dbf(bytes(blob))
     assert rows == [{"NOTE": None, "ID": 17}]
+
+
+def test_dbf_binary_field_types_roundtrip():
+    """FoxPro/dBASE-7 binary fields (I/O/B/Y/T) — the rest of the
+    dbase-crate surface (src/lib.rs:60): i32/f64/currency-i64/JDN+ms
+    little-endian payloads round-trip through the writer and reader."""
+    import datetime
+
+    fields = [
+        DbfField("N_INT", "I", 4, 0),
+        DbfField("N_DBL", "O", 8, 0),
+        DbfField("N_CUR", "Y", 8, 4),
+        DbfField("N_TS", "T", 8, 0),
+    ]
+    ts = datetime.datetime(2020, 6, 15, 13, 45, 30, 250000)
+    rows = [
+        {"N_INT": -42, "N_DBL": 3.25, "N_CUR": 19.99, "N_TS": ts},
+        {"N_INT": None, "N_DBL": None, "N_CUR": None, "N_TS": None},
+    ]
+    blob = write_dbf(fields, rows)
+    _, got = read_dbf(blob)
+    assert got[0]["N_INT"] == -42
+    assert got[0]["N_DBL"] == 3.25
+    assert got[0]["N_CUR"] == 19.99
+    assert got[0]["N_TS"] == ts
+    # binary fields have no null encoding: None writes zeros (JDN 0 -> None)
+    assert got[1] == {"N_INT": 0, "N_DBL": 0.0, "N_CUR": 0.0, "N_TS": None}
