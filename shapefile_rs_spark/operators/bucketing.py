@@ -1,0 +1,54 @@
+"""Bucketed (pre-partitioned) storage for shuffle-free co-located joins.
+
+At 100 TB the dominant cost of the cell-equi PIP join (and any other
+cell-keyed join) is shuffling the point table.  Writing the table BUCKETED
+by ``cell_id`` moves that shuffle to write time, once: every subsequent
+join against another table bucketed on the same key with the same bucket
+count is exchange-free on both sides (Spark's bucketed SortMergeJoin), and
+a join against an un-bucketed side only shuffles that side.
+
+This is the storage-layout analog of the reference's shx-ordered file: the
+data arrives pre-organized for the access path (src/reader.rs:412-468 uses
+the index to avoid scanning; we use bucket layout to avoid shuffling).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "cell_id",
+    n_buckets: int = 32,
+    sort_col: Optional[str] = None,
+    path: Optional[str] = None,
+) -> None:
+    """Persist ``df`` as a parquet table bucketed (and optionally sorted)
+    by ``bucket_col``.  ``n_buckets`` should match the cluster's target
+    join parallelism and MUST match between tables meant to co-join.
+    ``path`` makes the table external (data at an explicit location)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def cell_bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str = "cell_id",
+) -> DataFrame:
+    """Join two tables bucketed on ``on`` with equal bucket counts —
+    plan-asserted exchange-free (tests/test_plans.py).  The merge hint
+    keeps Spark from broadcasting small test tables so the bucketed path
+    is the one exercised."""
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table)
+    return left.join(right, on=on, how="inner")

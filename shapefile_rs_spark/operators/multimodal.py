@@ -90,6 +90,11 @@ def fake_audio_bytes(doc_id: int) -> bytes:
 
 def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """+ (image, video, audio) binary columns derived from the id."""
+    # synthesis (and every decode downstream) is CPU-bound per row; a
+    # narrow input (single small parquet file) would serialize it
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     fields = [f for f in docs.schema.fields]
     out_schema = StructType(
         fields
@@ -101,48 +106,20 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-ROW numpy payload assembly is the right granularity here:
+        # a whole-batch flat concatenation (arange/repeat over ~10^8 int64)
+        # was measured 110× SLOWER on this host — first-touch page faults on
+        # multi-100MB allocations run at ~30 MB/s, so keep working sets at
+        # payload size (KBs, allocator-pooled) and let the loop be Python
         for pdf in batches:
-            ids = pdf[id_col].to_numpy().astype(np.int64)
+            ids = pdf[id_col].to_numpy()
             pdf = pdf.copy()
-            pdf["image"] = _fake_image_bytes_bulk(ids)
-            pdf["video"] = [fake_video_bytes(int(i)) for i in ids]  # header-only
-            pdf["audio"] = _fake_audio_bytes_bulk(ids)
+            pdf["image"] = [fake_image_bytes(int(i)) for i in ids]
+            pdf["video"] = [fake_video_bytes(int(i)) for i in ids]
+            pdf["audio"] = [fake_audio_bytes(int(i)) for i in ids]
             yield pdf
 
     return docs.mapInPandas(synth, schema=out_schema)
-
-
-def _fake_image_bytes_bulk(ids: np.ndarray) -> list:
-    """Batch twin of :func:`fake_image_bytes`: ONE modular-arithmetic pass
-    over the concatenated payloads, then per-row header+slice assembly
-    (r1 verdict item 8 — payload math out of the per-row loop)."""
-    w = 16 + ids % 48
-    h = 16 + (ids * 7) % 48
-    n = w * h * 3
-    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
-    within = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
-    payload = ((np.repeat(ids, n) + within) % 256).astype(np.uint8)
-    buf = payload.tobytes()
-    return [
-        IMG_MAGIC + struct.pack(">HH", int(w[i]), int(h[i])) + buf[starts[i] : starts[i] + n[i]]
-        for i in range(len(ids))
-    ]
-
-
-def _fake_audio_bytes_bulk(ids: np.ndarray) -> list:
-    """Batch twin of :func:`fake_audio_bytes` (same one-pass treatment)."""
-    sr = 8000
-    n = 256 + ids % 256
-    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
-    within = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
-    samples = ((np.repeat(ids, n) * 31 + within * 17) % 2048 - 1024).astype("<i2")
-    buf = samples.tobytes()
-    return [
-        AUD_MAGIC
-        + struct.pack(">HH", sr, int(n[i]))
-        + buf[2 * starts[i] : 2 * (starts[i] + n[i])]
-        for i in range(len(ids))
-    ]
 
 
 # ---------------------------------------------------------------------------

@@ -236,21 +236,6 @@ def test_knn_cells_matches_bruteforce_150_queries(spark):
     assert len({t[0] for t in got}) == 150
 
 
-def test_bulk_media_synthesizers_byte_identical():
-    """Vectorized payload assembly must reproduce the scalar synthesizers
-    byte-for-byte (the SQL oracles recompute stats from this arithmetic)."""
-    from shapefile_rs_spark.operators.multimodal import (
-        _fake_audio_bytes_bulk,
-        _fake_image_bytes_bulk,
-        fake_audio_bytes,
-        fake_image_bytes,
-    )
-
-    ids = np.array([0, 1, 5, 47, 48, 100, 255, 256, 9999], dtype=np.int64)
-    assert _fake_image_bytes_bulk(ids) == [fake_image_bytes(int(i)) for i in ids]
-    assert _fake_audio_bytes_bulk(ids) == [fake_audio_bytes(int(i)) for i in ids]
-
-
 def test_functions_registry_importable():
     """shapefile_rs_spark.functions is the one-import expression surface;
     every advertised name must resolve."""

@@ -66,3 +66,31 @@ def test_page_synthesis_stays_in_codegen(spark, sf_dir):
     plan = _plan(pts)
     assert plan.lstrip().startswith("*(")  # whole-stage-codegen'd map stage
     assert "EvalPython" not in plan  # no row- or Arrow-batch Python stages
+
+
+def test_bucketed_cell_join_is_exchange_free(spark, tmp_path):
+    """Tables bucketed on cell_id with equal bucket counts must co-join
+    with NO Exchange on either side — the write-once/join-many layout the
+    100 TB PIP join relies on."""
+    from shapefile_rs_spark.cells import cell_id_col
+    from shapefile_rs_spark.operators.bucketing import cell_bucketed_join, write_bucketed
+
+    pts = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 7919) % 360000 / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729) % 180000 / 1000.0 - 90.0).alias("lat"),
+    )
+    pts = pts.withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), 6))
+    cov = pts.select("cell_id").distinct().select("cell_id", F.lit(1).alias("polygon_id"))
+
+    write_bucketed(pts, "t_pts_b", "cell_id", 8, path=str(tmp_path / "pts"))
+    write_bucketed(cov, "t_cov_b", "cell_id", 8, path=str(tmp_path / "cov"))
+    try:
+        joined = cell_bucketed_join(spark, "t_pts_b", "t_cov_b")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 2000  # every point's cell is in the covering
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pts_b")
+        spark.sql("DROP TABLE IF EXISTS t_cov_b")
