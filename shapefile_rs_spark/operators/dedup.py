@@ -398,6 +398,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in ``pairs`` — connected
     components with cluster_id = the component's minimum id (deterministic,
@@ -405,7 +406,10 @@ def dedup_clusters(
     PAIRS (MinHash/SimHash/embedding) are transitive in intent, so keeping
     one doc per CLUSTER needs components, not pairs.
 
-    Algorithm: min-label propagation with pointer jumping.  Each round
+    Adaptive strategy (the broadcast-threshold pattern): a pair set at or
+    under ``driver_threshold`` rows is collected and solved with
+    driver-side union-find — one job instead of an iterative loop.  Above
+    it, distributed min-label propagation with pointer jumping: each round
     (1) every vertex takes the min label over its neighbors, then
     (2) labels jump to their label's label (path halving), so convergence
     is O(log diameter) rounds, not O(diameter).  Loop control is one
@@ -419,6 +423,40 @@ def dedup_clusters(
     appear in ``pairs`` — union them back as their own singleton clusters
     downstream if required.
     """
+    spark = pairs.sparkSession
+    if driver_threshold and pairs.count() <= driver_threshold:
+        from .knn import _values_df
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs.select(id_a, id_b).collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so every root IS its component's min id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out_rows = sorted((x, find(x)) for x in parent)
+        if not out_rows:
+            t = pairs.schema[id_a].dataType.simpleString()
+            return spark.createDataFrame([], f"id {t}, cluster_id {t}")
+        return _values_df(
+            spark,
+            out_rows,
+            ["id", "cluster_id"],
+            casts=[pairs.schema[id_a].dataType.simpleString()] * 2,
+        )
+
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -254,10 +254,17 @@ def test_dedup_clusters_components(spark):
     pairs = spark.sql(
         "SELECT * FROM VALUES " + ",".join(map(str, rows)) + " AS t(id_a, id_b)"
     )
-    got = {(r["id"], r["cluster_id"]) for r in dedup_clusters(pairs).collect()}
     want = (
         {(i, 0) for i in range(8)}
         | {(i, 100) for i in (100, 101, 102)}
         | {(200, 200), (201, 200)}
     )
+    # driver-side union-find path (small pair set)
+    got = {(r["id"], r["cluster_id"]) for r in dedup_clusters(pairs).collect()}
     assert got == want
+    # distributed min-label + pointer-jumping path (threshold forced off)
+    got_d = {
+        (r["id"], r["cluster_id"])
+        for r in dedup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert got_d == want
