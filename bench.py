@@ -59,7 +59,11 @@ def flagship_pipeline(spark, sf_dir):
     )
 
 
-def run_queries(spark, sf_dir, names=None):
+def run_queries(spark, sf_dir, names=None, repeats: int = 2):
+    """Per-query wall time, MIN of ``repeats`` runs: the first execution of
+    a plan pays JVM JIT + python-worker + allocator warm-up (measured 5-15s
+    on this host vs 1-3s steady-state); min-of-k is the standard
+    noise-robust estimator (CLAUDE.md host-noise notes)."""
     import __spark_entry__ as E
 
     qs = E.queries()
@@ -67,10 +71,12 @@ def run_queries(spark, sf_dir, names=None):
     for name, fn in qs.items():
         if names and name not in names:
             continue
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
     return times
 
 
@@ -230,10 +236,20 @@ def main():
     n_pages = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     # warm the JVM/python-worker pool so per-query numbers measure the plan,
-    # not process spin-up
+    # not process spin-up: local[N] lazily forks N python workers that each
+    # import numpy+pandas (~5s once) and fault in their Arrow buffers
     spark.range(1000).select(F.sum("id")).collect()
 
-    flagship_s, _ = time_flagship(spark, SF_DIR)
+    def _noop(batches):
+        import numpy as np  # fault the heavy imports into every worker
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"].to_numpy() + np.int64(0)})
+
+    spark.range(0, CPUS * 4, 1, CPUS).mapInPandas(_noop, "id long").count()
+
+    flagship_s = min(time_flagship(spark, SF_DIR)[0] for _ in range(2))
     qtimes = run_queries(spark, SF_DIR, only)
     qtimes["flagship_pip_pipeline"] = round(flagship_s, 3)
     total = round(sum(qtimes.values()), 3)

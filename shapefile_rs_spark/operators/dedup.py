@@ -146,10 +146,19 @@ def minhash_from_hashes(hs: Column, num_hashes: int = 12) -> Column:
             np.int64, copy=False
         )
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        vals = (flat[None, :] * a_v + b_v) % _MERSENNE31  # H×T, exact int64
-        # empty segments occupy no width in flat, so consecutive nonempty
-        # starts delimit exactly one segment each
-        red = np.minimum.reduceat(vals, starts[nonempty], axis=1).T  # B'×H
+        ne_starts = starts[nonempty]
+        # one hash function at a time: O(T) working set, not O(H·T) — this
+        # host punishes large fresh allocations (~30 MB/s first-touch), so
+        # an H×T broadcast matrix (hundreds of MB per worker) is a trap
+        red = np.empty((int(nonempty.sum()), len(a)), dtype=np.int64)  # B'×H
+        vals = np.empty_like(flat)
+        for hidx in range(len(a)):
+            np.multiply(flat, a_v[hidx, 0], out=vals)
+            vals += b_v[hidx, 0]
+            vals %= _MERSENNE31
+            # empty segments occupy no width in flat, so consecutive
+            # nonempty starts delimit exactly one segment each
+            red[:, hidx] = np.minimum.reduceat(vals, ne_starts)
         out = [None] * len(arrs)
         for j, i in enumerate(np.flatnonzero(nonempty)):
             out[i] = red[j]
