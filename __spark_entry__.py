@@ -113,6 +113,7 @@ def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_polygons=False,
         salt_factor=8,
         hot_cell_threshold=50,
+        census_sample=0.25,  # sampled hot-cell detection (physical only)
     ).select("doc_id", "polygon_id")
 
 

@@ -183,6 +183,7 @@ def point_in_polygon_join(
     hot_cell_threshold: int = 100_000,
     small_poly_threshold: int = 100_000,
     pre_indexed: bool = False,
+    census_sample: Optional[float] = None,
 ) -> DataFrame:
     """Emit one row per (point, containing polygon) — the Q1 join.
 
@@ -263,11 +264,22 @@ def point_in_polygon_join(
             how="inner",
         )
     elif salt_factor > 1:
-        # explicit hot-cell salting (W1): census point cells, salt the hot ones
+        # explicit hot-cell salting (W1): census point cells, salt the hot
+        # ones.  ``census_sample`` makes hot-cell DETECTION a cheap sampled
+        # pass (threshold scaled by the fraction) — at 100 TB a full census
+        # is an extra all-rows shuffle just to find the handful of hot
+        # cells; which cells are salted affects only physical distribution,
+        # never the join's output rows.
+        census_src = pts if census_sample is None else pts.sample(census_sample, seed=7)
+        eff_threshold = (
+            hot_cell_threshold
+            if census_sample is None
+            else max(1, int(hot_cell_threshold * census_sample))
+        )
         hot = (
-            pts.groupBy("cell_res", "cell_id")
+            census_src.groupBy("cell_res", "cell_id")
             .count()
-            .filter(F.col("count") >= hot_cell_threshold)
+            .filter(F.col("count") >= eff_threshold)
             .select("cell_res", "cell_id", F.lit(True).alias("_hot"))
         )
         pts_s = (

@@ -284,3 +284,35 @@ def test_sink_zm_multipatch_null_and_cpg(spark, tmp_path):
 
     assert json.loads(r1.attrs_json)["名称"] == "聚合"
     assert got[1].wkb is None and got[1].num_points == 0
+
+
+def test_salted_join_sampled_census_same_rows(spark, sf_dir):
+    """A sampled hot-cell census changes only WHICH cells get salted
+    (physical layout) — the join's output row set is invariant."""
+    from shapefile_rs_spark import demo
+    from shapefile_rs_spark.operators.spatial_join import point_in_polygon_join
+    from shapefile_rs_spark.pages import geotag_pages, pages_from_documents
+
+    pages = geotag_pages(pages_from_documents(spark, sf_dir)).select(
+        "doc_id", "lon", "lat"
+    )
+    kwargs = dict(
+        point_cols=["doc_id"],
+        polygon_cols=["polygon_id"],
+        broadcast_polygons=False,
+        salt_factor=4,
+        hot_cell_threshold=10,
+    )
+    full = {
+        (r["doc_id"], r["polygon_id"])
+        for r in point_in_polygon_join(
+            pages, demo.oracle_polygons_df(spark), **kwargs
+        ).collect()
+    }
+    sampled = {
+        (r["doc_id"], r["polygon_id"])
+        for r in point_in_polygon_join(
+            pages, demo.oracle_polygons_df(spark), census_sample=0.3, **kwargs
+        ).collect()
+    }
+    assert sampled == full and len(full) > 0

@@ -100,3 +100,38 @@ def test_stream_pip_tiles_matches_batch(spark, sf_dir, tmp_path):
         (r["polygon_id"], r["tile_x"], r["tile_y"], r["n_pages"]) for r in batch.collect()
     }
     assert got and got == want
+
+
+def test_dedup_stream_drops_recrawled_copies(spark, sf_dir, tmp_path):
+    """Ingest-time dedup: the same corpus landing twice (recrawl) must emit
+    each distinct text once — in both state regimes (global dropDuplicates
+    and watermark-bounded dropDuplicatesWithinWatermark)."""
+    import shutil
+
+    from shapefile_rs_spark.streaming.dedup import dedup_stream
+    from shapefile_rs_spark.streaming.events import run_available_now
+
+    src = f"{sf_dir}/documents.parquet"
+    land = tmp_path / "landing"
+    land.mkdir()
+    shutil.copy(src, land / "crawl_a.parquet")
+    shutil.copy(src, land / "crawl_b.parquet")  # byte-identical recrawl
+
+    schema = spark.read.parquet(src).schema
+    want = spark.read.parquet(src).select("text").distinct().count()
+
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    got = run_available_now(
+        dedup_stream(stream), "dedup_stream_global", str(tmp_path / "ck1")
+    )
+    assert got.count() == want
+
+    # +1 day: ts=0 sits exactly ON the initial watermark and is filtered as
+    # late before dedup ever sees it (boundary artifact of synthetic time)
+    stream2 = spark.readStream.schema(schema).parquet(str(land)).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") + 86400)
+    )
+    got2 = run_available_now(
+        dedup_stream(stream2, ts_col="ts"), "dedup_stream_wm", str(tmp_path / "ck2")
+    )
+    assert got2.count() == want
