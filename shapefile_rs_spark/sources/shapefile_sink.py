@@ -176,6 +176,7 @@ def write_shapefiles(
     z_col: Optional[str] = None,
     m_col: Optional[str] = None,
     encoding: Optional[str] = None,
+    crs_wkt: Optional[str] = None,
 ) -> List[str]:
     """Write one shapefile per distinct ``stem_col`` value; returns paths.
 
@@ -230,6 +231,11 @@ def write_shapefiles(
             if enc:
                 with open(base + ".cpg", "w") as fh:
                     fh.write(_CPG_LABELS.get(enc.lower(), enc))
+            if crs_wkt:
+                # .prj passthrough on write (the source's crs_wkt column is
+                # the read contract; the reference stores but never parses)
+                with open(base + ".prj", "w") as fh:
+                    fh.write(crs_wkt)
             out.append({"stem": str(stem), "path": base + ".shp"})
         yield pd.DataFrame(out)
 

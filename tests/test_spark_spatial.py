@@ -267,11 +267,14 @@ def test_sink_zm_multipatch_null_and_cpg(spark, tmp_path):
         dbf_fields=[DbfField("名称", "C", 20, 0)],
         attr_cols=["名称"],
         encoding="cp936",
+        crs_wkt='GEOGCS["WGS 84"]',
     )
     assert (out / "pz.cpg").read_text() == "936"
+    assert (out / "pz.prj").read_text() == 'GEOGCS["WGS 84"]'
 
     got = read_shapefiles(spark, str(out)).orderBy("record_number").collect()
     assert [r.shape_type for r in got] == [15, 0]
+    assert got[0].crs_wkt == 'GEOGCS["WGS 84"]'  # .prj honored on re-read
     r1 = got[0]
     assert r1.num_points == 5  # closed on write
     # first ring classifies OUTER after normalization
