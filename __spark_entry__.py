@@ -514,6 +514,41 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_metrics(_docs(spark, sf_dir))
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: planted spelling variants (tracking params,
+    cased WWW authority, fragment+slash) collapse onto one canonical URL
+    per page; output is the per-canon raw-spelling census."""
+    from shapefile_rs_spark.operators.urltools import canonicalize_url
+
+    pages = _geopages(spark, sf_dir).select("doc_id", "url")
+    variants = F.array(
+        F.col("url"),
+        F.concat(F.col("url"), F.lit("?utm_source=feed&utm_campaign=x")),
+        F.concat(F.lit("HTTPS://WWW."), F.expr("substring(url, 9)")),
+        F.concat(F.col("url"), F.lit("/#section-2")),
+    )
+    messy = pages.select(
+        F.explode(
+            F.slice(variants, F.lit(1), (F.pmod(F.col("doc_id"), F.lit(3)) + F.lit(2)).cast("int"))
+        ).alias("raw")
+    )
+    return (
+        messy.select(canonicalize_url(F.col("raw")).alias("canon_url"), "raw")
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_distinct("raw").alias("n_distinct_raw"),
+        )
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition: duplicate word-bigram fraction."""
+    from shapefile_rs_spark.operators.textstats import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir), n=2)
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.textstats import winnow_fingerprint
 
@@ -641,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "text_quality": q_text_quality,
         "winnow_fp": q_winnow_fp,
+        "url_canon": q_url_canon,
+        "doc_repetition": q_doc_repetition,
         "image_stats": q_image_stats,
         "image_resize": q_image_resize,
         "audio_stats": q_audio_stats,
@@ -904,6 +941,8 @@ WHERE list_cosine_similarity(ca.e, cb.e) >= 0.99
 """,
         "text_quality": ts.quality_metrics_sql("documents"),
         "winnow_fp": f"SELECT doc_id, {ts.winnow_fingerprint_sql('text', 8)} AS fp FROM documents",
+        "url_canon": _url_canon_oracle(),
+        "doc_repetition": ts.repetition_metrics_sql("documents", n=2),
         "image_stats": """
 WITH dims AS (
   SELECT doc_id,
@@ -961,6 +1000,29 @@ SELECT doc_id, n_frames, UNNEST(range(0, n_frames, step)) AS frame_idx
 FROM stepped
 """,
     }
+
+
+def _url_canon_oracle() -> str:
+    from shapefile_rs_spark.operators.urltools import canonicalize_url_sql
+
+    return f"""
+{_PAGES_CTE.rstrip()},
+variants AS (
+  SELECT doc_id,
+         unnest(list_slice([
+           url,
+           url || '?utm_source=feed&utm_campaign=x',
+           'HTTPS://WWW.' || substring(url, 9),
+           url || '/#section-2'
+         ], 1, 2 + doc_id % 3)) AS raw
+  FROM pages
+)
+SELECT {canonicalize_url_sql('raw')} AS canon_url,
+       COUNT(*) AS n_raw,
+       COUNT(DISTINCT raw) AS n_distinct_raw
+FROM variants
+GROUP BY 1
+"""
 
 
 def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:

@@ -106,3 +106,39 @@ def trigram_lang_score(text: Column, trigrams=("th", "he", "an", "in", "er")) ->
     for g in trigrams:
         total = total + F.size(F.split(text, g)) - F.lit(1)
     return total
+
+
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style repetitious-text filter):
+    the fraction of duplicate word n-grams inside each doc.  Boilerplate
+    and generator loops repeat themselves; natural prose mostly doesn't.
+    One codegen'd projection: dup_frac = 1 - distinct/total (int/int
+    division — bit-identical across engines)."""
+    from .dedup import word_shingles
+
+    grams = word_shingles(F.col(text_col), n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        (F.lit(1) - distinct / total).alias("dup_frac"),
+    )
+
+
+def repetition_metrics_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> str:
+    from .dedup import word_shingles_sql
+
+    grams = word_shingles_sql(text_col, n)
+    return f"""
+SELECT {id_col},
+       len({grams}) AS n_ngrams,
+       len(list_distinct({grams})) AS n_distinct,
+       (1 - len(list_distinct({grams})) / len({grams})) AS dup_frac
+FROM {table}
+"""

@@ -268,3 +268,25 @@ def test_dedup_clusters_components(spark):
         for r in dedup_clusters(pairs, driver_threshold=0).collect()
     }
     assert got_d == want
+
+
+def test_url_canonicalization_golden(spark):
+    """Spelling variants collapse to one canonical URL; legitimate query
+    params survive tracking-param removal."""
+    from shapefile_rs_spark.operators.urltools import canonicalize_url
+
+    cases = [
+        ("https://site1.example/page/5", "https://site1.example/page/5"),
+        ("HTTPS://WWW.Site1.Example/page/5", "https://site1.example/page/5"),
+        ("https://site1.example/page/5/#frag", "https://site1.example/page/5"),
+        ("https://site1.example/p?utm_a=1&utm_b=2", "https://site1.example/p"),
+        ("https://site1.example/p?utm_a=1&keep=2", "https://site1.example/p?keep=2"),
+        ("https://site1.example/p?keep=2&gclid=xyz", "https://site1.example/p?keep=2"),
+    ]
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        + ",".join(f"('{a}','{b}')" for a, b in cases)
+        + " AS t(raw, want)"
+    )
+    rows = df.select(canonicalize_url(F.col("raw")).alias("got"), "want").collect()
+    assert all(r["got"] == r["want"] for r in rows), rows
