@@ -368,3 +368,71 @@ def test_dbf_binary_field_types_roundtrip():
     assert got[0]["N_TS"] == ts
     # binary fields have no null encoding: None writes zeros (JDN 0 -> None)
     assert got[1] == {"N_INT": 0, "N_DBL": 0.0, "N_CUR": 0.0, "N_TS": None}
+
+
+# ---------------------------------------------------------------------------
+# property-based round trips (hypothesis): any well-formed shape survives
+# write->read->write byte-identically — the generalization of the
+# reference's fixed read_write_read_test! fixtures
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    finite = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+
+    @st.composite
+    def point_records(draw):
+        n = draw(st.integers(1, 8))
+        return [
+            S.ShapeRec(POINT, np.array([[draw(finite), draw(finite)]]))
+            for _ in range(n)
+        ]
+
+    @st.composite
+    def polyline_z_records(draw):
+        recs = []
+        for _ in range(draw(st.integers(1, 4))):
+            n_parts = draw(st.integers(1, 3))
+            counts = [draw(st.integers(2, 6)) for _ in range(n_parts)]
+            total = sum(counts)
+            xy = np.array(
+                [[draw(finite), draw(finite)] for _ in range(total)]
+            )
+            z = np.array([draw(finite) for _ in range(total)])
+            m = np.array([draw(finite) for _ in range(total)])
+            parts = np.cumsum([0] + counts[:-1])
+            recs.append(S.ShapeRec(13, xy, z=z, m=m, parts=parts))
+        return recs
+
+    @settings(max_examples=25, deadline=None)
+    @given(point_records())
+    def test_hypothesis_point_roundtrip(recs):
+        shp, shx = S.write_shp(recs)
+        _, got, nums = S.read_shp(shp, shx=shx)
+        shp2, shx2 = S.write_shp(got)
+        assert (shp, shx) == (shp2, shx2)  # byte-identical re-write
+        assert nums == list(range(1, len(recs) + 1))
+        for a, b in zip(recs, got):
+            assert np.array_equal(a.xy, b.xy)
+
+    @settings(max_examples=25, deadline=None)
+    @given(polyline_z_records())
+    def test_hypothesis_polyline_z_roundtrip(recs):
+        shp, shx = S.write_shp(recs)
+        _, got, nums = S.read_shp(shp, shx=shx)
+        shp2, _ = S.write_shp(got)
+        assert shp == shp2
+        for a, b in zip(recs, got):
+            assert np.array_equal(a.xy, b.xy)
+            assert np.array_equal(a.z, b.z)
+            assert np.array_equal(a.m, b.m)
+            assert np.array_equal(np.asarray(a.parts), np.asarray(b.parts))
