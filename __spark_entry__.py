@@ -156,6 +156,23 @@ def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "doc_id", "dist2", F.col("rank").alias("rnk"))
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN JOIN with a BIG query side: every page finds its 3
+    nearest pages (self included, rank 1 at distance 0) — the two-pass
+    histogram-priced cell join, no driver-side per-query state."""
+    from shapefile_rs_spark.operators.knn import knn_join
+
+    pages = _geopages(spark, sf_dir).select("doc_id", "lon", "lat")
+    qs = pages.select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+    )
+    return knn_join(pages, qs, k=3, res=5, point_id="doc_id").select(
+        "query_id", "doc_id", "dist2", F.col("rank").alias("rnk")
+    )
+
+
 def q_bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-bbox fold analog (G5: src/record/bbox.rs:106-126) over pages."""
     pages = _geopages(spark, sf_dir)
@@ -655,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_polygons": q_tile_polygons,
         "knn": q_knn,
         "knn_rings": q_knn_rings,
+        "knn_join": q_knn_join,
         "bbox_agg": q_bbox_agg,
         "cell_census": q_cell_census,
         "shapes_decode": q_shapes_decode,
@@ -728,6 +746,19 @@ SELECT query_id, doc_id, dist2, rnk FROM (
   FROM pages p CROSS JOIN {demo.knn_queries_values_sql()}
 ) WHERE rnk <= 5
 """
+    knn_join_src = f"""
+{_PAGES_CTE}
+SELECT query_id, doc_id, dist2, rnk FROM (
+  SELECT q.doc_id AS query_id, p.doc_id,
+         (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat) AS dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.doc_id
+           ORDER BY (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat) ASC,
+                    p.doc_id ASC
+         ) AS rnk
+  FROM pages q CROSS JOIN pages p
+) WHERE rnk <= 3
+"""
     tile_centers = """
 SELECT polygon_id, tile_x, tile_y FROM (
   SELECT pg.polygon_id, t1.tile_x, t2.tile_y,
@@ -753,6 +784,7 @@ FROM pages GROUP BY 1, 2
         "tile_polygons": tile_centers,
         "knn": knn_src,
         "knn_rings": knn_src,
+        "knn_join": knn_join_src,
         "bbox_agg": f"{_PAGES_CTE} SELECT MIN(lon) AS xmin, MIN(lat) AS ymin, MAX(lon) AS xmax, MAX(lat) AS ymax, COUNT(*) AS n FROM pages",
         "cell_census": f"""
 {_PAGES_CTE}

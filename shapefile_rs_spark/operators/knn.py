@@ -266,3 +266,145 @@ def knn_cells(
             "int",
         ],
     )
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int = 6,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    q_lon: str = "q_lon",
+    q_lat: str = "q_lat",
+) -> DataFrame:
+    """Distributed kNN JOIN — both sides big (the variant
+    :func:`knn_bruteforce` (small-query broadcast) and :func:`knn_cells`
+    (driver loop over a small query set) don't cover): every query row gets
+    its exact k nearest points, with no driver-side per-query state.
+
+    Exactly TWO distributed passes:
+
+    1. One aggregation builds the cell occupancy histogram (≤ 4^res rows —
+       collectable by construction for res ≤ 8); a driver-side summed-area
+       table prices, PER CELL, the minimal Chebyshev radius whose ring
+       holds ≥ k points.  That ≤4^res-row map broadcasts; each query reads
+       its start radius with a map-side join, explodes its ring, joins the
+       point index, and window-ranks — guaranteed ≥ k candidates per query.
+    2. Rows whose top-k is not yet PROVEN (kth > r·min_dim coverage bound)
+       re-run once with r = ceil(kth/min_dim) — sufficient by construction
+       (the round-1 kth is an upper bound on the true kth distance), so
+       pass 2 terminates every query.  Typically a small minority of
+       queries (those near cell boundaries/sparse regions) reach pass 2.
+
+    Output: (query_id, point_id, dist2, rank).  The only non-DataFrame
+    state is the ≤4^res histogram — everything else shuffles on cell keys.
+    """
+    if res > 8:
+        raise ValueError("knn_join histogram is exact up to res 8 (4^res cells)")
+    n_side = 1 << res
+    min_dim = min(360.0 / n_side, 180.0 / n_side)
+
+    pts = points.withColumn(
+        "_pcell", C.cell_id_col(F.col(lon_col), F.col(lat_col), res)
+    ).persist()
+
+    # pass-0 agg: histogram → per-cell start radius (driver SAT, tiny)
+    hist = pts.groupBy("_pcell").count().collect()
+    grid = np.zeros((n_side, n_side), dtype=np.int64)
+    _, hix, hiy = C.decode_cell(np.array([r["_pcell"] for r in hist], dtype=np.int64))
+    grid[hix, hiy] = [r["count"] for r in hist]
+    sat = np.zeros((n_side + 1, n_side + 1), dtype=np.int64)
+    sat[1:, 1:] = grid.cumsum(0).cumsum(1)
+
+    def ring_pop(ix, iy, r):
+        x0, x1 = max(ix - r, 0), min(ix + r, n_side - 1)
+        y0, y1 = max(iy - r, 0), min(iy + r, n_side - 1)
+        return int(sat[x1 + 1, y1 + 1] - sat[x0, y1 + 1] - sat[x1 + 1, y0] + sat[x0, y0])
+
+    total = int(grid.sum())
+    if total < k:
+        # degenerate: fewer points than k — single global ring covers all
+        r_map = None
+        r_global = n_side
+    else:
+        r_rows = []
+        for ix in range(n_side):
+            for iy in range(n_side):
+                r = 0
+                while ring_pop(ix, iy, r) < k and r < n_side:
+                    r += 1
+                r_rows.append((int(C.encode_ixiy(np.array([ix]), np.array([iy]), res)[0]), r))
+        r_map = _values_df(points.sparkSession, r_rows, ["_qcell0", "_r0"], ["long", "int"])
+        r_global = None
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def ring_cells(lon: pd.Series, lat: pd.Series, radius: pd.Series) -> pd.Series:
+        out = []
+        lon_v = lon.to_numpy(np.float64)
+        lat_v = lat.to_numpy(np.float64)
+        rad_v = radius.to_numpy()
+        base = C.cell_id(lon_v, lat_v, res)
+        for i in range(len(lon_v)):
+            out.append(C.k_ring(int(base[i]), int(rad_v[i])).tolist())
+        return pd.Series(out)
+
+    def ranked_pass(qs: DataFrame) -> DataFrame:
+        """qs must carry (_r) per row; returns top-k + per-query stats."""
+        cand = qs.withColumn(
+            "_qcell", F.explode(ring_cells(F.col(q_lon), F.col(q_lat), F.col("_r")))
+        ).join(pts, F.col("_qcell") == pts["_pcell"], "inner").withColumn(
+            "dist2", dist2_col(F.col(lon_col), F.col(lat_col), F.col(q_lon), F.col(q_lat))
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(point_id).asc())
+        wq = Window.partitionBy(query_id)
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("_n", F.count(F.lit(1)).over(wq))
+            .withColumn("_kth", F.max("dist2").over(wq))
+            .select(query_id, point_id, "dist2", "rank", q_lon, q_lat, "_r", "_n", "_kth")
+        )
+
+    base_q = queries.select(query_id, q_lon, q_lat)
+    if r_global is not None:
+        q1 = base_q.withColumn("_r", F.lit(int(r_global)))
+    else:
+        q1 = base_q.withColumn(
+            "_qcell0", C.cell_id_col(F.col(q_lon), F.col(q_lat), res)
+        ).join(F.broadcast(r_map), "_qcell0").withColumn(
+            "_r", F.greatest(F.lit(1), F.col("_r0"))
+        ).drop("_qcell0", "_r0")
+
+    pass1 = ranked_pass(q1).localCheckpoint(eager=True)  # output-sized
+    proven = (F.col("_n") >= k) & (
+        F.col("_kth") <= (F.col("_r") * F.lit(min_dim)) * (F.col("_r") * F.lit(min_dim))
+    )
+    done1 = pass1.filter(proven)
+
+    # pass 2: re-run ONLY the unproven queries at the radius their own
+    # round-1 kth bounds — sufficient, so no further passes are needed
+    redo = (
+        pass1.filter(~proven)
+        .select(query_id, q_lon, q_lat, "_kth")
+        .distinct()
+        .withColumn(
+            "_r",
+            F.greatest(
+                F.lit(1), F.ceil(F.sqrt(F.col("_kth")) / F.lit(min_dim)).cast("int")
+            ),
+        )
+        .drop("_kth")
+    )
+    done2 = ranked_pass(redo)
+
+    out_cols = [query_id, point_id, "dist2", "rank"]
+    result = (
+        done1.select(*out_cols)
+        .unionByName(done2.select(*out_cols))
+        .localCheckpoint(eager=True)  # output-sized; frees the cell index
+    )
+    pts.unpersist()
+    return result

@@ -290,3 +290,23 @@ def test_url_canonicalization_golden(spark):
     )
     rows = df.select(canonicalize_url(F.col("raw")).alias("got"), "want").collect()
     assert all(r["got"] == r["want"] for r in rows), rows
+
+
+def test_knn_join_big_query_side_matches_bruteforce(spark):
+    """Distributed kNN join (both sides big, two passes, no driver loop)
+    reproduces brute force bit-for-bit on 2000 queries x 5000 points."""
+    from shapefile_rs_spark.operators.knn import knn_bruteforce, knn_join
+
+    pts = spark.range(5000).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 2654435761) % 360000 / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 40503) % 180000 / 1000.0 - 90.0).alias("lat"),
+    )
+    qs = spark.range(2000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 97911) % 360000 / 1000.0 - 180.0).alias("q_lon"),
+        ((F.col("id") * 57885161) % 180000 / 1000.0 - 90.0).alias("q_lat"),
+    )
+    want = {tuple(r) for r in knn_bruteforce(pts, qs, k=3).collect()}
+    got = {tuple(r) for r in knn_join(pts, qs, k=3, res=5).collect()}
+    assert got == want and len(got) == 6000
