@@ -156,6 +156,33 @@ def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "doc_id", "dist2", F.col("rank").alias("rnk"))
 
 
+def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area (holes negative), perimeter, ring/vertex counts for
+    the demo polygon dim — measured through the WKB ring machinery, pinned
+    to analytically-derived goldens (rounded to 6 decimals on both sides
+    so IEEE summation order cannot split the hash)."""
+    from shapefile_rs_spark.operators.geostats import polygon_stats
+
+    stats = polygon_stats(demo.oracle_polygons_df(spark))
+    return stats.select(
+        "polygon_id",
+        "n_rings",
+        "n_outer",
+        "n_vertices",
+        F.round("area", 6).alias("area"),
+        F.round("perimeter", 6).alias("perimeter"),
+    )
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom-pyramid rollup z6→z3: per-tile page counts at every level via
+    hierarchical 4:1 parent aggregation (one base scan)."""
+    from shapefile_rs_spark.operators.tiles import assign_tiles, tile_pyramid
+
+    pages = _geopages(spark, sf_dir)
+    return tile_pyramid(assign_tiles(pages, z=6), from_z=6, to_z=3, count_col="n_pages")
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed kNN JOIN with a BIG query side: every page finds its 3
     nearest pages (self included, rank 1 at distance 0) — the two-pass
@@ -673,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_rings": q_knn_rings,
         "knn_join": q_knn_join,
+        "polygon_stats": q_polygon_stats,
+        "tile_pyramid": q_tile_pyramid,
         "bbox_agg": q_bbox_agg,
         "cell_census": q_cell_census,
         "shapes_decode": q_shapes_decode,
@@ -785,6 +814,13 @@ FROM pages GROUP BY 1, 2
         "knn": knn_src,
         "knn_rings": knn_src,
         "knn_join": knn_join_src,
+        "polygon_stats": """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 2, 1, 10, CAST(96.16 AS DOUBLE), CAST(48.08 AS DOUBLE)),
+  (CAST(2 AS BIGINT), 1, 1,  4, CAST(50.0  AS DOUBLE), CAST(32.36068 AS DOUBLE))
+) AS t(polygon_id, n_rings, n_outer, n_vertices, area, perimeter)
+""",
+        "tile_pyramid": _tile_pyramid_oracle(),
         "bbox_agg": f"{_PAGES_CTE} SELECT MIN(lon) AS xmin, MIN(lat) AS ymin, MAX(lon) AS xmax, MAX(lat) AS ymax, COUNT(*) AS n FROM pages",
         "cell_census": f"""
 {_PAGES_CTE}
@@ -1032,6 +1068,27 @@ SELECT doc_id, n_frames, UNNEST(range(0, n_frames, step)) AS frame_idx
 FROM stepped
 """,
     }
+
+
+def _tile_pyramid_oracle(from_z: int = 6, to_z: int = 3) -> str:
+    levels = []
+    for z in range(to_z, from_z + 1):
+        s = from_z - z
+        levels.append(
+            f"SELECT {z} AS tile_z, tile_x >> {s} AS tile_x, tile_y >> {s} AS tile_y,\n"
+            f"       CAST(COUNT(*) AS BIGINT) AS n_pages\n"
+            f"FROM base GROUP BY 1, 2, 3"
+        )
+    union = "\nUNION ALL\n".join(levels)
+    return f"""
+{_PAGES_CTE.rstrip()},
+base AS (
+  SELECT LEAST(63, GREATEST(0, CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS BIGINT))) AS tile_x,
+         LEAST(63, GREATEST(0, CAST(FLOOR((90.0 - lat) / 180.0 * 64.0) AS BIGINT))) AS tile_y
+  FROM pages
+)
+{union}
+"""
 
 
 def _url_canon_oracle() -> str:

@@ -123,3 +123,40 @@ def tile_polygon_assignment(
     joined = with_centers.join(F.broadcast(polygons.select(polygon_key, wkb_col)), polygon_key)
     inside = joined.filter(pip_refine(F.col(wkb_col), F.col("_clon"), F.col("_clat")))
     return inside.select(polygon_key, "tile_z", "tile_x", "tile_y")
+
+
+def tile_pyramid(
+    assignments: DataFrame,
+    from_z: int,
+    to_z: int,
+    count_col: str = "n",
+) -> DataFrame:
+    """Zoom-pyramid rollup: per-tile counts at every level to_z..from_z.
+
+    Hierarchical: level z-1 aggregates level z's ALREADY-AGGREGATED rows
+    (4:1 parent arithmetic, ``x >> 1``), so the base table is scanned once
+    and the whole pyramid costs ~4/3 of the base aggregation — the
+    standard tile-server precompute shape.  Counts are summed as BIGINT
+    (ANSI mode: overflow is loud, and tile counts fit comfortably).
+    """
+    assert from_z >= to_z
+    cur = (
+        assignments.groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .withColumn("tile_z", F.lit(from_z))
+    )
+    levels = [cur]
+    for z in range(from_z - 1, to_z - 1, -1):
+        cur = (
+            cur.groupBy(
+                F.shiftright("tile_x", 1).alias("tile_x"),
+                F.shiftright("tile_y", 1).alias("tile_y"),
+            )
+            .agg(F.sum(count_col).cast("bigint").alias(count_col))
+            .withColumn("tile_z", F.lit(z))
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("tile_z", "tile_x", "tile_y", count_col)

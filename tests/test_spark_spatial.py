@@ -319,3 +319,40 @@ def test_salted_join_sampled_census_same_rows(spark, sf_dir):
         ).collect()
     }
     assert sampled == full and len(full) > 0
+
+
+def test_polygon_stats_goldens(spark):
+    """Shoelace area subtracts holes; perimeter sums all rings."""
+    from shapefile_rs_spark import demo
+    from shapefile_rs_spark.operators.geostats import polygon_stats
+
+    rows = {
+        r["polygon_id"]: r
+        for r in polygon_stats(demo.oracle_polygons_df(spark)).collect()
+    }
+    assert rows[1]["n_rings"] == 2 and rows[1]["n_outer"] == 1
+    assert abs(rows[1]["area"] - 96.16) < 1e-9  # 10.01^2 - 2.01^2
+    assert abs(rows[1]["perimeter"] - 48.08) < 1e-9
+    assert rows[2]["n_rings"] == 1
+    assert abs(rows[2]["area"] - 50.0) < 1e-9
+
+
+def test_tile_pyramid_parent_sums(spark, sf_dir):
+    """Every parent tile's count equals the sum of its (up to 4) children;
+    every level totals the full row count."""
+    from shapefile_rs_spark.operators.tiles import assign_tiles, tile_pyramid
+    from shapefile_rs_spark.pages import geotag_pages, pages_from_documents
+
+    pages = geotag_pages(pages_from_documents(spark, sf_dir))
+    pyr = tile_pyramid(assign_tiles(pages, z=5), from_z=5, to_z=2).collect()
+    total = pages.count()
+    by_level = {}
+    for r in pyr:
+        by_level.setdefault(r["tile_z"], {})[(r["tile_x"], r["tile_y"])] = r["n"]
+    assert set(by_level) == {2, 3, 4, 5}
+    for z in by_level:
+        assert sum(by_level[z].values()) == total
+    for z in (5, 4, 3):
+        for (x, y), n in by_level[z].items():
+            parent = by_level[z - 1][(x >> 1, y >> 1)]
+            assert parent >= n  # child never exceeds its parent
