@@ -39,6 +39,32 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cell_col: str = "cell_id",
+    n_files: int = 32,
+) -> None:
+    """Write parquet range-partitioned AND sorted by the Morton cell id —
+    the data-skipping layout for spatial scans.
+
+    Morton (Z-order) ids linearize 2-D locality, so range-partitioning by
+    ``cell_col`` gives each output file a narrow, disjoint cell range and
+    every parquet row group tight min/max stats.  A later scan filtered to
+    a cell range (one polygon's covering, one tile's children) prunes all
+    but the touching files at planning time and the touching row groups at
+    read time — the parquet analog of the reference's shx-index seek
+    (src/reader.rs:412-468: jump to the records you need, read nothing
+    else).
+    """
+    (
+        df.repartitionByRange(n_files, cell_col)
+        .sortWithinPartitions(cell_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def cell_bucketed_join(
     spark: SparkSession,
     left_table: str,

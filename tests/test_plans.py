@@ -94,3 +94,39 @@ def test_bucketed_cell_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_pts_b")
         spark.sql("DROP TABLE IF EXISTS t_cov_b")
+
+
+def test_zordered_layout_skips_row_groups(spark, tmp_path):
+    """The Z-ordered layout must give parquet files disjoint, narrow cell
+    ranges (checked from the actual footers via pyarrow) so a cell-range
+    scan prunes most of the data — the shx-seek analog for object storage."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from shapefile_rs_spark.cells import cell_id_col
+    from shapefile_rs_spark.operators.bucketing import write_zordered
+
+    pts = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 7919) % 360000 / 1000.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729) % 180000 / 1000.0 - 90.0).alias("lat"),
+    ).withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), 8))
+    out = str(tmp_path / "zorder")
+    write_zordered(pts, out, n_files=16)
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}["cell_id"]
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    spans.sort()
+    assert len(spans) >= 8
+    # disjoint: each row group's range ends before the next begins
+    assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+    # a one-row-group-wide cell filter could skip everything else
+    lo, hi = spans[len(spans) // 2]
+    touching = sum(1 for a, b in spans if a <= hi and b >= lo)
+    assert touching <= 2
