@@ -676,6 +676,16 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the streaming stateful
+    sessionizer): 30-min-gap sessions per user via window lag + running
+    boundary sum; all-integer output."""
+    from shapefile_rs_spark.operators.sessions import gap_sessions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gap_sessions(events, gap_sec=1800)
+
+
 def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-rank top-3 users per event type (windows + sorts + limits)."""
     from pyspark.sql import Window
@@ -711,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
         "top_users": q_top_users,
         "tile_rollup": q_tile_rollup,
         "lang_set_ops": q_lang_set_ops,
@@ -906,6 +917,7 @@ SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """,
+        "user_sessions": _sessions_oracle(),
         "top_users": """
 SELECT event_type, user_id, n_events, rnk FROM (
   SELECT event_type, user_id, COUNT(*) AS n_events,
@@ -1141,3 +1153,9 @@ FROM pairs p
 JOIN sigs sa ON sa.id = p.id_a
 JOIN sigs sb ON sb.id = p.id_b
 """
+
+
+def _sessions_oracle() -> str:
+    from shapefile_rs_spark.operators.sessions import gap_sessions_sql
+
+    return gap_sessions_sql("events", gap_sec=1800)

@@ -310,3 +310,24 @@ def test_knn_join_big_query_side_matches_bruteforce(spark):
     want = {tuple(r) for r in knn_bruteforce(pts, qs, k=3).collect()}
     got = {tuple(r) for r in knn_join(pts, qs, k=3, res=5).collect()}
     assert got == want and len(got) == 6000
+
+
+def test_gap_sessions_splits_on_gap(spark):
+    """Events 30+ min apart start a new session; within-gap events chain."""
+    from shapefile_rs_spark.operators.sessions import gap_sessions
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00"),
+        (2, 10, "2024-01-01 00:10:00"),
+        (3, 10, "2024-01-01 01:00:00"),  # 50-min gap -> new session
+        (4, 20, "2024-01-01 00:00:00"),
+    ]
+    ev = spark.sql(
+        "SELECT col1 AS event_id, col2 AS user_id, CAST(col3 AS TIMESTAMP) AS ts FROM VALUES "
+        + ",".join(f"({a},{b},'{c}')" for a, b, c in rows)
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+        for r in gap_sessions(ev, gap_sec=1800).collect()
+    }
+    assert got == {(10, 1): (2, 600), (10, 2): (1, 0), (20, 1): (1, 0)}
