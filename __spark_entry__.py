@@ -524,6 +524,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _emb_queries(spark, sf_dir), centroids, k=5)
 
 
+def q_ann_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): each query searches its two nearest
+    cells — the recall dial of the IVF scale path."""
+    from shapefile_rs_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+    return ivf_topk(emb, _emb_queries(spark, sf_dir), centroids, k=5, nprobe=2)
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (hyperplane-LSH blocked) over the
     embeddings table with planted exact duplicates (vec_id + 100000)."""
@@ -731,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf2": q_ann_ivf2,
         "embed_neardup": q_embed_neardup,
         "text_quality": q_text_quality,
         "winnow_fp": q_winnow_fp,
@@ -984,6 +997,30 @@ WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
          FROM v CROSS JOIN c) WHERE r = 1),
      q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 4),
      qa AS (SELECT va.vec_id AS query_id, va.centroid_id FROM va WHERE va.vec_id < 4)
+SELECT query_id, vec_id, rnk FROM (
+  SELECT q.query_id, v.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(ve, qe) DESC, v.vec_id ASC) AS rnk
+  FROM q JOIN qa USING (query_id)
+         JOIN va ON va.centroid_id = qa.centroid_id
+         JOIN v ON v.vec_id = va.vec_id
+) WHERE rnk <= 5
+""",
+        "ann_ivf2": """
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+     va AS (SELECT vec_id, centroid_id FROM (
+         SELECT v.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(ve, ce) DESC, c.centroid_id ASC) AS r
+         FROM v CROSS JOIN c) WHERE r = 1),
+     q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 4),
+     qa AS (SELECT query_id, centroid_id FROM (
+         SELECT v.vec_id AS query_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(ve, ce) DESC, c.centroid_id ASC) AS r
+         FROM v CROSS JOIN c WHERE v.vec_id < 4) WHERE r <= 2)
 SELECT query_id, vec_id, rnk FROM (
   SELECT q.query_id, v.vec_id,
          ROW_NUMBER() OVER (PARTITION BY q.query_id

@@ -78,3 +78,35 @@ def cell_bucketed_join(
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)
     return left.join(right, on=on, how="inner")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    target_mb: int = 128,
+    sort_col: Optional[str] = None,
+) -> int:
+    """Small-file compaction: rewrite a landing directory's parquet into
+    ~``target_mb`` files (count estimated from the source footprint).
+    Streaming sinks and per-task writers accumulate tiny files whose
+    per-file open/footer cost dominates scans at scale; compaction is the
+    standing maintenance job every table format schedules.
+
+    ``sort_col`` additionally sorts within the output files (pair with the
+    Morton cell id for the :func:`write_zordered` layout).  Returns the
+    output file count.  Uses ``coalesce`` (no shuffle) unless sorting —
+    ``repartitionByRange`` then pays one shuffle to buy the clustered
+    layout."""
+    import glob
+    import os
+
+    total = sum(os.path.getsize(f) for f in glob.glob(os.path.join(src_dir, "*.parquet")))
+    n = max(1, round(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    if sort_col:
+        df = df.repartitionByRange(n, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.coalesce(n)
+    df.write.mode("overwrite").parquet(out_dir)
+    return len(glob.glob(os.path.join(out_dir, "*.parquet")))

@@ -205,17 +205,21 @@ def assign_centroids(
     centroid_id: str = "centroid_id",
     centroid_col: str = "c_embedding",
     carry_vec: bool = False,
+    n_assign: int = 1,
 ) -> DataFrame:
-    """(vec_id, centroid_id): nearest centroid by cosine (ties → lower id).
+    """(vec_id, centroid_id): the ``n_assign`` nearest centroids by cosine
+    (ties → lower id; one output row per assignment, nearest first).
 
     Centroid matrix rides the mapInPandas closure: one scan, one matmul +
-    argmax per Arrow batch — no crossJoin, no window shuffle.  Centroid
+    top-n per Arrow batch — no crossJoin, no window shuffle.  Centroid
     rows are sorted by id so numpy's first-max argmax IS the lower-id
-    tie-break.  ``carry_vec=True`` additionally emits the embedding column
+    tie-break; for n_assign > 1 a (cid, -cos) lexsort keeps the same
+    order.  ``carry_vec=True`` additionally emits the embedding column
     (as ``_v``, array<double>) so downstream consumers avoid a re-join
     against the vector table."""
     cids, Cn = _collect_matrix(centroids, centroid_id, centroid_col, normalize=True)
     cid_arr = np.asarray(cids)
+    n_assign = min(n_assign, len(cids))
     fields = [
         StructField(vec_id, vectors.schema[vec_id].dataType),
         StructField(centroid_id, centroids.schema[centroid_id].dataType),
@@ -231,10 +235,23 @@ def assign_centroids(
             V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             with np.errstate(invalid="ignore", divide="ignore"):
                 Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
-            best = np.argmax(Vn @ Cn.T, axis=1)  # first max = lowest cid
-            out = {vec_id: pdf[vec_id].to_numpy(), centroid_id: cid_arr[best]}
+            S = Vn @ Cn.T
+            if n_assign == 1:
+                best = np.argmax(S, axis=1)[:, None]  # first max = lowest cid
+            else:
+                # stable (cos desc, cid asc) order per row
+                order = np.lexsort(
+                    (np.broadcast_to(np.arange(S.shape[1]), S.shape), -S), axis=1
+                )
+                best = order[:, :n_assign]
+            reps = best.shape[1]
+            out = {
+                vec_id: np.repeat(pdf[vec_id].to_numpy(), reps),
+                centroid_id: cid_arr[best].ravel(),
+            }
             if carry_vec:
-                out["_v"] = [r.astype(np.float64) for r in V]
+                vs = [r.astype(np.float64) for r in V]
+                out["_v"] = [v for v in vs for _ in range(reps)]
             yield pd.DataFrame(out)
 
     return vectors.select(vec_id, vec_col).mapInPandas(assign, schema=out_schema)
@@ -251,19 +268,29 @@ def ivf_topk(
     query_col: str = "q_embedding",
     centroid_id: str = "centroid_id",
     centroid_col: str = "c_embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF (single-probe) approximate top-k: search only the query's cell.
+    """IVF approximate top-k: search the query's ``nprobe`` nearest cells.
 
     Recall < 1 by design (the oracle encodes the same approximation, so the
-    comparison is exact).  nprobe>1 = union over the n nearest centroids.
-    Plan: one assignment scan per side (embedding carried through — no
-    re-join against the vector table), broadcast the tiny assigned-query
-    set, Arrow-batched cosine on the in-cell candidates, window top-k."""
+    comparison is exact); raising ``nprobe`` trades candidates for recall.
+    Vectors stay single-assigned, so multi-probe never duplicates a
+    (query, vec) candidate pair.  Plan: one assignment scan per side
+    (embedding carried through — no re-join against the vector table),
+    broadcast the tiny assigned-query set, Arrow-batched cosine on the
+    in-cell candidates, window top-k."""
     v_assigned = assign_centroids(
         vectors, centroids, vec_id, vec_col, centroid_id, centroid_col, carry_vec=True
     )
     q_assigned = assign_centroids(
-        queries, centroids, query_id, query_col, centroid_id, centroid_col, carry_vec=True
+        queries,
+        centroids,
+        query_id,
+        query_col,
+        centroid_id,
+        centroid_col,
+        carry_vec=True,
+        n_assign=nprobe,
     ).withColumnRenamed("_v", "_q")
     cands = v_assigned.join(F.broadcast(q_assigned), on=centroid_id, how="inner")
     scored = cands.withColumn("_cos", cosine_pd(F.col("_v"), F.col("_q")))

@@ -331,3 +331,34 @@ def test_gap_sessions_splits_on_gap(spark):
         for r in gap_sessions(ev, gap_sec=1800).collect()
     }
     assert got == {(10, 1): (2, 600), (10, 2): (1, 0), (20, 1): (1, 0)}
+
+
+def test_ivf_multiprobe_improves_recall(spark):
+    """nprobe=2 candidates are a superset of nprobe=1's, so recall vs
+    brute force can only improve; with nprobe = all centroids IVF IS
+    brute force."""
+    from shapefile_rs_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(80)]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=3).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(emb, queries, centroids, k=3, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact), got
+
+    r1, _ = recall(1)
+    r2, _ = recall(2)
+    r_all, got_all = recall(4)
+    assert r1 <= r2 <= r_all
+    assert got_all == exact  # probing every cell recovers brute force

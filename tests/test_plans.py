@@ -130,3 +130,21 @@ def test_zordered_layout_skips_row_groups(spark, tmp_path):
     lo, hi = spans[len(spans) // 2]
     touching = sum(1 for a, b in spans if a <= hi and b >= lo)
     assert touching <= 2
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """20 tiny files compact into few; row multiset preserved."""
+    import glob
+
+    from shapefile_rs_spark.operators.bucketing import compact_parquet
+
+    src = str(tmp_path / "landing")
+    spark.range(20000).repartition(20).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 20
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_mb=128)
+    assert n < 20
+    a = spark.read.parquet(src).groupBy().sum("id").collect()[0][0]
+    b = spark.read.parquet(out).groupBy().sum("id").collect()[0][0]
+    assert a == b and spark.read.parquet(out).count() == 20000
