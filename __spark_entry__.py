@@ -195,7 +195,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"),
     )
-    return knn_join(pages, qs, k=3, res=5, point_id="doc_id").select(
+    return knn_join(pages, qs, k=3, res=8, point_id="doc_id").select(
         "query_id", "doc_id", "dist2", F.col("rank").alias("rnk")
     )
 

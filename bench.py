@@ -216,6 +216,16 @@ def ann_microbench(spark, n: int = 200_000, d: int = 64, nq: int = 4, k: int = 5
     }
 
 
+def _host_control(n: int = 1200) -> float:
+    """Fixed single-thread numpy workload (~0.1 s on a healthy host)."""
+    import numpy as np
+
+    a = np.random.default_rng(5).normal(size=(n, n))
+    t0 = time.time()
+    (a @ a).sum()
+    return round(time.time() - t0, 4)
+
+
 def _timed(plan_fn) -> float:
     t0 = time.time()
     plan_fn().count()
@@ -265,6 +275,10 @@ def main():
         "cpus": CPUS,
         "codec": codec_microbench(),
         "ann": ann_microbench(spark),
+        # single-thread numpy control: the host's effective speed varies
+        # >3x between runs (documented in BASELINE.md) — divide suite
+        # numbers by (host_control_sec / 0.1) to normalize across phases
+        "host_control_sec": _host_control(),
     }
     spark.stop()
 

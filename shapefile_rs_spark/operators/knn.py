@@ -290,9 +290,10 @@ def knn_join(
     1. One aggregation builds the cell occupancy histogram (≤ 4^res rows —
        collectable by construction for res ≤ 8); a driver-side summed-area
        table prices, PER CELL, the minimal Chebyshev radius whose ring
-       holds ≥ k points.  That ≤4^res-row map broadcasts; each query reads
-       its start radius with a map-side join, explodes its ring, joins the
-       point index, and window-ranks — guaranteed ≥ k candidates per query.
+       holds ≥ k points (one vectorized whole-grid pass per radius).  The
+       radius grid (≤512 KB) rides the ring UDF's closure; each query looks
+       up its start radius map-side, explodes its ring, joins the point
+       index, and window-ranks — guaranteed ≥ k candidates per query.
     2. Rows whose top-k is not yet PROVEN (kth > r·min_dim coverage bound)
        re-run once with r = ceil(kth/min_dim) — sufficient by construction
        (the round-1 kth is an upper bound on the true kth distance), so
@@ -327,18 +328,30 @@ def knn_join(
     total = int(grid.sum())
     if total < k:
         # degenerate: fewer points than k — single global ring covers all
-        r_map = None
-        r_global = n_side
+        r_of = np.full((n_side, n_side), n_side, dtype=np.int64)
     else:
-        r_rows = []
-        for ix in range(n_side):
-            for iy in range(n_side):
-                r = 0
-                while ring_pop(ix, iy, r) < k and r < n_side:
-                    r += 1
-                r_rows.append((int(C.encode_ixiy(np.array([ix]), np.array([iy]), res)[0]), r))
-        r_map = _values_df(points.sparkSession, r_rows, ["_qcell0", "_r0"], ["long", "int"])
-        r_global = None
+        # whole-grid radius pricing: one vectorized SAT pass per radius,
+        # assigning each cell the first r whose ring holds >= k points.
+        # The grid (n_side² int64, ≤512 KB at res 8) rides the UDF closure
+        # — no broadcast join, no VALUES parse.
+        gx, gy = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+        r_of = np.full((n_side, n_side), -1, dtype=np.int64)
+        for r in range(n_side + 1):
+            x0 = np.clip(gx - r, 0, n_side - 1)
+            x1 = np.clip(gx + r, 0, n_side - 1)
+            y0 = np.clip(gy - r, 0, n_side - 1)
+            y1 = np.clip(gy + r, 0, n_side - 1)
+            pop = sat[x1 + 1, y1 + 1] - sat[x0, y1 + 1] - sat[x1 + 1, y0] + sat[x0, y0]
+            newly = (r_of < 0) & (pop >= k)
+            r_of[newly] = r
+            if (r_of >= 0).all():
+                break
+        r_of[r_of < 0] = n_side
+
+    @F.pandas_udf("int")
+    def radius_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        ix, iy = C.lonlat_to_ixiy(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res)
+        return pd.Series(np.maximum(1, r_of[ix, iy]).astype(np.int32))
 
     @F.pandas_udf(ArrayType(LongType()))
     def ring_cells(lon: pd.Series, lat: pd.Series, radius: pd.Series) -> pd.Series:
@@ -369,14 +382,7 @@ def knn_join(
         )
 
     base_q = queries.select(query_id, q_lon, q_lat)
-    if r_global is not None:
-        q1 = base_q.withColumn("_r", F.lit(int(r_global)))
-    else:
-        q1 = base_q.withColumn(
-            "_qcell0", C.cell_id_col(F.col(q_lon), F.col(q_lat), res)
-        ).join(F.broadcast(r_map), "_qcell0").withColumn(
-            "_r", F.greatest(F.lit(1), F.col("_r0"))
-        ).drop("_qcell0", "_r0")
+    q1 = base_q.withColumn("_r", radius_of(F.col(q_lon), F.col(q_lat)))
 
     pass1 = ranked_pass(q1).localCheckpoint(eager=True)  # output-sized
     proven = (F.col("_n") >= k) & (
