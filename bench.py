@@ -66,6 +66,8 @@ def run_queries(spark, sf_dir, names=None, repeats: int = 2):
     noise-robust estimator (CLAUDE.md host-noise notes)."""
     import __spark_entry__ as E
 
+    import gc
+
     qs = E.queries()
     times = {}
     for name, fn in qs.items():
@@ -77,6 +79,11 @@ def run_queries(spark, sf_dir, names=None, repeats: int = 2):
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        # drop the query's frames NOW: localCheckpoint/persist blocks are
+        # freed by ContextCleaner only after the python refs die, and 25
+        # queries of lazily-retained blocks measurably degrade later
+        # queries on this memory-sensitive host
+        gc.collect()
     return times
 
 
@@ -216,13 +223,15 @@ def ann_microbench(spark, n: int = 200_000, d: int = 64, nq: int = 4, k: int = 5
     }
 
 
-def _host_control(n: int = 1200) -> float:
-    """Fixed single-thread numpy workload (~0.1 s on a healthy host)."""
+def _host_control(n: int = 4_000_000) -> float:
+    """Fixed SINGLE-thread numpy workload (~0.3 s healthy): sort, which
+    BLAS cannot parallelize (a matmul control read 9 ms — OpenBLAS used
+    all 32 threads)."""
     import numpy as np
 
-    a = np.random.default_rng(5).normal(size=(n, n))
+    a = np.random.default_rng(5).normal(size=n)
     t0 = time.time()
-    (a @ a).sum()
+    np.sort(a)
     return round(time.time() - t0, 4)
 
 
