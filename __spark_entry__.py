@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shapefile_rs_spark import demo
@@ -688,6 +688,39 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source × lang count pivot (Spark's pivot() relational operator;
+    DuckDB twin spells the equivalent conditional aggregation)."""
+    docs = _docs(spark, sf_dir)
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_LANGS)
+    )
+    return out.select("source", *[F.col(l).alias(f"n_{l}") for l in _PIVOT_LANGS])
+
+
+def q_doc_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length deciles per language (NTILE window) → per-decile doc counts
+    and char spans — the distribution-profiling query every corpus audit
+    starts with."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming stateful
     sessionizer): 30-min-gap sessions per user via window lag + running
@@ -734,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
+        "lang_pivot": q_lang_pivot,
+        "doc_ntile": q_doc_ntile,
         "top_users": q_top_users,
         "tile_rollup": q_tile_rollup,
         "lang_set_ops": q_lang_set_ops,
@@ -931,6 +966,24 @@ SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
 FROM events GROUP BY 1, 2
 """,
         "user_sessions": _sessions_oracle(),
+        "lang_pivot": (
+            "SELECT source, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{l}"
+                for l in _PIVOT_LANGS
+            )
+            + " FROM documents GROUP BY source"
+        ),
+        "doc_ntile": """
+WITH d AS (
+  SELECT lang, n_chars,
+         NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT lang, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM d GROUP BY 1, 2
+""",
         "top_users": """
 SELECT event_type, user_id, n_events, rnk FROM (
   SELECT event_type, user_id, COUNT(*) AS n_events,
