@@ -48,13 +48,17 @@ class CheckpointedPipeline:
                 return json.load(fh)
         return {"snapshots": [], "stages": {}}
 
-    def _commit(self, stage: str, entry: dict) -> None:
+    def _commit(self, stage: str, entry: dict, files: Optional[List[str]] = None) -> None:
         manifest = self._load()
         snapshot = {
             "snapshot_id": uuid.uuid4().hex,
             "parent_id": manifest["snapshots"][-1]["snapshot_id"] if manifest["snapshots"] else None,
             "ts": time.time(),
             "stage": stage,
+            # Iceberg-style file manifest: the exact data files this
+            # snapshot comprises — the basis of time travel (appends only
+            # ADD files, so older snapshots read an older file subset)
+            "files": sorted(files or []),
         }
         manifest["snapshots"].append(snapshot)
         manifest["stages"][stage] = {**entry, "snapshot_id": snapshot["snapshot_id"]}
@@ -62,6 +66,33 @@ class CheckpointedPipeline:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1)
         os.replace(tmp, self.manifest_path)  # atomic commit
+
+    def _stage_files(self, stage: str) -> List[str]:
+        data_dir = self.stage_path(stage)
+        out: List[str] = []
+        for base, _, names in os.walk(data_dir):
+            out.extend(os.path.join(base, n) for n in names if n.endswith(".parquet"))
+        return out
+
+    def read_snapshot(self, stage: str, snapshot_id: Optional[str] = None) -> DataFrame:
+        """Time travel: read the stage AS OF ``snapshot_id`` (default: its
+        latest snapshot) — exactly the files that snapshot's manifest
+        lists, so appends made later are invisible."""
+        manifest = self._load()
+        snaps = [s for s in manifest["snapshots"] if s["stage"] == stage]
+        if snapshot_id is not None:
+            snaps = [s for s in snaps if s["snapshot_id"] == snapshot_id]
+        if not snaps:
+            raise KeyError(f"no snapshot for stage {stage!r} (id={snapshot_id!r})")
+        files = snaps[-1]["files"]
+        return self.spark.read.parquet(*files)
+
+    def snapshots(self, stage: Optional[str] = None) -> List[dict]:
+        return [
+            s
+            for s in self._load()["snapshots"]
+            if stage is None or s["stage"] == stage
+        ]
 
     def completed(self, stage: str) -> bool:
         return stage in self._load()["stages"]
@@ -134,6 +165,7 @@ class CheckpointedPipeline:
                 "partitions": len(lineage_rows),
                 "wall_ms": wall_ms,
             },
+            files=self._stage_files(stage),
         )
         return self.spark.read.parquet(data_dir)
 
@@ -176,5 +208,6 @@ class CheckpointedPipeline:
                 "partitions": prev["partitions"],
                 "wall_ms": int((time.time() - t0) * 1000),
             },
+            files=self._stage_files(stage),
         )
         return self.spark.read.parquet(data_dir)

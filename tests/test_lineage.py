@@ -83,3 +83,25 @@ def test_append_delta_anti_join(spark, tmp_path):
         "urls", spark.range(5, 15).select(F.col("id").alias("url_id")), key_cols=["url_id"]
     )
     assert again.count() == 15
+
+
+def test_time_travel_reads_snapshot_file_subset(spark, tmp_path):
+    """Appends add files; reading an earlier snapshot sees only the files
+    its manifest listed — rows appended later are invisible."""
+    from shapefile_rs_spark.lineage import CheckpointedPipeline
+
+    pipe = CheckpointedPipeline(spark, str(tmp_path / "tt"))
+    pipe.run_stage("docs", lambda: spark.range(10).withColumnRenamed("id", "k"))
+    s1 = pipe.snapshots("docs")[-1]["snapshot_id"]
+    pipe.append_delta("docs", spark.range(10, 15).withColumnRenamed("id", "k"), ["k"])
+    s2 = pipe.snapshots("docs")[-1]["snapshot_id"]
+    assert s1 != s2
+
+    assert pipe.read_snapshot("docs", s1).count() == 10
+    assert pipe.read_snapshot("docs", s2).count() == 15
+    assert pipe.read_snapshot("docs").count() == 15  # latest by default
+    assert sorted(r["k"] for r in pipe.read_snapshot("docs", s1).collect()) == list(range(10))
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        pipe.read_snapshot("docs", "nope")
