@@ -174,6 +174,70 @@ def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMPLIFY_WKB_HEX = (
+    "01050000000100000001020000000800000000000000000000000000000000000000"
+    "000000000000f03f9a9999999999b93f00000000000000409a9999999999b9bf"
+    "00000000000008409a9999999999b93f00000000000010409a9999999999b9bf"
+    "0000000000001440000000000000000000000000000018400000000000000840"
+    "00000000000024400000000000000000"
+)
+
+
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker simplification of a pinned 8-vertex zigzag at
+    tolerance 0.5: the 0.1-deviation middle chain collapses, the (6,3)
+    elbow survives — output vertices exploded against a golden oracle."""
+    from shapefile_rs_spark.operators.geostats import simplify_polylines
+
+    lines = spark.sql(
+        f"SELECT CAST(1 AS BIGINT) AS line_id, X'{_SIMPLIFY_WKB_HEX}' AS wkb"
+    )
+    simp = simplify_polylines(lines, tolerance=0.5)
+
+    def explode_verts(batches):
+        import numpy as np
+        import pandas as pd
+
+        from shapefile_rs_spark.geom.wkb import parse_wkb
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                _, parts = parse_wkb(bytes(row["wkb"]))
+                xy = np.vstack(parts)
+                for i, (x, y) in enumerate(xy):
+                    out.append(
+                        (row["line_id"], row["n_vertices_in"], row["n_vertices_out"], i, x, y)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "line_id", "n_vertices_in", "n_vertices_out", "vertex_idx", "x", "y",
+                ],
+            )
+
+    return simp.mapInPandas(
+        explode_verts,
+        schema="line_id bigint, n_vertices_in int, n_vertices_out int, "
+        "vertex_idx int, x double, y double",
+    )
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source convex hull of the page cloud (grouped-map
+    applyInPandas).  Hull construction is not reasonably SQL-expressible —
+    this entry intentionally has no oracle twin (driver rows-only check);
+    exactness is pinned by pytest goldens instead."""
+    from shapefile_rs_spark.operators.geostats import convex_hull_per_group
+
+    pages = _geopages(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    pts = pages.join(docs, "doc_id")
+    return convex_hull_per_group(pts, ["source"]).select(
+        "source", "n_hull_vertices", F.round("hull_area", 6).alias("hull_area")
+    )
+
+
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zoom-pyramid rollup z6→z3: per-tile page counts at every level via
     hierarchical 4:1 parent aggregation (one base scan)."""
@@ -756,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rings": q_knn_rings,
         "knn_join": q_knn_join,
         "polygon_stats": q_polygon_stats,
+        "simplify": q_simplify,
+        "convex_hull": q_convex_hull,
         "tile_pyramid": q_tile_pyramid,
         "bbox_agg": q_bbox_agg,
         "cell_census": q_cell_census,
@@ -878,6 +944,14 @@ SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 2, 1, 10, CAST(96.16 AS DOUBLE), CAST(48.08 AS DOUBLE)),
   (CAST(2 AS BIGINT), 1, 1,  4, CAST(50.0  AS DOUBLE), CAST(32.36068 AS DOUBLE))
 ) AS t(polygon_id, n_rings, n_outer, n_vertices, area, perimeter)
+""",
+        "simplify": """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 8, 4, 0, CAST(0  AS DOUBLE), CAST(0 AS DOUBLE)),
+  (CAST(1 AS BIGINT), 8, 4, 1, CAST(5  AS DOUBLE), CAST(0 AS DOUBLE)),
+  (CAST(1 AS BIGINT), 8, 4, 2, CAST(6  AS DOUBLE), CAST(3 AS DOUBLE)),
+  (CAST(1 AS BIGINT), 8, 4, 3, CAST(10 AS DOUBLE), CAST(0 AS DOUBLE))
+) AS t(line_id, n_vertices_in, n_vertices_out, vertex_idx, x, y)
 """,
         "tile_pyramid": _tile_pyramid_oracle(),
         "bbox_agg": f"{_PAGES_CTE} SELECT MIN(lon) AS xmin, MIN(lat) AS ymin, MAX(lon) AS xmax, MAX(lat) AS ymax, COUNT(*) AS n FROM pages",

@@ -356,3 +356,43 @@ def test_tile_pyramid_parent_sums(spark, sf_dir):
         for (x, y), n in by_level[z].items():
             parent = by_level[z - 1][(x >> 1, y >> 1)]
             assert parent >= n  # child never exceeds its parent
+
+
+def test_simplify_polylines_dp(spark):
+    """Douglas-Peucker: near-collinear vertices drop at loose tolerance,
+    survive at tight tolerance; endpoints always kept."""
+    import numpy as np
+
+    from shapefile_rs_spark.geom.wkb import multilinestring_wkb, parse_wkb
+    from shapefile_rs_spark.operators.geostats import simplify_polylines
+
+    # zig line: (0,0)->(5,0.1)->(10,0)->(15,5) ; middle dev 0.1
+    line = np.array([[0, 0], [5, 0.1], [10, 0], [15, 5]], float)
+    df = spark.createDataFrame(
+        [(1, bytearray(multilinestring_wkb([line])))], "line_id bigint, wkb binary"
+    )
+    loose = simplify_polylines(df, tolerance=0.5).collect()[0]
+    assert (loose["n_vertices_in"], loose["n_vertices_out"]) == (4, 3)
+    _, parts = parse_wkb(bytes(loose["wkb"]))
+    assert np.allclose(parts[0][[0, -1]], line[[0, -1]])  # endpoints kept
+    tight = simplify_polylines(df, tolerance=0.01).collect()[0]
+    assert tight["n_vertices_out"] == 4
+
+
+def test_convex_hull_per_group(spark):
+    """applyInPandas hull: square + interior points -> 4-vertex hull of
+    area 100; hull ring is CW (shapefile OUTER convention)."""
+    from shapefile_rs_spark.geom import rings as R
+    from shapefile_rs_spark.geom.wkb import parse_wkb
+    from shapefile_rs_spark.operators.geostats import convex_hull_per_group
+
+    rows = [("a", x, y) for x in (0.0, 10.0) for y in (0.0, 10.0)]
+    rows += [("a", 5.0, 5.0), ("a", 2.0, 7.0)]  # interior
+    rows += [("b", 0.0, 0.0), ("b", 1.0, 1.0)]  # degenerate 2-point group
+    df = spark.createDataFrame(rows, "g string, lon double, lat double")
+    out = {r["g"]: r for r in convex_hull_per_group(df, ["g"]).collect()}
+    assert out["a"]["n_hull_vertices"] == 4
+    assert abs(out["a"]["hull_area"] - 100.0) < 1e-9
+    _, payload = parse_wkb(bytes(out["a"]["wkb"]))
+    assert R.ring_role(payload[0][0]) == R.OUTER
+    assert out["b"]["hull_area"] == 0.0
