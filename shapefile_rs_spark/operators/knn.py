@@ -385,6 +385,12 @@ def knn_join(
     q1 = base_q.withColumn("_r", radius_of(F.col(q_lon), F.col(q_lat)))
 
     pass1 = ranked_pass(q1).localCheckpoint(eager=True)  # output-sized
+    if total < k:
+        # degenerate: pass 1 ran at r = n_side and saw EVERY point — the
+        # _n >= k guarantee can never hold, and a pass 2 at ceil(kth/dim)
+        # would SHRINK the ring and drop rows.  pass 1 is already complete.
+        pts.unpersist()
+        return pass1.select(query_id, point_id, "dist2", "rank")
     proven = (F.col("_n") >= k) & (
         F.col("_kth") <= (F.col("_r") * F.lit(min_dim)) * (F.col("_r") * F.lit(min_dim))
     )

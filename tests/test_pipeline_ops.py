@@ -362,3 +362,23 @@ def test_ivf_multiprobe_improves_recall(spark):
     r_all, got_all = recall(4)
     assert r1 <= r2 <= r_all
     assert got_all == exact  # probing every cell recovers brute force
+
+
+def test_knn_join_fewer_points_than_k(spark):
+    """total points < k: every query still gets all existing points,
+    exactly like brute force (the degenerate full-ring path)."""
+    from shapefile_rs_spark.operators.knn import knn_bruteforce, knn_join
+
+    pts = spark.range(2).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") * 10.0).alias("lon"),
+        (F.col("id") * 5.0).alias("lat"),
+    )
+    qs = spark.range(3).select(
+        F.col("id").alias("query_id"),
+        (F.col("id") * 3.0).alias("q_lon"),
+        (F.col("id") * 2.0).alias("q_lat"),
+    )
+    want = {tuple(r) for r in knn_bruteforce(pts, qs, k=5).collect()}
+    got = {tuple(r) for r in knn_join(pts, qs, k=5, res=4).collect()}
+    assert got == want and len(got) == 6
