@@ -76,7 +76,10 @@ def run_queries(spark, sf_dir, names=None, repeats: int = 2):
         best = float("inf")
         for _ in range(repeats):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            # noop sink materializes EVERY column — .count() would let
+            # Catalyst prune map-only projections and time the bare scan
+            # (the CLAUDE.md profiling rule)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
         # drop the query's frames NOW: localCheckpoint/persist blocks are

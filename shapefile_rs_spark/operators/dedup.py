@@ -473,33 +473,45 @@ def dedup_clusters(
     labels = (
         edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
     ).persist()
-    # sum of labels strictly decreases until the fixed point (ANSI mode:
-    # decimal accumulator so huge ids cannot overflow loudly)
-    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+    # fixed-point check is id-type-agnostic: labels only decrease, so the
+    # round is a no-op exactly when no row's label changed (a decimal-sum
+    # shortcut would crash ANSI-cast on string ids)
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("comp").alias("_nbr"))
         )
-        stepped = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select("id", F.least(F.col("comp"), F.coalesce("_nbr", "comp")).alias("comp"))
+        stepped = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            "id",
+            F.col("comp").alias("_prev"),
+            F.least(F.col("comp"), F.coalesce("_nbr", "comp")).alias("comp"),
         )
         hop = stepped.select(F.col("id").alias("_hid"), F.col("comp").alias("_hcomp"))
         jumped = (
             stepped.join(hop, stepped["comp"] == hop["_hid"], "left")
-            .select("id", F.least(F.col("comp"), F.coalesce("_hcomp", "comp")).alias("comp"))
+            .select(
+                "id",
+                "_prev",
+                F.least(F.col("comp"), F.coalesce("_hcomp", "comp")).alias("comp"),
+            )
             .persist()
         )
-        cur_sum = jumped.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        n_changed = jumped.agg(
+            F.sum(F.when(F.col("comp") != F.col("_prev"), 1).otherwise(0)).alias("n")
+        ).collect()[0]["n"]
         labels.unpersist()
         labels = jumped
-        if cur_sum == prev_sum:
+        if not n_changed:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} rounds; "
+            "raise max_iter (component diameter exceeds 2^rounds)"
+        )
     out = labels.select("id", F.col("comp").alias("cluster_id"))
     # the caller consumes a cached frame; hand over a checkpointed copy so
     # the loop's last persist can be released without recompute

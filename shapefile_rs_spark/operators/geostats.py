@@ -84,6 +84,8 @@ def _dp_mask(xy: np.ndarray, tol: float) -> np.ndarray:
     """Douglas-Peucker keep-mask (iterative stack, perpendicular distance).
     Endpoints always kept; classic O(n log n) expected."""
     n = len(xy)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[n - 1] = True
     stack = [(0, n - 1)]

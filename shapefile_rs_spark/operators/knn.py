@@ -64,15 +64,23 @@ def knn_bruteforce(
 
 def _sql_lit(v) -> str:
     """SQL literal for VALUES row rebuilds (int/float/str/None)."""
+    import math
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, float):
-        return f"CAST({v!r} AS DOUBLE)"  # repr round-trips IEEE doubles
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST({v!r} AS DOUBLE)"  # repr round-trips finite IEEE doubles
     if isinstance(v, int):
         return str(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # Spark SQL string literals process backslash escapes — double them
+    # BEFORE quote-doubling so '\n' stays two characters
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _values_df(spark, rows, colnames, casts=None) -> DataFrame:

@@ -55,5 +55,14 @@ def python_eval_nodes(df: DataFrame) -> list:
 
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans — widen them (CLAUDE.md: a
-    single expression choice can silently drop a 20× span)."""
-    return executed_plan(df).count("WholeStageCodegen")
+    single expression choice can silently drop a 20× span).  The text
+    plan renders each span as a ``*(n)`` node prefix (the literal string
+    'WholeStageCodegen' never appears), so count distinct span ids.
+
+    Caveat: a plan containing an Exchange prints as an un-finalized
+    ``AdaptiveSparkPlan`` with NO codegen annotations until it executes —
+    run an action first (or inspect a map-only sub-plan) before counting;
+    this helper is reliable as-is for exchange-free plans."""
+    import re
+
+    return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))

@@ -139,9 +139,10 @@ def _parse_value(f: DbfField, raw: bytes, encoding: str):
         if len(raw) < 8:
             return None
         jdn, ms = struct.unpack("<ii", raw[:8])
-        if jdn == 0:
-            return None
-        day = datetime.date.fromordinal(jdn - 1721425)  # JDN(0001-01-01)=1721426
+        ordinal = jdn - 1721425  # JDN(0001-01-01)=1721426
+        if not 1 <= ordinal <= datetime.date.max.toordinal():
+            return None  # zero/corrupt sidecar values tolerate as None
+        day = datetime.date.fromordinal(ordinal)
         return datetime.datetime.combine(day, datetime.time()) + datetime.timedelta(
             milliseconds=ms
         )

@@ -594,6 +594,14 @@ def read_shp_bulk(
                 raise _BulkUnsupported("nonzero first part offset")
             if (parts < 0).any() or (parts.astype(np.int64) > np.repeat(n, p)).any():
                 raise _BulkUnsupported("part offset out of range")
+            # non-monotonic offsets (e.g. [0, 5, 3]) decode sequentially
+            # (empty/overlapping parts) but break the bulk WKB assembler —
+            # fall back rather than fail the scan task
+            ok = parts[1:] >= parts[:-1]
+            crossings = part_offsets[1:-1] - 1
+            ok[crossings[(crossings >= 0) & (crossings < len(ok))]] = True
+            if not ok.all():
+                raise _BulkUnsupported("non-monotonic part offsets")
         if st == MULTIPATCH:
             patch_types = _gather_elems(base, body + 40 + 4 * p, 4 * p, "<i4")
             if len(patch_types) and not np.isin(
@@ -695,7 +703,11 @@ def bulk_to_records(bulk: BulkShapes) -> tuple:
         rec.z_range = tuple(zr_list[i]) if zr_list is not None else None
         if mr_list is not None:
             mr = mr_list[i]
-            if mr[0] != mr[0]:  # NaN marker: record had no M block
+            # per-record with_m flag decides "no M block", NOT a NaN
+            # marker — a genuinely stored NaN m_range must round-trip
+            # byte-identically like the sequential path
+            no_m_block = bulk.with_m is not None and not bool(bulk.with_m[i])
+            if no_m_block and not is_point_family(st):
                 rec.m_range = (NO_DATA, NO_DATA) if n_pts[i] else None
             else:
                 rec.m_range = tuple(mr)
