@@ -382,3 +382,34 @@ def test_knn_join_fewer_points_than_k(spark):
     want = {tuple(r) for r in knn_bruteforce(pts, qs, k=5).collect()}
     got = {tuple(r) for r in knn_join(pts, qs, k=5, res=4).collect()}
     assert got == want and len(got) == 6
+
+
+def test_dedup_clusters_string_ids_distributed(spark):
+    """Review regression: the distributed path must work for string ids
+    (the natural URL-id case) and raise loudly on non-convergence."""
+    from shapefile_rs_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.sql(
+        "SELECT * FROM VALUES ('u1','u2'),('u2','u3'),('x9','x8') AS t(id_a, id_b)"
+    )
+    got = {(r["id"], r["cluster_id"]) for r in dedup_clusters(pairs, driver_threshold=0).collect()}
+    assert got == {("u1", "u1"), ("u2", "u1"), ("u3", "u1"), ("x8", "x8"), ("x9", "x8")}
+
+    chain = spark.sql(
+        "SELECT * FROM VALUES " + ",".join(f"({i},{i+1})" for i in range(8)) + " AS t(id_a, id_b)"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, driver_threshold=0, max_iter=1)
+
+
+def test_values_df_escaping_roundtrip(spark):
+    """Review regression: backslashes and quotes survive the VALUES
+    literal rebuild; NaN/Infinity floats produce valid SQL."""
+    from shapefile_rs_spark.operators.knn import _values_df
+
+    rows = [["a\\nb", 1.5], ["tail\\", float("inf")], ["o'brien", float("nan")]]
+    got = {r["s"]: r["v"] for r in _values_df(spark, rows, ["s", "v"]).collect()}
+    assert set(got) == {"a\\nb", "tail\\", "o'brien"}
+    assert got["a\\nb"] == 1.5
+    assert got["tail\\"] == float("inf")
+    assert got["o'brien"] != got["o'brien"]  # NaN

@@ -436,3 +436,30 @@ if _HYP:
             assert np.array_equal(a.z, b.z)
             assert np.array_equal(a.m, b.m)
             assert np.array_equal(np.asarray(a.parts), np.asarray(b.parts))
+
+
+def test_bulk_nonmonotonic_parts_fall_back_and_nan_mrange_roundtrip():
+    """Review regressions: (a) non-monotonic part offsets send the file to
+    the sequential reader instead of failing the scan; (b) a genuinely
+    stored NaN m_range round-trips byte-identically through the bulk path
+    (per-record with_m flag, not a NaN marker)."""
+    from shapefile_rs_spark.shapelib.shptypes import POLYLINE_M
+
+    rec = S.ShapeRec(POLYLINE, np.arange(16, dtype=float).reshape(8, 2), parts=[0, 5, 3])
+    shp, shx = roundtrip([rec])[0:2]
+    with pytest.raises(S._BulkUnsupported):
+        S.read_shp_bulk(shp, shx)
+    _, recs, _ = S.read_shp(shp, shx=shx)  # index-guided sequential fallback
+    assert recs[0].xy.shape == (8, 2)
+
+    mrec = S.ShapeRec(
+        POLYLINE_M,
+        np.arange(8, dtype=float).reshape(4, 2),
+        parts=[0],
+        m=np.array([1.0, 2.0, 3.0, 4.0]),
+        m_range=(float("nan"), 4.0),
+    )
+    shp2, shx2 = S.write_shp([mrec])
+    r_bulk, _ = S.bulk_to_records(S.read_shp_bulk(shp2, shx2))
+    assert np.isnan(r_bulk[0].m_range[0]) and r_bulk[0].m_range[1] == 4.0
+    assert S.write_shp(r_bulk)[0] == shp2  # byte-identical rewrite
