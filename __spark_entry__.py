@@ -183,6 +183,54 @@ _SIMPLIFY_WKB_HEX = (
 )
 
 
+def q_wkt_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB → canonical WKT text (the human-readable geometry export every
+    GIS downstream expects) over the demo polygon dim; golden-string
+    oracle (deterministic shortest-round-trip number formatting)."""
+
+    def to_wkt(batches):
+        import pandas as pd
+
+        from shapefile_rs_spark.geom.wkb import wkt_from_wkb
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "polygon_id": pdf["polygon_id"],
+                    "wkt": [wkt_from_wkb(bytes(b)) for b in pdf["wkb"]],
+                }
+            )
+
+    return demo.oracle_polygons_df(spark).mapInPandas(
+        to_wkt, schema="polygon_id bigint, wkt string"
+    )
+
+
+def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN under great-circle (haversine) distance — the geodesic metric
+    real lat/lon data wants.  Rank-only output: trig functions are not
+    IEEE-pinned across engines, ranks of well-separated points are."""
+    pages = _geopages(spark, sf_dir).select("doc_id", "lon", "lat")
+    q = demo.knn_queries_df(spark)
+    d = F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("lat") - F.col("q_lat")) / 2), 2)
+            + F.cos(F.radians("q_lat"))
+            * F.cos(F.radians("lat"))
+            * F.pow(F.sin(F.radians(F.col("lon") - F.col("q_lon")) / 2), 2)
+        )
+    )
+    from pyspark.sql import Window as W
+
+    pairs = pages.crossJoin(F.broadcast(q)).withColumn("_d", d)
+    w = W.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("doc_id").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "doc_id", "rnk")
+    )
+
+
 def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker simplification of a pinned 8-vertex zigzag at
     tolerance 0.5: the 0.1-deviation middle chain collapses, the (6,3)
@@ -822,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,
         "simplify": q_simplify,
         "convex_hull": q_convex_hull,
+        "wkt_export": q_wkt_export,
+        "knn_haversine": q_knn_haversine,
         "tile_pyramid": q_tile_pyramid,
         "bbox_agg": q_bbox_agg,
         "cell_census": q_cell_census,
@@ -944,6 +994,27 @@ SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 2, 1, 10, CAST(96.16 AS DOUBLE), CAST(48.08 AS DOUBLE)),
   (CAST(2 AS BIGINT), 1, 1,  4, CAST(50.0  AS DOUBLE), CAST(32.36068 AS DOUBLE))
 ) AS t(polygon_id, n_rings, n_outer, n_vertices, area, perimeter)
+""",
+        "wkt_export": """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'MULTIPOLYGON (((-0.005 -0.005, -0.005 10.005, 10.005 10.005, 10.005 -0.005, -0.005 -0.005), (3.995 3.995, 6.005 3.995, 6.005 6.005, 3.995 6.005, 3.995 3.995)))'),
+  (CAST(2 AS BIGINT), 'MULTIPOLYGON (((20.005 0.005, 20.005 10.005, 30.005 5.005, 20.005 0.005)))')
+) AS t(polygon_id, wkt)
+""",
+        "knn_haversine": f"""
+{_PAGES_CTE}
+SELECT query_id, doc_id, rnk FROM (
+  SELECT q.query_id, p.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY asin(sqrt(
+             pow(sin(radians(p.lat - q.q_lat) / 2), 2)
+             + cos(radians(q.q_lat)) * cos(radians(p.lat))
+               * pow(sin(radians(p.lon - q.q_lon) / 2), 2)
+           )) ASC, p.doc_id ASC
+         ) AS rnk
+  FROM pages p CROSS JOIN {demo.knn_queries_values_sql()}
+) WHERE rnk <= 5
 """,
         "simplify": """
 SELECT * FROM (VALUES

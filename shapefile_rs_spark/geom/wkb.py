@@ -279,3 +279,40 @@ def wkb_rings(buf: bytes) -> List[np.ndarray]:
     if gtype == WKB_MULTIPOLYGON:
         return [ring for poly in payload for ring in poly]
     raise ValueError(f"not a polygon WKB: type {gtype}")
+
+
+def _wkt_num(v: float) -> str:
+    """Shortest round-trip decimal (repr), with integral values unpadded
+    (canonical across writers: 5.0 → '5')."""
+    f = float(v)
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    return repr(f)
+
+
+def wkt_from_wkb(buf: bytes) -> str:
+    """WKB → canonical WKT text for the engine's geometry families.
+    Deterministic formatting (see :func:`_wkt_num`), so golden oracles can
+    pin exact strings."""
+    gtype, payload = parse_wkb(buf)
+
+    def coords(arr) -> str:
+        return ", ".join(f"{_wkt_num(x)} {_wkt_num(y)}" for x, y in arr)
+
+    if gtype == WKB_POINT:
+        return f"POINT ({_wkt_num(payload[0])} {_wkt_num(payload[1])})"
+    if gtype == WKB_MULTIPOINT:
+        return "MULTIPOINT (" + ", ".join(f"({_wkt_num(x)} {_wkt_num(y)})" for x, y in payload) + ")"
+    if gtype == WKB_LINESTRING:
+        return f"LINESTRING ({coords(payload)})"
+    if gtype == WKB_MULTILINESTRING:
+        return "MULTILINESTRING (" + ", ".join(f"({coords(p)})" for p in payload) + ")"
+    if gtype == WKB_POLYGON:
+        return "POLYGON (" + ", ".join(f"({coords(r)})" for r in payload) + ")"
+    if gtype == WKB_MULTIPOLYGON:
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join("(" + ", ".join(f"({coords(r)})" for r in poly) + ")" for poly in payload)
+            + ")"
+        )
+    raise ValueError(f"unsupported WKB type {gtype} for WKT export")

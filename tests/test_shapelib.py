@@ -463,3 +463,28 @@ def test_bulk_nonmonotonic_parts_fall_back_and_nan_mrange_roundtrip():
     r_bulk, _ = S.bulk_to_records(S.read_shp_bulk(shp2, shx2))
     assert np.isnan(r_bulk[0].m_range[0]) and r_bulk[0].m_range[1] == 4.0
     assert S.write_shp(r_bulk)[0] == shp2  # byte-identical rewrite
+
+
+def test_wkt_from_wkb_all_families():
+    """Canonical WKT for point/multipoint/line/polygon WKB."""
+    from shapefile_rs_spark.geom.wkb import (
+        multilinestring_wkb,
+        multipoint_wkb,
+        multipolygon_wkb,
+        point_wkb,
+        wkt_from_wkb,
+    )
+
+    assert wkt_from_wkb(point_wkb(1.5, -2.0)) == "POINT (1.5 -2)"
+    assert (
+        wkt_from_wkb(multipoint_wkb(np.array([[1.0, 2.0], [3.25, 4.0]])))
+        == "MULTIPOINT ((1 2), (3.25 4))"
+    )
+    assert (
+        wkt_from_wkb(multilinestring_wkb([np.array([[0.0, 0.0], [1.0, 1.0]])]))
+        == "MULTILINESTRING ((0 0, 1 1))"
+    )
+    sq = np.array([[0, 0], [0, 1], [1, 1], [0, 0]], float)
+    assert wkt_from_wkb(multipolygon_wkb([[sq]])) == (
+        "MULTIPOLYGON (((0 0, 0 1, 1 1, 0 0)))"
+    )
