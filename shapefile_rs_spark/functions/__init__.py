@@ -22,6 +22,7 @@ from ..operators.knn import dist2_col
 from ..operators.similarity import cosine_expr, cosine_pd, dot_expr, norm2_expr
 from ..operators.textstats import winnow_fingerprint
 from ..operators.tiles import tile_x_col, tile_y_col
+from ..operators.urltools import canonicalize_url
 
 __all__ = [
     "cell_id_col",
@@ -41,4 +42,5 @@ __all__ = [
     "simhash_from_hashes",
     "ngram_jaccard",
     "winnow_fingerprint",
+    "canonicalize_url",
 ]
