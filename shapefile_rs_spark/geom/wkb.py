@@ -124,8 +124,16 @@ def multilinestrings_wkb_bulk(
     N = int(po[-1])
     p = np.diff(fo)
     n = np.diff(po)
-    if (p == 0).any() and (n[p == 0] > 0).any():
-        raise ValueError("record with points but no parts")
+    orphan = (p == 0) & (n > 0)
+    if orphan.any():
+        # a record declaring points but zero parts decodes as an EMPTY
+        # MultiLineString (sequential-path / reference geo-types parity:
+        # geo export iterates parts, so part-less points vanish) — drop
+        # those records' coords and lay out a bare 9-byte header for them
+        xy = xy[np.repeat(~orphan, n)]
+        n = np.where(orphan, 0, n)
+        po = np.concatenate([[0], np.cumsum(n)])
+        N = int(po[-1])
     rec_of_part = np.repeat(np.arange(R), p)
     # global point index where each part starts; boundary diff = part sizes
     g_start = po[:-1][rec_of_part] + np.asarray(parts, dtype=np.int64)
@@ -283,9 +291,12 @@ def wkb_rings(buf: bytes) -> List[np.ndarray]:
 
 def _wkt_num(v: float) -> str:
     """Shortest round-trip decimal (repr), with integral values unpadded
-    (canonical across writers: 5.0 → '5')."""
+    (canonical across writers: 5.0 → '5').  Non-finite coordinates emit
+    repr() ('nan'/'inf') deliberately rather than crashing the export."""
+    import math
+
     f = float(v)
-    if f == int(f) and abs(f) < 1e15:
+    if math.isfinite(f) and f == int(f) and abs(f) < 1e15:
         return str(int(f))
     return repr(f)
 

@@ -77,14 +77,32 @@ class CheckpointedPipeline:
     def read_snapshot(self, stage: str, snapshot_id: Optional[str] = None) -> DataFrame:
         """Time travel: read the stage AS OF ``snapshot_id`` (default: its
         latest snapshot) — exactly the files that snapshot's manifest
-        lists, so appends made later are invisible."""
+        lists, so appends made later are invisible.
+
+        Note: recomputing a stage (:meth:`run_stage` on a non-committed
+        stage) REPLACES the stage's data files, so snapshots recorded before
+        the recompute can no longer be read (their manifests list files that
+        are gone) — time travel spans appends, not overwrites."""
         manifest = self._load()
         snaps = [s for s in manifest["snapshots"] if s["stage"] == stage]
         if snapshot_id is not None:
             snaps = [s for s in snaps if s["snapshot_id"] == snapshot_id]
         if not snaps:
             raise KeyError(f"no snapshot for stage {stage!r} (id={snapshot_id!r})")
-        files = snaps[-1]["files"]
+        files = snaps[-1].get("files")
+        if not files:
+            raise ValueError(
+                f"snapshot {snaps[-1].get('snapshot_id')!r} of stage {stage!r} "
+                "predates file-level manifests (or was recorded empty) — "
+                "cannot time travel to it"
+            )
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"snapshot {snaps[-1].get('snapshot_id')!r} of stage {stage!r} "
+                f"lists {len(missing)} missing file(s) (a later rerun/overwrite "
+                f"removed them), e.g. {missing[0]!r}"
+            )
         return self.spark.read.parquet(*files)
 
     def snapshots(self, stage: Optional[str] = None) -> List[dict]:

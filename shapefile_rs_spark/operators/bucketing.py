@@ -101,7 +101,15 @@ def compact_parquet(
     import glob
     import os
 
-    total = sum(os.path.getsize(f) for f in glob.glob(os.path.join(src_dir, "*.parquet")))
+    # recursive walk: a PARTITIONED source dir keeps its parquet under
+    # key=value subdirs — a top-level glob would estimate 0 bytes and
+    # coalesce everything to one file
+    total = sum(
+        os.path.getsize(os.path.join(base, name))
+        for base, _, names in os.walk(src_dir)
+        for name in names
+        if name.endswith(".parquet")
+    )
     n = max(1, round(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(src_dir)
     if sort_col:

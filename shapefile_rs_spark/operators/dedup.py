@@ -43,17 +43,20 @@ def exact_dedup_groups(
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "url") -> DataFrame:
-    """Keep exactly one row per distinct text (the min-id row)."""
-    w_keeper = exact_dedup_groups(df, text_col, id_col).select(
-        "text_md5", F.col("keeper_id").alias(id_col)
+    """Keep exactly one row per distinct text (the min-id row).
+
+    Single-pass window form: ONE md5 per row and one shuffle on the digest
+    (rank over partitionBy(md5) order by id), instead of hashing both sides
+    of a groupBy+self-join — half the hashing, one join fewer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
+        F.col(id_col).asc()
     )
-    return df.join(
-        w_keeper,
-        on=[
-            F.md5(F.col(text_col).cast("binary")) == F.col("text_md5"),
-            df[id_col] == w_keeper[id_col],
-        ],
-        how="left_semi",
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -467,9 +470,14 @@ def dedup_clusters(
         )
 
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # eager checkpoint: the loop joins against `edges` every round — when
+    # ``pairs`` is the minhash_lsh_pairs output, an unmaterialized plan
+    # would re-run the full signature+banding+self-join pipeline O(log d)
+    # times.  localCheckpoint truncates the lineage so the upstream runs
+    # exactly once (the same discipline `labels` already gets).
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
     ).persist()
@@ -508,6 +516,7 @@ def dedup_clusters(
             break
     if not converged:
         labels.unpersist()
+        edges.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge within max_iter={max_iter} rounds; "
             "raise max_iter (component diameter exceeds 2^rounds)"
@@ -517,4 +526,5 @@ def dedup_clusters(
     # the loop's last persist can be released without recompute
     final = out.localCheckpoint(eager=True)
     labels.unpersist()
+    edges.unpersist()
     return final

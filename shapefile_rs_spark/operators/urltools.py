@@ -25,13 +25,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_TRACKING = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+# Tracking-param excision, anchored to a [?&] param boundary so substrings
+# like '?q=utm_a=b' (tracking text inside another param's VALUE) or a param
+# NAMED 'myutm_x' survive.  One match eats a whole RUN of consecutive
+# tracking params (replaceAll resumes after the consumed delimiter, so
+# '?utm_a=1&utm_b=2' must fall in a single match).  The preserved delimiter
+# is re-inserted via capture group 1; no lookbehind (RE2/DuckDB has none).
+_TRACKING = (
+    r"([?&])(?:(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&)*"
+    r"(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+)
 _AUTHORITY = r"^[a-zA-Z]+://[^/]*"
 
 
 def canonicalize_url(url: Column) -> Column:
     u = F.regexp_replace(url, r"#.*$", "")
-    u = F.regexp_replace(u, _TRACKING, "")
+    u = F.regexp_replace(u, _TRACKING, "$1")
     u = F.regexp_replace(u, r"[?&]$", "")
     u = F.concat(
         F.lower(F.regexp_extract(u, _AUTHORITY, 0)),
@@ -43,7 +52,9 @@ def canonicalize_url(url: Column) -> Column:
 
 def canonicalize_url_sql(url_sql: str) -> str:
     u = f"regexp_replace({url_sql}, '#.*$', '', 'g')"
-    u = f"regexp_replace({u}, '{_TRACKING}', '', 'g')"
+    # same PATTERN as the Spark side; the group-1 backreference is spelled
+    # \1 in DuckDB where Java spells $1 — behavior identical
+    u = f"regexp_replace({u}, '{_TRACKING}', '\\1', 'g')"
     u = f"regexp_replace({u}, '[?&]$', '', 'g')"
     u = (
         f"concat(lower(regexp_extract({u}, '{_AUTHORITY}', 0)), "

@@ -105,3 +105,32 @@ def test_time_travel_reads_snapshot_file_subset(spark, tmp_path):
 
     with _pt.raises(KeyError):
         pipe.read_snapshot("docs", "nope")
+
+
+def test_read_snapshot_legacy_and_overwritten_manifests(spark, tmp_path):
+    """Snapshots without a files list (legacy manifests) and snapshots whose
+    files a later rerun deleted both fail with a DESCRIPTIVE error, not a
+    KeyError / Spark missing-file crash (ADVICE r2)."""
+    pipe = CheckpointedPipeline(spark, str(tmp_path))
+    pipe.run_stage("s", lambda: spark.range(10))
+    # simulate a legacy manifest entry: strip the files list
+    with open(pipe.manifest_path) as fh:
+        manifest = json.load(fh)
+    legacy = dict(manifest["snapshots"][0])
+    legacy.pop("files", None)
+    legacy["snapshot_id"] = "legacy0"
+    manifest["snapshots"].insert(0, legacy)
+    with open(pipe.manifest_path, "w") as fh:
+        json.dump(manifest, fh)
+    with pytest.raises(ValueError, match="predates file-level manifests"):
+        pipe.read_snapshot("s", "legacy0")
+    # a stage recompute overwrites the stage's data files: the pre-recompute
+    # snapshot must now fail descriptively at read time
+    old_snap = pipe.snapshots("s")[-1]["snapshot_id"]
+    manifest = json.load(open(pipe.manifest_path))
+    del manifest["stages"]["s"]  # force run_stage to recompute+overwrite
+    json.dump(manifest, open(pipe.manifest_path, "w"))
+    pipe.run_stage("s", lambda: spark.range(5))
+    with pytest.raises(ValueError, match="missing file"):
+        pipe.read_snapshot("s", old_snap)
+    assert pipe.read_snapshot("s").count() == 5

@@ -282,6 +282,12 @@ def test_url_canonicalization_golden(spark):
         ("https://site1.example/p?utm_a=1&utm_b=2", "https://site1.example/p"),
         ("https://site1.example/p?utm_a=1&keep=2", "https://site1.example/p?keep=2"),
         ("https://site1.example/p?keep=2&gclid=xyz", "https://site1.example/p?keep=2"),
+        # tracking excision is anchored to a [?&] param boundary: tracking
+        # text inside another param's VALUE, or a param merely NAMED like
+        # one, must survive (ADVICE r2)
+        ("https://site1.example/p?q=utm_a=b", "https://site1.example/p?q=utm_a=b"),
+        ("https://site1.example/p?myutm_x=1", "https://site1.example/p?myutm_x=1"),
+        ("https://site1.example/p?utm_a=1&b=2&utm_c=3", "https://site1.example/p?b=2"),
     ]
     df = spark.sql(
         "SELECT * FROM VALUES "

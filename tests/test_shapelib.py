@@ -488,3 +488,33 @@ def test_wkt_from_wkb_all_families():
     assert wkt_from_wkb(multipolygon_wkb([[sq]])) == (
         "MULTIPOLYGON (((0 0, 0 1, 1 1, 0 0)))"
     )
+
+
+def test_bulk_orphan_points_empty_multilinestring():
+    """A polyline record with points but ZERO parts decodes as an EMPTY
+    MultiLineString through the bulk path, matching the sequential decoder
+    and the reference's geo-types export (ADVICE r2: the bulk path used to
+    fail the whole scan task on such a file)."""
+    from shapefile_rs_spark.geom.wkb import (
+        multilinestrings_wkb_bulk,
+        shape_to_wkb,
+        wkt_from_wkb,
+    )
+
+    ok = S.ShapeRec(POLYLINE, np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]]), parts=[0])
+    orphan = S.ShapeRec(POLYLINE, np.array([[5.0, 5.0], [6.0, 6.0]]), parts=[])
+    shp, shx = S.write_shp([ok, orphan, ok])
+    b = S.read_shp_bulk(shp, shx)
+    bulk_wkb = multilinestrings_wkb_bulk(b.xy, b.point_offsets, b.parts, b.part_offsets)
+    _, seq, _ = S.read_shp(shp, shx=shx)
+    assert bulk_wkb == [shape_to_wkb(r) for r in seq]
+    assert wkt_from_wkb(bulk_wkb[1]) == "MULTILINESTRING ()"
+
+
+def test_wkt_num_nonfinite_coordinates():
+    """NaN/Inf coordinates export deliberately as repr() text instead of
+    raising ValueError/OverflowError (ADVICE r2)."""
+    from shapefile_rs_spark.geom.wkb import point_wkb, wkt_from_wkb
+
+    assert wkt_from_wkb(point_wkb(float("nan"), float("inf"))) == "POINT (nan inf)"
+    assert wkt_from_wkb(point_wkb(-float("inf"), 2.0)) == "POINT (-inf 2)"
