@@ -744,10 +744,22 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True winnowing (per-window local-minima set, k=5 char grams,
+    w=4 windows) — position-robust partial-overlap fingerprints."""
     from shapefile_rs_spark.operators.textstats import winnow_fingerprint
 
     return _docs(spark, sf_dir).select(
-        "doc_id", winnow_fingerprint(F.col("text"), 8).alias("fp")
+        "doc_id", winnow_fingerprint(F.col("text"), k=5, w=4).alias("fp")
+    )
+
+
+def q_char_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-permutation char-shingle min-hash (the former global-min
+    'winnow_fp' signal, renamed to what it actually is)."""
+    from shapefile_rs_spark.operators.textstats import char_minhash
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", char_minhash(F.col("text"), 8).alias("fp")
     )
 
 
@@ -922,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "text_quality": q_text_quality,
         "winnow_fp": q_winnow_fp,
+        "char_minhash": q_char_minhash,
         "url_canon": q_url_canon,
         "doc_repetition": q_doc_repetition,
         "image_stats": q_image_stats,
@@ -1279,7 +1292,8 @@ JOIN corpus cb ON cb.id = p.id_b
 WHERE list_cosine_similarity(ca.e, cb.e) >= 0.99
 """,
         "text_quality": ts.quality_metrics_sql("documents"),
-        "winnow_fp": f"SELECT doc_id, {ts.winnow_fingerprint_sql('text', 8)} AS fp FROM documents",
+        "winnow_fp": f"SELECT doc_id, {ts.winnow_fingerprint_sql('text', 5, 4)} AS fp FROM documents",
+        "char_minhash": f"SELECT doc_id, {ts.char_minhash_sql('text', 8)} AS fp FROM documents",
         "url_canon": _url_canon_oracle(),
         "doc_repetition": ts.repetition_metrics_sql("documents", n=2),
         "image_stats": """

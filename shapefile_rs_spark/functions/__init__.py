@@ -20,7 +20,7 @@ from ..operators.dedup import (
 )
 from ..operators.knn import dist2_col
 from ..operators.similarity import cosine_expr, cosine_pd, dot_expr, norm2_expr
-from ..operators.textstats import winnow_fingerprint
+from ..operators.textstats import char_minhash, winnow_fingerprint
 from ..operators.tiles import tile_x_col, tile_y_col
 from ..operators.urltools import canonicalize_url
 
@@ -41,6 +41,7 @@ __all__ = [
     "token_hashes",
     "simhash_from_hashes",
     "ngram_jaccard",
+    "char_minhash",
     "winnow_fingerprint",
     "canonicalize_url",
 ]

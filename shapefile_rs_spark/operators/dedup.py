@@ -347,7 +347,50 @@ def token_hashes(text: Column) -> Column:
 def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
     """SimHash fingerprint over pre-computed token hashes: bit b of the
     fingerprint is set iff the sum over tokens of ±1 (sign of token-hash
-    bit b) is positive.  Duplicate tokens vote multiply — standard."""
+    bit b) is positive.  Duplicate tokens vote multiply — standard.
+
+    Arrow-batched numpy (the minhash discipline): token hashes concatenate
+    ONCE per batch, each bit's ±1 votes reduce per-doc with
+    ``np.add.reduceat`` — exact-integer arithmetic, bit-identical to
+    :func:`simhash_from_hashes_expr` and the DuckDB twin.  The per-bit loop
+    keeps the working set O(total_tokens), not O(bits·total_tokens) (this
+    host punishes large fresh allocations)."""
+
+    @F.pandas_udf("long")
+    def _simhash(col: pd.Series) -> pd.Series:
+        arrs = col.to_numpy()
+        out = np.zeros(len(arrs), dtype=np.int64)  # null/empty → 0 (expr parity)
+        if not len(arrs):
+            return pd.Series(out)
+        counts = np.fromiter(
+            (0 if x is None else len(x) for x in arrs), dtype=np.int64, count=len(arrs)
+        )
+        nonempty = counts > 0
+        if not nonempty.any():
+            return pd.Series(out)
+        flat = np.concatenate([x for x in arrs if x is not None and len(x)]).astype(
+            np.int64, copy=False
+        )
+        ne_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nonempty]
+        fp = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        votes = np.empty_like(flat)
+        for b in range(bits):
+            np.right_shift(flat, b, out=votes)
+            votes &= 1
+            votes *= 2
+            votes -= 1
+            fp |= (np.add.reduceat(votes, ne_starts) > 0).astype(np.int64) << b
+        out[nonempty] = fp
+        return pd.Series(out)
+
+    return _simhash(hashes)
+
+
+def simhash_from_hashes_expr(hashes: Column, bits: int = 16) -> Column:
+    """Pure-Catalyst spelling of :func:`simhash_from_hashes` (bit-identical
+    output; interpreted HOF folds — keep off hot paths, kept for plans that
+    must avoid Python workers entirely)."""
+
     def voter(b: int):
         return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
 

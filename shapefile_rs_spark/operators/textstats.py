@@ -8,6 +8,9 @@ int/int divisions — bit-identical doubles on both engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,10 +80,12 @@ FROM {table}
 """
 
 
-def winnow_fingerprint(text: Column, window: int = 8) -> Column:
-    """Document fingerprint: min md5 over all ``window``-char substrings
-    (stride 1) — the winnowing/rolling-hash fingerprint family.  Texts
-    shorter than the window fingerprint their whole content."""
+def char_minhash(text: Column, window: int = 8) -> Column:
+    """1-permutation char-shingle min-hash: min md5 over all ``window``-char
+    substrings (stride 1).  A whole-document similarity signal — NOT
+    winnowing (no per-window local minima; see :func:`winnow_fingerprint`
+    for the positional fingerprint).  Texts shorter than the window hash
+    their whole content."""
     n = F.greatest(F.lit(1), F.length(text) - F.lit(window - 1))
     return F.array_min(
         F.transform(
@@ -90,11 +95,97 @@ def winnow_fingerprint(text: Column, window: int = 8) -> Column:
     )
 
 
-def winnow_fingerprint_sql(text_sql: str, window: int = 8) -> str:
+def char_minhash_sql(text_sql: str, window: int = 8) -> str:
     n = f"greatest(1, length({text_sql}) - {window - 1})"
     return (
         f"list_min(list_transform(range(0, {n}), "
         f"i -> md5(substr({text_sql}, i + 1, {window}))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing (Schleimer/Wilkerson/Aiken local fingerprinting)
+# ---------------------------------------------------------------------------
+
+# Karp-Rabin polynomial over the Mersenne prime 2^31-1: gram hash of k code
+# points = (Σ_j code[i+j] · B^j) mod M.  code < 2^21, B^j mod M < 2^31 ⇒
+# each product < 2^52 and the k-term sum < 2^55 — exact in int64/BIGINT on
+# both engines, so Spark (numpy) and DuckDB (list_transform) agree bit-wise.
+_WINNOW_BASE = 1000003
+_WINNOW_MOD = (1 << 31) - 1
+
+
+def _winnow_pows(k: int):
+    out, p = [], 1
+    for _ in range(k):
+        out.append(p)
+        p = (p * _WINNOW_BASE) % _WINNOW_MOD
+    return out
+
+
+def winnow_fingerprint(text: Column, k: int = 5, w: int = 4) -> Column:
+    """TRUE winnowing fingerprint (array<long>): hash every ``k``-char gram
+    (Karp-Rabin polynomial), slide a window of ``w`` consecutive gram
+    hashes, keep each window's MINIMUM, and emit the sorted distinct set of
+    selected minima.  Guarantees every match of length ≥ w+k-1 shares a
+    fingerprint — the position-robust partial-overlap property the global
+    min-hash (:func:`char_minhash`) lacks.
+
+    Arrow-batched numpy: code points via utf-32 reinterpret (no per-char
+    Python), k vectorized multiply-adds for the gram hashes, one strided
+    sliding-window min — map-only, linear scale-out.  Texts shorter than
+    ``k`` pad with code 0 to one whole-text gram (the DuckDB twin's
+    ``greatest(unicode(..), 0)`` out-of-range rule)."""
+    pows = np.asarray(_winnow_pows(k), dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _winnow(col: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out = []
+        for t in col:
+            if t is None:
+                out.append(None)
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            if len(codes) < k:
+                codes = np.pad(codes, (0, k - len(codes)))
+            n_g = len(codes) - k + 1
+            acc = np.zeros(n_g, dtype=np.int64)
+            for j in range(k):
+                acc += codes[j : j + n_g] * pows[j]
+            grams = acc % _WINNOW_MOD
+            if n_g <= w:
+                minima = grams.min(keepdims=True)
+            else:
+                minima = sliding_window_view(grams, w).min(axis=1)
+            out.append(np.unique(minima))
+        return pd.Series(out, dtype=object)
+
+    return _winnow(text)
+
+
+def winnow_fingerprint_sql(text_sql: str, k: int = 5, w: int = 4) -> str:
+    """DuckDB twin of :func:`winnow_fingerprint` — identical integer
+    arithmetic spelled with list comprehension primitives."""
+    pows = _winnow_pows(k)
+    codes = (
+        f"list_transform(range(1, greatest(length({text_sql}), {k}) + 1), "
+        f"i -> CAST(greatest(unicode(substr({text_sql}, CAST(i AS INTEGER), 1)), 0) AS BIGINT))"
+    )
+    n_g = f"(greatest(length({text_sql}), {k}) - {k - 1})"
+    gram_terms = " + ".join(f"cs[i + {j + 1}] * {pows[j]}" for j in range(k))
+    # one CTE-free nested spelling: grams from codes, minima from grams
+    grams = f"list_transform(range(0, {n_g}), i -> ({gram_terms}) % {_WINNOW_MOD})"
+    # bind codes once via a lambda application (list_transform over a
+    # 1-element list) so the codes list is not recomputed per gram
+    minima = (
+        f"list_transform(range(0, greatest({n_g} - {w - 1}, 1)), "
+        f"x -> list_min(gs[x + 1 : x + {w}]))"
+    )
+    return (
+        f"(SELECT list_sort(list_distinct({minima})) "
+        f"FROM (SELECT {grams} AS gs FROM (SELECT {codes} AS cs)))"
     )
 
 

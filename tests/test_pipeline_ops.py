@@ -153,14 +153,58 @@ def test_quality_metrics_golden(spark):
     assert row["quality_pass"] == 1
 
 
-def test_winnow_fingerprint_deterministic(spark):
-    from shapefile_rs_spark.operators.textstats import winnow_fingerprint
+def test_char_minhash_deterministic(spark):
+    from shapefile_rs_spark.operators.textstats import char_minhash
 
     df = spark.createDataFrame([(1, "abcdefghij"), (2, "abcdefghij"), (3, "short")],
                                "doc_id bigint, text string")
-    rows = {r["doc_id"]: r["fp"] for r in df.select("doc_id", winnow_fingerprint(F.col("text")).alias("fp")).collect()}
+    rows = {r["doc_id"]: r["fp"] for r in df.select("doc_id", char_minhash(F.col("text")).alias("fp")).collect()}
     assert rows[1] == rows[2]
     assert len(rows[3]) == 32  # short text still fingerprints (whole content)
+
+
+def test_winnow_fingerprint_positional_overlap(spark):
+    """The winnowing guarantee: a shared substring of length ≥ w+k-1 shares
+    at least one selected fingerprint REGARDLESS of its position in the two
+    documents — the property the global char min-hash lacks."""
+    from shapefile_rs_spark.operators.textstats import winnow_fingerprint
+
+    shared = "a long shared plagiarized passage appears here verbatim"
+    docs = [
+        (1, "XXXX prefix text before. " + shared),
+        (2, shared + " .completely different suffix follows YYYY"),
+        (3, "nothing in common with either of the other documents at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select("doc_id", winnow_fingerprint(F.col("text"), k=5, w=4).alias("fp")).collect()
+    }
+    overlap_12 = len(fps[1] & fps[2])
+    overlap_13 = len(fps[1] & fps[3])
+    assert overlap_12 >= 5  # long shared run → many shared window minima
+    assert overlap_13 <= 1  # unrelated text → (near-)disjoint fingerprints
+    # determinism + short-text rule
+    short = spark.createDataFrame([(4, "ab"), (5, "")], "doc_id bigint, text string")
+    rows = {r["doc_id"]: r["fp"] for r in short.select("doc_id", winnow_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert len(rows[4]) == 1 and rows[5] == [0]
+
+
+def test_simhash_vectorized_matches_expression(spark):
+    """The Arrow-batched numpy simhash is bit-identical to the unrolled
+    Catalyst expression form (and hence to the DuckDB oracle)."""
+    from shapefile_rs_spark.operators.dedup import (
+        simhash_from_hashes,
+        simhash_from_hashes_expr,
+        token_hashes,
+    )
+
+    df = _corpus(spark).withColumn("_h", token_hashes(F.col("text")))
+    rows = df.select(
+        simhash_from_hashes(F.col("_h"), 16).alias("vec"),
+        simhash_from_hashes_expr(F.col("_h"), 16).alias("expr"),
+    ).collect()
+    assert rows and all(r["vec"] == r["expr"] for r in rows)
 
 
 def test_multimodal_roundtrip(spark):
