@@ -663,23 +663,31 @@ def q_ann_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _emb_queries(spark, sf_dir), centroids, k=5, nprobe=2)
 
 
+_NEARDUP_TABLES = 4
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (hyperplane-LSH blocked) over the
-    embeddings table with planted exact duplicates (vec_id + 100000)."""
+    """Embedding-cosine near-dup pairs (hyperplane-LSH blocked, 4-table
+    OR-amplified) over the embeddings table with planted exact duplicates
+    (vec_id + 100000)."""
     from shapefile_rs_spark.operators.similarity import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    # plane count scales with corpus size: 2^n_planes buckets keeps the
-    # expected in-bucket population (and thus the self-join's quadratic
-    # term) bounded as N grows — fixed 8 planes = N/256 per bucket at 100 TB
-    n_planes = _neardup_n_planes(_emb_rows(spark, sf_dir) * 2)
-    planes = emb.filter(F.col("vec_id") < n_planes).select(
+    # per-table plane count scales with corpus size (2^p buckets keeps each
+    # table's in-bucket population — the self-join's quadratic term —
+    # bounded as N grows); L independent tables OR-amplify recall:
+    # one table at ~log2 N planes finds a cos-0.99 pair only ~25 % of the
+    # time at N=2^30 — with L=4 tables P(found) = 1-(1-q^p)^4 (r2 verdict)
+    ppt = _neardup_planes_per_table(_emb_rows(spark, sf_dir) * 2)
+    planes = emb.filter(F.col("vec_id") < _NEARDUP_TABLES * ppt).select(
         F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
     )
-    return embedding_neardup_pairs(corpus, planes, threshold=0.99)
+    return embedding_neardup_pairs(
+        corpus, planes, threshold=0.99, n_tables=_NEARDUP_TABLES
+    )
 
 
 _EMB_ROWS: dict = {}
@@ -693,13 +701,14 @@ def _emb_rows(spark: SparkSession, sf_dir: str) -> int:
     return _EMB_ROWS[sf_dir]
 
 
-def _neardup_n_planes(corpus_rows: int) -> int:
-    """ceil(log2 N) + 2 hyperplanes (min 8): expected bucket size N/2^planes
-    stays O(1) as the corpus grows.  The DuckDB oracle computes the SAME
-    expression in SQL so both sides derive identical plane sets."""
+def _neardup_planes_per_table(corpus_rows: int) -> int:
+    """ceil(log2 N) hyperplanes per hash table (min 6): expected per-table
+    bucket size N/2^p stays O(1) as the corpus grows; recall comes from the
+    _NEARDUP_TABLES-way OR over tables.  The DuckDB oracle computes the
+    SAME expression in SQL so both sides derive identical plane sets."""
     import math
 
-    return max(8, math.ceil(math.log2(max(corpus_rows, 2))) + 2)
+    return max(6, math.ceil(math.log2(max(corpus_rows, 2))))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,20 +1279,27 @@ WITH corpus AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
   UNION ALL
   SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+), params AS (
+  -- same ceil(log2 N) per-table rule as _neardup_planes_per_table
+  SELECT GREATEST(6, CAST(CEIL(LOG2(GREATEST(2 * COUNT(*), 2))) AS INTEGER)) AS ppt
+  FROM embeddings
 ), planes AS (
-  -- same ceil(log2 N)+2 plane-count rule as _neardup_n_planes
   SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
   FROM embeddings
-  WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(LOG2(GREATEST(2 * COUNT(*), 2))) AS INTEGER) + 2)
-                  FROM embeddings)
+  WHERE vec_id < 4 * (SELECT ppt FROM params)
 ), bucketed AS (
+  -- 4 OR-amplified tables: table = pid // ppt, bit = pid % ppt (pids are
+  -- 0..4*ppt-1, so id-order position and pid agree — the operator's rule)
   SELECT c.id,
+         CAST(p.pid AS INTEGER) // (SELECT ppt FROM params) AS tbl,
          SUM(CASE WHEN list_dot_product(c.e, p.pe) > 0
-                  THEN (1 << CAST(p.pid AS INTEGER)) ELSE 0 END) AS bucket
-  FROM corpus c CROSS JOIN planes p GROUP BY c.id
+                  THEN (1 << (CAST(p.pid AS INTEGER) % (SELECT ppt FROM params)))
+                  ELSE 0 END) AS bucket
+  FROM corpus c CROSS JOIN planes p GROUP BY c.id, tbl
 ), pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id < b.id
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
 )
 SELECT id_a, id_b
 FROM pairs p

@@ -37,7 +37,14 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -154,23 +161,41 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     plane_id: str = "plane_id",
     plane_col: str = "p_embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with random-hyperplane LSH
     blocking: bucket = sign bits of the dot product against each plane
     (identical vectors always share a bucket), candidate pairs form only
     inside a bucket, exact cosine refines.
 
-    Scale shape: ONE map-only scan buckets every vector (the plane matrix
-    rides the closure — a B×d @ d×p matmul per Arrow batch replaces the
-    old N×p crossJoin + groupBy re-shuffle), the self-join shuffles on the
-    bucket id (2^n_planes keys), and the Arrow-batched cosine refine runs
-    only on in-bucket pairs — the same block→join→refine decomposition as
-    the spatial PIP join."""
+    ``n_tables`` is the OR-amplification dial (the band structure
+    :func:`..dedup.minhash_lsh_pairs` has): the plane list splits into
+    ``n_tables`` contiguous groups of p = len(planes)/n_tables planes
+    (by POSITION in the id-sorted list); each group is an independent
+    hash table and a pair is a candidate if it collides in ANY table —
+    P(candidate at cos τ) = 1 − (1 − q^p)^L with q = 1 − θ/π.  A single
+    table at the scale-appropriate ~log2(N) planes keeps buckets O(1) but
+    collapses recall (~25 % at τ=0.99, N=2^30); L tables of log2(N)
+    planes each restore it while the per-table bucket population stays
+    O(N/2^p).
+
+    Scale shape: ONE map-only scan buckets every vector into all L tables
+    (the full plane matrix rides the closure — a B×d @ d×(L·p) matmul per
+    Arrow batch), the self-join shuffles on (table, bucket), candidates
+    union via distinct, and the Arrow-batched cosine refine runs only on
+    in-bucket pairs — the same block→join→refine decomposition as the
+    spatial PIP join."""
     pids, P = _collect_matrix(planes, plane_id, plane_col, normalize=False)
-    weights = (1 << np.arange(len(pids), dtype=np.int64))  # plane i → bit i
+    if n_tables < 1 or len(pids) % n_tables:
+        raise ValueError(
+            f"plane count {len(pids)} must divide evenly into n_tables={n_tables}"
+        )
+    p = len(pids) // n_tables
+    weights = (1 << np.arange(p, dtype=np.int64))  # in-table plane i → bit i
     b_schema = StructType(
         [
             StructField("_id", vectors.schema[vec_id].dataType),
+            StructField("_tbl", IntegerType()),
             StructField("_bucket", LongType()),
         ]
     )
@@ -180,15 +205,30 @@ def embedding_neardup_pairs(
             if not len(pdf):
                 continue
             V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
-            signs = (V @ P.T) > 0  # B×p
-            yield pd.DataFrame(
-                {"_id": pdf[vec_id].to_numpy(), "_bucket": signs @ weights}
+            signs = (V @ P.T) > 0  # B×(L·p)
+            ids = pdf[vec_id].to_numpy()
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "_id": ids,
+                            "_tbl": np.int32(t),
+                            "_bucket": signs[:, t * p : (t + 1) * p] @ weights,
+                        }
+                    )
+                    for t in range(n_tables)
+                ]
             )
 
     b = vectors.select(vec_id, vec_col).mapInPandas(bucket, schema=b_schema)
-    left = b.select(F.col("_id").alias("id_a"), "_bucket")
-    right = b.select(F.col("_id").alias("id_b"), "_bucket")
-    pairs = left.join(right, "_bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    left = b.select(F.col("_id").alias("id_a"), "_tbl", "_bucket")
+    right = b.select(F.col("_id").alias("id_b"), "_tbl", "_bucket")
+    pairs = (
+        left.join(right, ["_tbl", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = vectors.select(F.col(vec_id).alias("id_a"), _as_double(F.col(vec_col)).alias("_ea"))
     vb = vectors.select(F.col(vec_id).alias("id_b"), _as_double(F.col(vec_col)).alias("_eb"))
     scored = pairs.join(va, "id_a").join(vb, "id_b").withColumn(

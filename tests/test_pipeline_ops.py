@@ -463,3 +463,39 @@ def test_values_df_escaping_roundtrip(spark):
     assert got["a\\nb"] == 1.5
     assert got["tail\\"] == float("inf")
     assert got["o'brien"] != got["o'brien"]  # NaN
+
+
+def test_embed_neardup_or_amplified_recall(spark):
+    """A true cos≈0.995 NON-identical near-dup pair must be FOUND: one hash
+    table at scale-sized plane counts finds such a pair only ~q^p of the
+    time; the 4-table OR-amplification restores recall (r2 verdict item 2).
+    Also pins exactness: every reported pair really clears the threshold
+    (no false positives from bucketing)."""
+    from shapefile_rs_spark.operators.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(80, 16))
+    # plant a non-identical near-dup: id 200 ≈ id 0 with tiny noise
+    near = base[0] + 0.04 * rng.normal(size=16)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((200, [float(x) for x in near]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    planes = emb.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, planes, threshold=0.99, n_tables=4).collect()
+    }
+    import numpy as _np
+
+    cos = float(
+        (base[0] @ near) / (_np.linalg.norm(base[0]) * _np.linalg.norm(near))
+    )
+    assert cos >= 0.99  # the plant really is a near-dup
+    assert (0, 200) in got  # ...and the 4-table OR finds it
+    # exactness of the refine: recompute every reported pair brute-force
+    vecs = {i: _np.asarray(v) for i, v in rows}
+    for a, b in got:
+        va, vb = vecs[a], vecs[b]
+        assert (va @ vb) / (_np.linalg.norm(va) * _np.linalg.norm(vb)) >= 0.99
