@@ -112,10 +112,18 @@ def k_ring(cell: int, k: int) -> np.ndarray:
 def cover_bbox(
     xmin: float, ymin: float, xmax: float, ymax: float, res: int
 ) -> np.ndarray:
-    """All cells at ``res`` whose bounds intersect the bbox (closed)."""
+    """All cells at ``res`` whose bounds intersect the bbox (closed).
+
+    ``xmin > xmax`` means the bbox straddles the antimeridian (the k_ring
+    wrap convention): the x range wraps modulo the grid width."""
     ix0, iy0 = lonlat_to_ixiy(np.array([xmin]), np.array([ymin]), res)
     ix1, iy1 = lonlat_to_ixiy(np.array([xmax]), np.array([ymax]), res)
-    xs = np.arange(ix0[0], ix1[0] + 1, dtype=np.int64)
+    n = np.int64(1) << np.int64(res)
+    if xmin > xmax:  # antimeridian wrap: ix0..n-1 then 0..ix1
+        span = (ix1[0] - ix0[0]) % n + 1
+        xs = (ix0[0] + np.arange(span, dtype=np.int64)) % n
+    else:
+        xs = np.arange(ix0[0], ix1[0] + 1, dtype=np.int64)
     ys = np.arange(iy0[0], iy1[0] + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys)
     return encode_ixiy(gx.ravel(), gy.ravel(), res)
@@ -133,6 +141,81 @@ def adaptive_cover_res(
         if nx * ny <= max_cells:
             return res
     return 0
+
+
+def classify_cover(
+    rings, res: int, pad_frac: float = 1e-9, max_pairs: int = 4_000_000
+) -> Tuple[np.ndarray, np.ndarray]:
+    """TRUE polygon covering at ``res`` (X1 as SURVEYed): bbox cell range ∩
+    per-cell boundary/interior tests.  Returns ``(cells, full)``:
+
+    * cells NOT touched by the polygon at all are DROPPED (bbox false
+      positives stop scaling with polygon size);
+    * ``full[i]`` ⇔ cell i lies ENTIRELY in the polygon interior — a point
+      landing there is contained with no ray-cast needed (the refine-UDF
+      bypass), exact because the cell is connected and boundary-free, so
+      containment is constant across it and the cell center's even-odd
+      status decides it;
+    * the rest are BOUNDARY cells — candidates refine exactly as before.
+
+    Boundary detection is a vectorized segment-vs-rect SAT over every ring
+    edge × every covering cell (rect padded by ``pad_frac`` of the cell
+    size so ties/νlp-grazings conservatively classify BOUNDARY, never
+    FULL).  Edge blocks are chunked to ``max_pairs`` pairs so the E×C
+    temporaries stay allocator-friendly on this host.
+
+    Semantics preserved: composed with the even-odd refine this reproduces
+    the reference contains() truth (examples/geotype-example/src/main.rs:
+    15-36) — interior-only, holes via even-odd over the full ring set.
+    """
+    from .geom.pip import points_in_rings, rings_bbox
+
+    rings = [np.asarray(r, dtype=np.float64) for r in rings if len(r) >= 2]
+    xmin, ymin, xmax, ymax = rings_bbox(rings)
+    ix0, iy0 = lonlat_to_ixiy(np.array([xmin]), np.array([ymin]), res)
+    ix1, iy1 = lonlat_to_ixiy(np.array([xmax]), np.array([ymax]), res)
+    xs = np.arange(ix0[0], ix1[0] + 1, dtype=np.int64)
+    ys = np.arange(iy0[0], iy1[0] + 1, dtype=np.int64)
+    n = float(1 << res)
+    w, h = 360.0 / n, 180.0 / n
+    gx, gy = np.meshgrid(xs, ys)
+    gx, gy = gx.ravel(), gy.ravel()
+    C = len(gx)
+    rx0 = -180.0 + gx * w
+    ry0 = -90.0 + gy * h
+    pad_x, pad_y = w * pad_frac, h * pad_frac
+    px0, py0 = rx0 - pad_x, ry0 - pad_y
+    px1, py1 = rx0 + w + pad_x, ry0 + h + pad_y
+
+    x1 = np.concatenate([r[:-1, 0] for r in rings])
+    y1 = np.concatenate([r[:-1, 1] for r in rings])
+    x2 = np.concatenate([r[1:, 0] for r in rings])
+    y2 = np.concatenate([r[1:, 1] for r in rings])
+    boundary = np.zeros(C, dtype=bool)
+    step = max(1, max_pairs // max(C, 1))
+    for s in range(0, len(x1), step):
+        a1, b1 = x1[s : s + step, None], y1[s : s + step, None]
+        a2, b2 = x2[s : s + step, None], y2[s : s + step, None]
+        ovl = (
+            (np.maximum(a1, a2) >= px0)
+            & (np.minimum(a1, a2) <= px1)
+            & (np.maximum(b1, b2) >= py0)
+            & (np.minimum(b1, b2) <= py1)
+        )
+        dx, dy = a2 - a1, b2 - b1
+        s00 = dx * (py0 - b1) - dy * (px0 - a1)
+        s01 = dx * (py1 - b1) - dy * (px0 - a1)
+        s10 = dx * (py0 - b1) - dy * (px1 - a1)
+        s11 = dx * (py1 - b1) - dy * (px1 - a1)
+        same = ((s00 > 0) & (s01 > 0) & (s10 > 0) & (s11 > 0)) | (
+            (s00 < 0) & (s01 < 0) & (s10 < 0) & (s11 < 0)
+        )
+        boundary |= (ovl & ~same).any(axis=0)
+
+    center_in = points_in_rings(rx0 + w / 2.0, ry0 + h / 2.0, rings)
+    keep = boundary | center_in
+    full = center_in & ~boundary
+    return encode_ixiy(gx[keep], gy[keep], res), full[keep]
 
 
 def cover_polygon_bbox(wkb_blob: bytes, res: int) -> np.ndarray:

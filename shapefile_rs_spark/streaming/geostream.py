@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.spatial_join import pip_refine, polygon_covering, with_cells
+from ..operators.spatial_join import pip_refine_full, polygon_covering, with_cells
 from ..operators.tiles import tile_x_col, tile_y_col
 from ..pages import geotag_pages
 
@@ -46,7 +46,13 @@ def stream_pip_tiles(pages_stream: DataFrame, polygons: DataFrame, z: int = 6) -
     pts = with_cells(tagged, res_levels)
     cands = pts.join(F.broadcast(covering), on=["cell_res", "cell_id"], how="inner")
     joined = cands.join(F.broadcast(polygons.select("polygon_id", "wkb")), "polygon_id")
-    inside = joined.filter(pip_refine(F.col("wkb"), F.col("lon"), F.col("lat")))
+    # interior-cell bypass (same contract as the batch PIP join)
+    joined = joined.withColumn(
+        "wkb", F.when(F.col("cell_full"), F.lit(None)).otherwise(F.col("wkb"))
+    )
+    inside = joined.filter(
+        pip_refine_full(F.col("wkb"), F.col("lon"), F.col("lat"), F.col("cell_full"))
+    )
     return (
         inside.withColumn("tile_x", tile_x_col(F.col("lon"), z))
         .withColumn("tile_y", tile_y_col(F.col("lat"), z))

@@ -139,3 +139,55 @@ def test_tile_xy_matches_sql_formula():
     exp_ty = np.clip(np.floor((90.0 - lat) / 180.0 * n), 0, n - 1)
     assert tx.tolist() == exp_tx.astype(int).tolist()
     assert ty.tolist() == exp_ty.astype(int).tolist()
+
+
+def test_classify_cover_exact_partition():
+    """classify_cover's three-way split is exact: FULL cells are entirely
+    interior (dense sampling), dropped bbox cells contain no interior point,
+    and boundary cells are exactly where ring edges pass."""
+    import numpy as np
+    from shapefile_rs_spark.geom.pip import points_in_rings, rings_bbox
+
+    t = np.linspace(0, 2 * np.pi, 48, endpoint=False)
+    outer = np.column_stack([(9 + 2 * np.sin(4 * t)) * np.cos(t) + 15,
+                             (9 + 2 * np.sin(4 * t)) * np.sin(t) + 5])
+    outer = np.vstack([outer, outer[0]])
+    th = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    hole = np.vstack([np.column_stack([2 * np.cos(th) + 15, 2 * np.sin(th) + 5])])
+    hole = np.vstack([hole, hole[0]])
+    rings = [outer, hole]
+
+    res = 9
+    cells, full = C.classify_cover(rings, res)
+    assert full.sum() > 0 and (~full).sum() > 0
+    kept = set(int(c) for c in cells)
+    for cell, f in zip(cells, full):
+        x0, y0, x1, y1 = C.cell_bounds(int(cell))
+        gx, gy = np.meshgrid(np.linspace(x0 + 1e-9, x1 - 1e-9, 8),
+                             np.linspace(y0 + 1e-9, y1 - 1e-9, 8))
+        ins = points_in_rings(gx.ravel(), gy.ravel(), rings)
+        if f:
+            assert ins.all()  # FULL ⇒ every sampled point inside
+    for cell in (int(c) for c in C.cover_bbox(*rings_bbox(rings), res)):
+        if cell in kept:
+            continue
+        x0, y0, x1, y1 = C.cell_bounds(cell)
+        gx, gy = np.meshgrid(np.linspace(x0 + 1e-9, x1 - 1e-9, 8),
+                             np.linspace(y0 + 1e-9, y1 - 1e-9, 8))
+        assert not points_in_rings(gx.ravel(), gy.ravel(), rings).any()
+
+
+def test_cover_bbox_antimeridian_wrap():
+    """xmin > xmax wraps the x range across the antimeridian (the k_ring
+    convention) instead of producing an empty/creeping covering."""
+    import numpy as np
+
+    res = 6
+    wrap = C.cover_bbox(175.0, -5.0, -175.0, 5.0, res)
+    east = C.cover_bbox(175.0, -5.0, 179.999999, 5.0, res)
+    west = C.cover_bbox(-180.0, -5.0, -175.0, 5.0, res)
+    assert set(wrap.tolist()) == set(east.tolist()) | set(west.tolist())
+    assert len(wrap) > 0
+    # ordinary bboxes unchanged
+    plain = C.cover_bbox(-1.0, -1.0, 1.0, 1.0, res)
+    assert len(plain) == len(set(plain.tolist()))

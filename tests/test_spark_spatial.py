@@ -396,3 +396,59 @@ def test_convex_hull_per_group(spark):
     _, payload = parse_wkb(bytes(out["a"]["wkb"]))
     assert R.ring_role(payload[0][0]) == R.OUTER
     assert out["b"]["hull_area"] == 0.0
+
+
+def test_interior_cells_bypass_refine_udf(spark):
+    """Fully-interior covering cells skip the ray-cast: their candidates'
+    wkb is NULLED before the refine UDF (a parse attempt would raise), and
+    pip_refine_full passes them through.  Exactness pinned against the
+    nested-loop oracle on a polygon big enough to have interior cells."""
+    import numpy as np
+    from shapefile_rs_spark import cells as C
+    from shapefile_rs_spark.geom.pip import nested_loop_pip_oracle
+    from shapefile_rs_spark.geom.wkb import multipolygon_wkb, wkb_rings
+    from shapefile_rs_spark.operators.spatial_join import (
+        point_in_polygon_join,
+        pip_refine_full,
+    )
+
+    ring = np.array(
+        [[0.0, 0.0], [30.0, 0.0], [30.0, 20.0], [0.0, 20.0], [0.0, 0.0]]
+    )
+    wkb = multipolygon_wkb([[ring]])
+    res = 8  # cell ~1.4° → plenty of interior cells inside a 30×20 box
+    cells, full = C.classify_cover([ring], res)
+    assert full.sum() > 0
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform([-5, -5], [35, 25], size=(400, 2))
+    pts_df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "point_id bigint, lon double, lat double",
+    )
+    poly_df = spark.createDataFrame([(1, bytearray(wkb))], "polygon_id bigint, wkb binary")
+    got = {
+        (r["point_id"], r["polygon_id"])
+        for r in point_in_polygon_join(
+            pts_df,
+            poly_df,
+            point_cols=["point_id"],
+            polygon_cols=["polygon_id"],
+            fixed_res=res,
+        ).collect()
+    }
+    want = {(i, j + 1) for i, j in nested_loop_pip_oracle(pts, [[ring]])}
+    assert got == want and len(want) > 100
+
+    # the bypass contract itself: null wkb + full=True returns True without
+    # ever parsing (parsing None would raise); full=False rows still refine
+    import pandas as pd
+
+    inner = pip_refine_full.func
+    out = inner(
+        pd.Series([None, wkb], dtype=object),
+        pd.Series([1.0, 100.0]),
+        pd.Series([1.0, 100.0]),
+        pd.Series([True, False]),
+    )
+    assert list(out) == [True, False]
