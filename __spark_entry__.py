@@ -399,6 +399,37 @@ def q_shapes_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shapes_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE metadata rows over the fixture corpus: the 100-byte file
+    header (shape type code, length in 16-bit words, 8-value bbox incl.
+    M/Z ranges) surfaced without decoding records — the reference's public
+    ``Header`` API (src/header.rs:42-73) as a DataFrame (SURVEY §1.5)."""
+    from shapefile_rs_spark.fixtures import FIXTURE_BUILDERS, build_fixture
+    from shapefile_rs_spark.sources.shapefile_source import read_shapefile_headers
+
+    tmp, _fresh = _fixture_dir("fxdecode")
+    for name in FIXTURE_BUILDERS:
+        shp, shx = build_fixture(name)
+        with open(os.path.join(tmp, f"{name}.shp"), "wb") as fh:
+            fh.write(shp)
+        with open(os.path.join(tmp, f"{name}.shx"), "wb") as fh:
+            fh.write(shx)
+    headers = read_shapefile_headers(spark, tmp)
+    return headers.select(
+        F.element_at(F.split("source_file", "/"), -1).alias("family"),
+        "shape_type",
+        "file_length_words",
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+        "zmin",
+        "zmax",
+        "mmin",
+        "mmax",
+    )
+
+
 def _roundtrip_input_rows():
     """Deterministic 14-record corpus covering all 13 concrete shape types
     plus a NullShape — integer-valued coordinates/measures so every float in
@@ -444,6 +475,21 @@ def _roundtrip_input_rows():
             [1.0, 2.0, 3.0, 4.0, 1.0], [2.0, 2.0, 2.0, 2.0, 2.0],
         ),
     ]
+    # pad with the raw-geometry columns (None: these rows ride WKB)
+    rows = [r + (None, None, None) for r in rows]
+    # TriangleStrip/Fan multipatch cannot ride WKB (defined-unsupported,
+    # src/record/multipatch.rs:359-402) — it round-trips through the sink's
+    # RAW-geometry path: interleaved coords + part starts + patch types
+    strip_xy = [0.0, 0.0, 0.0, 2.0, 2.0, 0.0, 2.0, 2.0, 4.0, 0.0, 4.0, 2.0,
+                10.0, 0.0, 8.0, 2.0, 9.0, 3.0, 11.0, 3.0, 12.0, 2.0]
+    rows.append(
+        (
+            "patchstrip", 1, 31, None,
+            [float(i) for i in range(1, 12)],  # z: 1..11 → sum 66
+            [2.0] * 11,                        # m: sum 22
+            strip_xy, [0, 6], [0, 1],          # TRIANGLE_STRIP, TRIANGLE_FAN
+        )
+    )
     return rows
 
 
@@ -461,13 +507,17 @@ def q_shapes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sum(len(b) for b in batches):  # exactly one partition holds the seed row
             yield pd.DataFrame(
                 _roundtrip_input_rows(),
-                columns=["stem", "record_number", "shape_type", "wkb", "z", "m"],
+                columns=[
+                    "stem", "record_number", "shape_type", "wkb", "z", "m",
+                    "xy", "parts", "patch_types",
+                ],
             )
 
     inp = spark.range(0, 1, 1, 1).mapInPandas(
         gen,
         schema="stem string, record_number int, shape_type int, wkb binary, "
-        "z array<double>, m array<double>",
+        "z array<double>, m array<double>, xy array<double>, "
+        "parts array<int>, patch_types array<int>",
     )
     tmp, _fresh = _fixture_dir("fxroundtrip")
     write_shapefiles(
@@ -477,6 +527,9 @@ def q_shapes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shape_type_col="shape_type",
         z_col="z",
         m_col="m",
+        xy_col="xy",
+        parts_col="parts",
+        patch_types_col="patch_types",
     )
     shapes = read_shapefiles(spark, tmp)
     agg_sum = "aggregate({0}, cast(0.0 as double), (a, x) -> a + x)"
@@ -922,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_census": q_cell_census,
         "shapes_decode": q_shapes_decode,
         "shapes_roundtrip": q_shapes_roundtrip,
+        "shapes_headers": q_shapes_headers,
         "shapes_attrs": q_shapes_attrs,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
@@ -1086,6 +1140,7 @@ SELECT * FROM (VALUES
   ('linez',       1, 13, 3, 1, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(4 AS DOUBLE), CAST(2 AS DOUBLE), CAST(6 AS DOUBLE),    CAST(15 AS DOUBLE)),
   ('multipatch',  1, 31, 5, 1, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(4 AS DOUBLE), CAST(4 AS DOUBLE), CAST(11 AS DOUBLE),   CAST(10 AS DOUBLE)),
   ('multipoint',  1,  8, 3, 0, CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(5 AS DOUBLE), CAST(3 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+  ('patchstrip',  1, 31, 11, 2, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(12 AS DOUBLE), CAST(3 AS DOUBLE), CAST(66 AS DOUBLE), CAST(22 AS DOUBLE)),
   ('multipointm', 1, 28, 2, 0, CAST(1 AS DOUBLE), CAST(2 AS DOUBLE), CAST(3 AS DOUBLE), CAST(4 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(15 AS DOUBLE)),
   ('multipointz', 1, 18, 2, 0, CAST(1 AS DOUBLE), CAST(2 AS DOUBLE), CAST(3 AS DOUBLE), CAST(4 AS DOUBLE), CAST(3 AS DOUBLE),    CAST(7 AS DOUBLE)),
   ('point',       1,  1, 1, 0, CAST(1 AS DOUBLE), CAST(2 AS DOUBLE), CAST(1 AS DOUBLE), CAST(2 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
@@ -1097,6 +1152,27 @@ SELECT * FROM (VALUES
   ('polygonz',    1, 15, 5, 1, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(4 AS DOUBLE), CAST(4 AS DOUBLE), CAST(9 AS DOUBLE),    CAST(0 AS DOUBLE))
 ) AS t(family, record_number, shape_type, num_points, num_parts,
        xmin, ymin, xmax, ymax, z_sum, m_sum)
+""",
+        "shapes_headers": """
+SELECT family, shape_type, file_length_words,
+       CAST(xmin AS DOUBLE) AS xmin, CAST(ymin AS DOUBLE) AS ymin,
+       CAST(xmax AS DOUBLE) AS xmax, CAST(ymax AS DOUBLE) AS ymax,
+       CAST(zmin AS DOUBLE) AS zmin, CAST(zmax AS DOUBLE) AS zmax,
+       CAST(mmin AS DOUBLE) AS mmin, CAST(mmax AS DOUBLE) AS mmax
+FROM (VALUES
+  ('line', 3, 136, 1.0, 1.0, 5.0, 6.0, 0.0, 0.0, 0.0, 0.0),
+  ('linem', 23, 172, 1.0, 1.0, 5.0, 6.0, 0.0, 0.0, -1e+39, 3.0),
+  ('linez', 13, 258, 1.0, 1.0, 5.0, 9.0, 13.0, 21.0, -1e+39, 3.0),
+  ('multipatch', 31, 356, 0.0, 0.0, 5.0, 5.0, 0.0, 5.0, -1e+39, -1e+39),
+  ('multipoint', 8, 90, 122.0, 32.0, 124.0, 37.0, 0.0, 0.0, 0.0, 0.0),
+  ('multipointz', 18, 154, 1422671.7232666016, 4188903.4295959473, 1422672.1022949219, 4188903.7578430176, 72.00220489501953, 72.00995635986328, -1e+39, -1e+39),
+  ('point', 1, 64, 122.0, 37.0, 122.0, 37.0, 0.0, 0.0, 0.0, 0.0),
+  ('pointm', 21, 86, 160467.63787299366, 5403959.561417906, 160477.9000324604, 5403971.985031904, 0.0, 0.0, 0.0, 0.0),
+  ('pointz', 11, 94, 1422459.0908050265, 4188942.211755641, 1422464.3681007193, 4188962.3364355816, 72.40956470558095, 72.58286959604922, -1e+39, -1e+39),
+  ('polygon', 5, 194, 15.0, 2.0, 122.0, 37.0, 0.0, 0.0, 0.0, 0.0),
+  ('polygon_hole', 5, 160, -120.0, -60.0, 120.0, 60.0, 0.0, 0.0, 0.0, 0.0),
+  ('polygonm', 25, 134, 159374.30785312195, 5403473.287488617, 160420.36722814097, 5404314.139043656, 0.0, 0.0, 0.0, 0.0)
+) AS t(family, shape_type, file_length_words, xmin, ymin, xmax, ymax, zmin, zmax, mmin, mmax)
 """,
         "shapes_decode": f"""
 SELECT fixture, record_number, shape_type, num_points, num_parts,

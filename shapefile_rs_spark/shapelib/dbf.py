@@ -59,8 +59,48 @@ class DbfError(ShapefileError):
     pass
 
 
-def read_dbf(data: bytes, encoding: str = "ascii") -> tuple:
-    """Returns ``(fields, rows)`` where rows are dicts keyed by field name."""
+DBT_BLOCK = 512
+
+
+def read_memo(dbt: bytes, block: int, encoding: str = "ascii") -> Optional[str]:
+    """Resolve one dBase III memo: text starts at ``block``·512 and runs to
+    the 0x1A terminator.  Out-of-range pointers tolerate as None (crash-safe,
+    matching the field-level policy)."""
+    start = block * DBT_BLOCK
+    if block <= 0 or start >= len(dbt):
+        return None
+    end = dbt.find(b"\x1a", start)
+    chunk = dbt[start : end if end != -1 else len(dbt)]
+    return chunk.decode(encoding, errors="replace")
+
+
+def write_dbt(memos: Sequence[Optional[str]], encoding: str = "ascii") -> tuple:
+    """dBase III memo sidecar writer (fixture/round-trip support): 512-byte
+    blocks, text terminated ``0x1A 0x1A``, header block 0 carrying the
+    next-free-block pointer.  Returns ``(dbt_bytes, block_indices)`` where
+    ``block_indices[i]`` is the value to store in record i's ``M`` field
+    (None for absent memos)."""
+    blocks = bytearray(DBT_BLOCK)
+    blocks[16] = 0x03  # dBase III version marker
+    indices: List[Optional[int]] = []
+    for m in memos:
+        if m is None:
+            indices.append(None)
+            continue
+        payload = m.encode(encoding) + b"\x1a\x1a"
+        indices.append(len(blocks) // DBT_BLOCK)
+        blocks += payload
+        blocks += b"\x00" * ((-len(blocks)) % DBT_BLOCK)
+    struct.pack_into("<I", blocks, 0, len(blocks) // DBT_BLOCK)
+    return bytes(blocks), indices
+
+
+def read_dbf(data: bytes, encoding: str = "ascii", dbt: Optional[bytes] = None) -> tuple:
+    """Returns ``(fields, rows)`` where rows are dicts keyed by field name.
+
+    ``dbt`` is the optional memo sidecar: with it, ``M`` fields resolve
+    their block pointers to the memo text (the dbase-crate surface the
+    reference re-exports, src/lib.rs:60); without it they stay None."""
     if len(data) < 32:
         raise DbfError("dbf shorter than header")
     num_records = struct.unpack_from("<I", data, 4)[0]
@@ -92,13 +132,13 @@ def read_dbf(data: bytes, encoding: str = "ascii") -> tuple:
         for f in fields:
             raw = data[off : off + f.length]
             off += f.length
-            row[f.name] = _parse_value(f, raw, encoding)
+            row[f.name] = _parse_value(f, raw, encoding, dbt)
         rows.append(row)
         pos += record_size
     return fields, rows
 
 
-def _parse_value(f: DbfField, raw: bytes, encoding: str):
+def _parse_value(f: DbfField, raw: bytes, encoding: str, dbt: Optional[bytes] = None):
     if f.ftype == "C":
         return raw.decode(encoding, errors="replace").rstrip(" \x00")
     text = raw.decode("ascii", errors="replace").strip(" \x00")
@@ -122,10 +162,17 @@ def _parse_value(f: DbfField, raw: bytes, encoding: str):
             return datetime.date(int(text[:4]), int(text[4:6]), int(text[6:8]))
         return None
     if f.ftype == "M":
-        # Memo fields store a .dbt block pointer; without the sidecar the
-        # value is meaningless — tolerate (None) rather than crash the task
-        # (the dbase crate the reference re-exports reads these via .dbt)
-        return None
+        # Memo fields store a .dbt block pointer (10-char ASCII number in
+        # dBase III; 4-byte LE int in FoxPro-width fields).  With the .dbt
+        # sidecar the pointer resolves to the memo text; without it (or on
+        # a dangling pointer) tolerate as None rather than crash the task.
+        if f.length == 4:
+            block = struct.unpack("<i", raw[:4])[0] if len(raw) >= 4 else 0
+        else:
+            block = int(text) if text.isdigit() else 0
+        if dbt is None or block <= 0:
+            return None
+        return read_memo(dbt, block, encoding)
     # FoxPro/dBASE-7 binary field types (the rest of the dbase-crate
     # surface the reference re-exports, src/lib.rs:60): fixed-width
     # little-endian payloads, not text
@@ -187,6 +234,12 @@ def _format_value(f: DbfField, value) -> bytes:
         jdn = value.date().toordinal() + 1721425
         ms = (value.hour * 3600 + value.minute * 60 + value.second) * 1000 + value.microsecond // 1000
         return struct.pack("<ii", jdn, ms)
+    if f.ftype == "M":
+        # value = .dbt block index (from write_dbt); None = no memo
+        if f.length == 4:
+            return struct.pack("<i", 0 if value is None else int(value))
+        s = "" if value is None else str(int(value))
+        return s.encode("ascii").rjust(f.length, b" ")
     raise DbfError(f"unsupported field type {f.ftype}")
 
 

@@ -106,6 +106,7 @@ def wkb_to_shape_rec(
     shape_type: Optional[int] = None,
     z=None,
     m=None,
+    patch_types=None,
 ) -> ShapeRec:
     """Inverse of shape_to_wkb for ALL 13 concrete types (geo-types import
     analog, src/record/mod.rs:484-509 + writer contract src/writer.rs:97-145).
@@ -114,7 +115,13 @@ def wkb_to_shape_rec(
     attaching the ``z``/``m`` arrays (indexed per original WKB vertex order —
     ring closing/reordering carries them along).  ``wkb=None`` produces a
     NullShape record (the reference writes NullShape in any file,
-    src/record/mod.rs:236)."""
+    src/record/mod.rs:236).
+
+    ``patch_types`` (MULTIPATCH only) overrides the rebuilt OUTER/INNER
+    labels with an explicit per-part sequence (e.g. FIRST_RING/RING) —
+    length must match the part count.  Orientation is still normalized by
+    ring role; strip/fan GEOMETRY cannot ride WKB at all — use the raw-
+    geometry sink path for those records."""
     if wkb is None:
         return ShapeRec(NULL_SHAPE, np.empty((0, 2)), bbox_xy=(0.0, 0.0, 0.0, 0.0))
     gtype, payload = parse_wkb(wkb)
@@ -148,7 +155,16 @@ def wkb_to_shape_rec(
         xy_in = np.vstack(rings_flat) if rings_flat else np.empty((0, 2))
         index, parts, patch = _ring_index_map(polygons)
         xy = xy_in[index]
-        patch = patch if st == MULTIPATCH else None
+        if st == MULTIPATCH:
+            if patch_types is not None:
+                override = [int(p) for p in patch_types]
+                if len(override) != len(parts):
+                    raise ValueError(
+                        f"patch_types length {len(override)} != part count {len(parts)}"
+                    )
+                patch = override
+        else:
+            patch = None
 
     if z_arr is not None or m_arr is not None:
         z_arr = None if z_arr is None else z_arr[index]
@@ -175,6 +191,9 @@ def write_shapefiles(
     shape_type_col: Optional[str] = None,
     z_col: Optional[str] = None,
     m_col: Optional[str] = None,
+    xy_col: Optional[str] = None,
+    parts_col: Optional[str] = None,
+    patch_types_col: Optional[str] = None,
     encoding: Optional[str] = None,
     crs_wkt: Optional[str] = None,
 ) -> List[str]:
@@ -188,10 +207,18 @@ def write_shapefiles(
     src/writer.rs:97-145).  A null ``wkb`` writes a NullShape record.
     ``encoding`` applies to the DBF text fields AND emits the matching
     ``.cpg`` sidecar so the label survives a round trip
-    (src/reader.rs:664-684 read contract)."""
+    (src/reader.rs:664-684 read contract).
+
+    ``xy_col``/``parts_col``/``patch_types_col`` are the RAW-geometry path
+    (the source's ``raw_geometry=True`` columns): a row with null wkb but a
+    non-null xy array writes the shape directly from interleaved coords +
+    part starts + patch types — the only route for TriangleStrip/Fan
+    multipatch, whose geometry WKB cannot represent (writer contract
+    src/writer.rs:97-145).  ``patch_types_col`` alone also overrides ring
+    roles for wkb-borne MULTIPATCH rows."""
     os.makedirs(out_dir, exist_ok=True)
     attr_cols = attr_cols or []
-    extra = [c for c in (shape_type_col, z_col, m_col) if c]
+    extra = [c for c in (shape_type_col, z_col, m_col, xy_col, parts_col, patch_types_col) if c]
     cols = [stem_col, wkb_col, order_col] + extra + attr_cols
     fields = dbf_fields
     enc = encoding
@@ -205,19 +232,54 @@ def write_shapefiles(
         out = []
         for stem, grp in pdf.groupby(stem_col):
             grp = grp.sort_values(order_col)
-            recs = [
-                wkb_to_shape_rec(
-                    None if row[wkb_col] is None else bytes(row[wkb_col]),
-                    shape_type=(
-                        None
-                        if not shape_type_col or pd.isna(row[shape_type_col])
-                        else int(row[shape_type_col])
-                    ),
-                    z=row[z_col] if z_col and row[z_col] is not None else None,
-                    m=row[m_col] if m_col and row[m_col] is not None else None,
+            recs = []
+            for _, row in grp.iterrows():
+                st = (
+                    None
+                    if not shape_type_col or pd.isna(row[shape_type_col])
+                    else int(row[shape_type_col])
                 )
-                for _, row in grp.iterrows()
-            ]
+                z = row[z_col] if z_col and row[z_col] is not None else None
+                m = row[m_col] if m_col and row[m_col] is not None else None
+                patch = (
+                    row[patch_types_col]
+                    if patch_types_col and row[patch_types_col] is not None
+                    else None
+                )
+                if (
+                    row[wkb_col] is None
+                    and xy_col
+                    and row[xy_col] is not None
+                    and st is not None
+                    and st != NULL_SHAPE
+                ):
+                    # raw-geometry path: strip/fan multipatch (and any other
+                    # WKB-inexpressible record) writes straight from coords
+                    parts = (
+                        row[parts_col]
+                        if parts_col and row[parts_col] is not None
+                        else None
+                    )
+                    recs.append(
+                        ShapeRec(
+                            st,
+                            np.asarray(row[xy_col], dtype=np.float64).reshape(-1, 2),
+                            z=None if z is None else np.asarray(z, dtype=np.float64),
+                            m=None if m is None else np.asarray(m, dtype=np.float64),
+                            parts=None if parts is None else np.asarray(parts, dtype=np.int64),
+                            patch_types=patch,
+                        )
+                    )
+                    continue
+                recs.append(
+                    wkb_to_shape_rec(
+                        None if row[wkb_col] is None else bytes(row[wkb_col]),
+                        shape_type=st,
+                        z=z,
+                        m=m,
+                        patch_types=patch,
+                    )
+                )
             shp, shx = write_shp(recs)
             base = os.path.join(out_dir, str(stem))
             with open(base + ".shp", "wb") as fh:

@@ -62,17 +62,19 @@ SHAPES_SCHEMA = StructType(
 )
 
 
-def _attrs_json_column(dbf, encoding, n_records):
+def _attrs_json_column(dbf, encoding, n_records, dbt=None):
     """DBF rows → JSON strings, padded with None for missing trailing rows
     and truncated when the DBF has MORE rows than the shp (matching the
-    reference iterator's zip semantics, src/reader.rs:164-193)."""
+    reference iterator's zip semantics, src/reader.rs:164-193).  ``dbt`` is
+    the optional memo sidecar — with it, ``M`` field block pointers resolve
+    to memo text (dbase-crate surface, src/lib.rs:60)."""
     import json as _json
 
     from ..shapelib.dbf import read_dbf
 
     if not dbf:
         return [None] * n_records
-    _, attr_rows = read_dbf(dbf, encoding=encoding)
+    _, attr_rows = read_dbf(dbf, encoding=encoding, dbt=dbt)
     attrs = [_json.dumps(a, default=str) if a else None for a in attr_rows]
     attrs += [None] * (n_records - len(attrs))
     return attrs[:n_records]
@@ -97,7 +99,30 @@ def _shape_wkb_or_null(rec, on_invalid):
         raise
 
 
-def _bulk_frame(bulk, stem, crs_wkt, attrs, on_invalid):
+RAW_GEOMETRY_FIELDS = [
+    StructField("xy", ArrayType(DoubleType())),  # interleaved x0,y0,x1,y1,…
+    StructField("parts", ArrayType(IntegerType())),  # record-local part starts
+    StructField("patch_types", ArrayType(IntegerType())),  # multipatch only
+]
+
+
+def _raw_geom_columns(recs):
+    """Per-record raw geometry columns from decoded ShapeRecs (sequential
+    path): interleaved coords + part offsets + patch types — the lossless
+    representation that lets TriangleStrip/Fan multipatch (whose wkb is
+    defined-unsupported) round-trip through the DataFrame sink."""
+    import numpy as np
+
+    xy = [r.xy.reshape(-1) for r in recs]
+    parts = [None if r.parts is None else np.asarray(r.parts, dtype=np.int32) for r in recs]
+    patch = [
+        None if r.patch_types is None else np.asarray(r.patch_types, dtype=np.int32)
+        for r in recs
+    ]
+    return xy, parts, patch
+
+
+def _bulk_frame(bulk, stem, crs_wkt, attrs, on_invalid, raw_geometry=False):
     """Column-vectorized shapes frame from a BulkShapes decode — the whole
     file becomes pandas columns with zero per-record Python except polygon
     ring grouping (which needs per-record shoelace classification)."""
@@ -126,28 +151,42 @@ def _bulk_frame(bulk, stem, crs_wkt, attrs, on_invalid):
 
     n_pts = np.diff(po)
     cuts = po[1:-1]
-    return pd.DataFrame(
-        {
-            "source_file": stem,
-            "record_number": bulk.record_numbers.astype("int32"),
-            "shape_type": np.int32(st),
-            "wkb": wkb,
-            "xmin": bulk.bbox[:, 0],
-            "ymin": bulk.bbox[:, 1],
-            "xmax": bulk.bbox[:, 2],
-            "ymax": bulk.bbox[:, 3],
-            "num_points": n_pts.astype("int32"),
-            "num_parts": (
-                np.diff(bulk.part_offsets).astype("int32")
-                if bulk.part_offsets is not None
-                else np.int32(0)
-            ),
-            "z": np.split(bulk.z, cuts) if bulk.z is not None else None,
-            "m": np.split(bulk.m, cuts) if bulk.m is not None else None,
-            "attrs_json": attrs,
-            "crs_wkt": crs_wkt,
-        }
-    )
+    frame = {
+        "source_file": stem,
+        "record_number": bulk.record_numbers.astype("int32"),
+        "shape_type": np.int32(st),
+        "wkb": wkb,
+        "xmin": bulk.bbox[:, 0],
+        "ymin": bulk.bbox[:, 1],
+        "xmax": bulk.bbox[:, 2],
+        "ymax": bulk.bbox[:, 3],
+        "num_points": n_pts.astype("int32"),
+        "num_parts": (
+            np.diff(bulk.part_offsets).astype("int32")
+            if bulk.part_offsets is not None
+            else np.int32(0)
+        ),
+        "z": np.split(bulk.z, cuts) if bulk.z is not None else None,
+        "m": np.split(bulk.m, cuts) if bulk.m is not None else None,
+        "attrs_json": attrs,
+        "crs_wkt": crs_wkt,
+    }
+    if raw_geometry:
+        frame["xy"] = np.split(bulk.xy.reshape(-1), cuts * 2)
+        if bulk.part_offsets is not None:
+            fo = bulk.part_offsets
+            frame["parts"] = np.split(
+                np.asarray(bulk.parts, dtype=np.int32), fo[1:-1]
+            )
+            frame["patch_types"] = (
+                np.split(bulk.patch_types.astype(np.int32), fo[1:-1])
+                if bulk.patch_types is not None
+                else None
+            )
+        else:
+            frame["parts"] = None
+            frame["patch_types"] = None
+    return pd.DataFrame(frame)
 
 
 def _decode_stem_group(
@@ -155,11 +194,13 @@ def _decode_stem_group(
     expected_type: Optional[int] = None,
     on_invalid: str = "error",
     require_dbf: bool = False,
+    raw_geometry: bool = False,
 ) -> Iterator[pd.DataFrame]:
     from ..shapelib.dbf import resolve_encoding
     from ..shapelib.shp import _BulkUnsupported, read_shp, read_shp_bulk
     from ..shapelib.shptypes import MissingDbf
 
+    schema = _shapes_schema(raw_geometry)
     for pdf in batches:
         out_rows = []
         fast_frames = []
@@ -171,6 +212,7 @@ def _decode_stem_group(
             dbf = bytes(row["dbf"]) if row["dbf"] is not None else None
             cpg = bytes(row["cpg"]) if row["cpg"] is not None else None
             prj = bytes(row["prj"]) if row.get("prj") is not None else None
+            dbt = bytes(row["dbt"]) if row.get("dbt") is not None else None
             if require_dbf and not dbf:
                 # src/reader.rs:654-662 — Reader::from_path requires the
                 # attribute sidecar when records are to be read with attrs
@@ -187,42 +229,53 @@ def _decode_stem_group(
                 except _BulkUnsupported:
                     pass
                 else:
-                    attrs = _attrs_json_column(dbf, encoding, bulk.num_records)
+                    attrs = _attrs_json_column(dbf, encoding, bulk.num_records, dbt)
                     fast_frames.append(
-                        _bulk_frame(bulk, row["stem"], crs_wkt, attrs, on_invalid)
+                        _bulk_frame(
+                            bulk, row["stem"], crs_wkt, attrs, on_invalid, raw_geometry
+                        )
                     )
                     continue
 
             header, recs, nums = read_shp(shp, shx=shx, expected_type=expected_type)
-            attr_rows = _attrs_json_column(dbf, encoding, len(recs))
+            attr_rows = _attrs_json_column(dbf, encoding, len(recs), dbt)
             for rec, num, attrs in zip(recs, nums, attr_rows):
                 wkb = _shape_wkb_or_null(rec, on_invalid)
                 bb = rec.bbox_xy or (None, None, None, None)
-                out_rows.append(
-                    {
-                        "source_file": row["stem"],
-                        "record_number": int(num),
-                        "shape_type": int(rec.shape_type),
-                        "wkb": wkb,
-                        "xmin": bb[0],
-                        "ymin": bb[1],
-                        "xmax": bb[2],
-                        "ymax": bb[3],
-                        "num_points": rec.num_points,
-                        "num_parts": rec.num_parts,
-                        "z": rec.z.tolist() if rec.z is not None else None,
-                        "m": rec.m.tolist() if rec.m is not None else None,
-                        "attrs_json": attrs,
-                        "crs_wkt": crs_wkt,
-                    }
-                )
-        cols = [f.name for f in SHAPES_SCHEMA.fields]
+                out = {
+                    "source_file": row["stem"],
+                    "record_number": int(num),
+                    "shape_type": int(rec.shape_type),
+                    "wkb": wkb,
+                    "xmin": bb[0],
+                    "ymin": bb[1],
+                    "xmax": bb[2],
+                    "ymax": bb[3],
+                    "num_points": rec.num_points,
+                    "num_parts": rec.num_parts,
+                    "z": rec.z.tolist() if rec.z is not None else None,
+                    "m": rec.m.tolist() if rec.m is not None else None,
+                    "attrs_json": attrs,
+                    "crs_wkt": crs_wkt,
+                }
+                if raw_geometry:
+                    out["xy"] = rec.xy.reshape(-1)
+                    out["parts"] = rec.parts
+                    out["patch_types"] = rec.patch_types
+                out_rows.append(out)
+        cols = [f.name for f in schema.fields]
         slow = pd.DataFrame(out_rows, columns=cols)
         if fast_frames:
             frames = ([slow[cols]] if len(slow) else []) + [f[cols] for f in fast_frames]
             yield pd.concat(frames, ignore_index=True)
         else:
             yield slow
+
+
+def _shapes_schema(raw_geometry: bool) -> StructType:
+    if not raw_geometry:
+        return SHAPES_SCHEMA
+    return StructType(list(SHAPES_SCHEMA.fields) + RAW_GEOMETRY_FIELDS)
 
 
 def read_shapefiles(
@@ -232,6 +285,7 @@ def read_shapefiles(
     expected_type: Optional[int] = None,
     on_invalid: str = "error",
     require_dbf: bool = False,
+    raw_geometry: bool = False,
 ) -> DataFrame:
     """Read a directory of shapefiles into the canonical shapes DataFrame.
 
@@ -246,10 +300,18 @@ def read_shapefiles(
     (src/record/polygon.rs:606-640); ``"null"`` nulls the wkb column instead
     (scan-everything mode for pathological corpora).  TriangleStrip/Fan
     multipatch is defined-unsupported and always nulls.
+
+    ``raw_geometry=True`` appends lossless ``xy``/``parts``/``patch_types``
+    columns (interleaved coords, record-local part starts, multipatch part
+    types) so ANY record — including strip/fan multipatch whose wkb is
+    None — round-trips through :func:`..shapefile_sink.write_shapefiles`.
+
+    Memo attributes: a ``stem.dbt`` sidecar resolves ``M`` field block
+    pointers to memo text in ``attrs_json`` (dbase crate, src/lib.rs:60).
     """
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", f"{pattern}.{{shp,shx,dbf,cpg,prj}}")
+        .option("pathGlobFilter", f"{pattern}.{{shp,shx,dbf,cpg,prj,dbt}}")
         .load(path)
         .select(
             F.regexp_replace(F.col("path"), r"\.[a-z]{3}$", "").alias("stem"),
@@ -260,13 +322,90 @@ def read_shapefiles(
     grouped = raw.groupBy("stem").agg(
         *[
             F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e)
-            for e in ("shp", "shx", "dbf", "cpg", "prj")
+            for e in ("shp", "shx", "dbf", "cpg", "prj", "dbt")
         ]
     )
     return grouped.mapInPandas(
-        lambda it: _decode_stem_group(it, expected_type, on_invalid, require_dbf),
-        schema=SHAPES_SCHEMA,
+        lambda it: _decode_stem_group(
+            it, expected_type, on_invalid, require_dbf, raw_geometry
+        ),
+        schema=_shapes_schema(raw_geometry),
     )
+
+
+HEADERS_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType()),
+        StructField("shape_type", IntegerType()),
+        StructField("file_length_words", LongType()),
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+        StructField("zmin", DoubleType()),
+        StructField("zmax", DoubleType()),
+        StructField("mmin", DoubleType()),
+        StructField("mmax", DoubleType()),
+        StructField("crs_wkt", StringType()),
+    ]
+)
+
+
+def read_shapefile_headers(spark: SparkSession, path: str, pattern: str = "*") -> DataFrame:
+    """Per-FILE metadata rows: one row per shapefile stem with the 100-byte
+    file header surfaced (shape_type code, file length in 16-bit words, the
+    8-value bbox incl. M/Z ranges) plus the ``.prj`` passthrough — the
+    reference's public ``Header`` API (src/header.rs:42-73) as a DataFrame,
+    for auditing a lake of shapefiles without decoding records (SURVEY §1.5
+    'per-file metadata row')."""
+
+    def headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..shapelib.shp import read_header
+
+        cols = [f.name for f in HEADERS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                shp = bytes(row["shp"]) if row["shp"] is not None else None
+                if not shp:
+                    continue
+                prj = bytes(row["prj"]) if row.get("prj") is not None else None
+                h = read_header(shp)
+                rows.append(
+                    {
+                        "source_file": row["stem"],
+                        "shape_type": int(h.shape_type),
+                        "file_length_words": int(h.file_length_words),
+                        **dict(
+                            zip(
+                                ("xmin", "ymin", "xmax", "ymax", "zmin", "zmax", "mmin", "mmax"),
+                                (float(v) for v in h.bbox),
+                            )
+                        ),
+                        "crs_wkt": (
+                            prj.decode("utf-8", "replace").strip() if prj else None
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"{pattern}.{{shp,prj}}")
+        .load(path)
+        .select(
+            F.regexp_replace(F.col("path"), r"\.[a-z]{3}$", "").alias("stem"),
+            F.lower(F.regexp_extract(F.col("path"), r"\.([a-z]{3})$", 1)).alias("ext"),
+            F.col("content"),
+        )
+    )
+    grouped = raw.groupBy("stem").agg(
+        *[
+            F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e)
+            for e in ("shp", "prj")
+        ]
+    )
+    return grouped.mapInPandas(headers, schema=HEADERS_SCHEMA)
 
 
 def shapes_with_typed_attrs(shapes: DataFrame, fields: dict) -> DataFrame:

@@ -518,3 +518,32 @@ def test_wkt_num_nonfinite_coordinates():
 
     assert wkt_from_wkb(point_wkb(float("nan"), float("inf"))) == "POINT (nan inf)"
     assert wkt_from_wkb(point_wkb(-float("inf"), 2.0)) == "POINT (-inf 2)"
+
+
+def test_dbf_memo_dbt_resolution():
+    """'M' fields resolve block pointers through the .dbt sidecar to memo
+    text (dbase-crate surface the reference re-exports, src/lib.rs:60);
+    dangling/zero pointers and absent sidecars stay None."""
+    from shapefile_rs_spark.shapelib.dbf import read_memo, write_dbt
+
+    memos = ["first memo", None, "third memo, longer than a few words " * 20]
+    dbt, blocks = write_dbt(memos)
+    assert blocks[1] is None and blocks[0] == 1 and blocks[2] >= 2
+    assert len(dbt) % 512 == 0
+    assert read_memo(dbt, blocks[0]) == memos[0]
+    assert read_memo(dbt, blocks[2]) == memos[2]
+    assert read_memo(dbt, 10_000) is None  # dangling pointer tolerated
+
+    fields = [DbfField("ID", "N", 4, 0), DbfField("NOTE", "M", 10, 0)]
+    rows = [{"ID": i + 1, "NOTE": b} for i, b in enumerate(blocks)]
+    dbf = write_dbf(fields, rows)
+    _, back = read_dbf(dbf, dbt=dbt)
+    assert [r["NOTE"] for r in back] == [memos[0], None, memos[2]]
+    # without the sidecar the pointer is meaningless -> None (old behavior)
+    _, no_sidecar = read_dbf(dbf)
+    assert [r["NOTE"] for r in no_sidecar] == [None, None, None]
+    # FoxPro-width memo field: 4-byte LE block int
+    fields4 = [DbfField("NOTE", "M", 4, 0)]
+    dbf4 = write_dbf(fields4, [{"NOTE": blocks[0]}])
+    _, back4 = read_dbf(dbf4, dbt=dbt)
+    assert back4[0]["NOTE"] == memos[0]

@@ -452,3 +452,106 @@ def test_interior_cells_bypass_refine_udf(spark):
         pd.Series([True, False]),
     )
     assert list(out) == [True, False]
+
+
+def test_memo_attrs_through_source(spark, tmp_path):
+    """A stem with a .dbt sidecar surfaces memo text in attrs_json; the
+    same stem without the sidecar reads the field as null (dbase-crate
+    memo surface, src/lib.rs:60)."""
+    import json
+
+    from shapefile_rs_spark import fixtures as FX
+    from shapefile_rs_spark.shapelib.dbf import DbfField, write_dbf, write_dbt
+    from shapefile_rs_spark.shapelib.shp import write_shp
+
+    shp, shx = write_shp(FX.fx_point())
+    memos = ["parcel notes: corner lot", "see survey 1878"]
+    dbt, blocks = write_dbt(memos[:1])
+    fields = [DbfField("ID", "N", 4, 0), DbfField("NOTE", "M", 10, 0)]
+    dbf = write_dbf(fields, [{"ID": 7, "NOTE": blocks[0]}])
+    for ext, blob in (("shp", shp), ("shx", shx), ("dbf", dbf), ("dbt", dbt)):
+        (tmp_path / f"memo.{ext}").write_bytes(blob)
+    (tmp_path / "bare.shp").write_bytes(shp)
+    (tmp_path / "bare.shx").write_bytes(shx)
+    (tmp_path / "bare.dbf").write_bytes(dbf)
+
+    rows = {
+        r.source_file.rsplit("/", 1)[-1]: json.loads(r.attrs_json)
+        for r in read_shapefiles(spark, str(tmp_path)).collect()
+    }
+    assert rows["memo"] == {"ID": 7, "NOTE": memos[0]}
+    assert rows["bare"] == {"ID": 7, "NOTE": None}
+
+
+def test_strip_fan_multipatch_dataframe_roundtrip(spark, tmp_path):
+    """TriangleStrip/Fan multipatch — whose geometry WKB cannot express
+    (defined-unsupported, src/record/multipatch.rs:359-402) — round-trips
+    DataFrame-level via the raw-geometry columns (writer contract
+    src/writer.rs:97-145)."""
+    import numpy as np
+    import pandas as pd
+
+    from shapefile_rs_spark.shapelib.shp import ShapeRec, write_shp
+    from shapefile_rs_spark.shapelib.shptypes import MULTIPATCH
+    from shapefile_rs_spark.sources.shapefile_sink import write_shapefiles
+
+    xy = np.array(
+        [[0, 0], [0, 2], [2, 0], [2, 2], [4, 0], [4, 2],
+         [10, 0], [8, 2], [9, 3], [11, 3], [12, 2]], dtype=float
+    )
+    rec = ShapeRec(
+        MULTIPATCH, xy,
+        z=np.arange(1.0, 12.0), m=np.full(11, 2.0),
+        parts=np.array([0, 6], dtype=np.int32),
+        patch_types=np.array([0, 1], dtype=np.int32),  # STRIP, FAN
+    )
+    shp, shx = write_shp([rec])
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "strip.shp").write_bytes(shp)
+    (src / "strip.shx").write_bytes(shx)
+
+    shapes = read_shapefiles(spark, str(src), raw_geometry=True)
+    row = shapes.collect()[0]
+    assert row.wkb is None  # strip/fan cannot ride WKB
+    assert list(row.patch_types) == [0, 1] and list(row.parts) == [0, 6]
+
+    out = tmp_path / "out"
+    write_shapefiles(
+        shapes.withColumn("output_stem", F.lit("rt")),
+        str(out),
+        shape_type_col="shape_type",
+        z_col="z",
+        m_col="m",
+        xy_col="xy",
+        parts_col="parts",
+        patch_types_col="patch_types",
+    )
+    assert (out / "rt.shp").read_bytes() == shp  # byte-identical re-write
+
+    back = read_shapefiles(spark, str(out), raw_geometry=True).collect()[0]
+    assert list(back.patch_types) == [0, 1]
+    assert np.asarray(back.xy).tolist() == xy.reshape(-1).tolist()
+    assert list(back.z) == list(np.arange(1.0, 12.0))
+
+
+def test_read_shapefile_headers(spark, join_fixture_dir):
+    """Per-file header metadata rows (Header public API, src/header.rs:42-73)
+    without decoding records: shape_type + file length + 8-value bbox."""
+    from shapefile_rs_spark.shapelib.shp import read_header
+    from shapefile_rs_spark.sources.shapefile_source import read_shapefile_headers
+
+    hdrs = {
+        r.source_file.rsplit("/", 1)[-1]: r
+        for r in read_shapefile_headers(spark, join_fixture_dir).collect()
+    }
+    assert set(hdrs) == {"points", "polygons"}
+    import os
+
+    for stem, row in hdrs.items():
+        with open(os.path.join(join_fixture_dir, stem + ".shp"), "rb") as fh:
+            h = read_header(fh.read())
+        assert row.shape_type == h.shape_type
+        assert row.file_length_words == h.file_length_words
+        assert (row.xmin, row.ymin, row.xmax, row.ymax) == h.bbox[:4]
+        assert (row.zmin, row.zmax, row.mmin, row.mmax) == h.bbox[4:]
