@@ -237,6 +237,40 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("_cos") >= threshold).select("id_a", "id_b")
 
 
+def _assign_centroids_broadcast(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_id: str,
+    vec_col: str,
+    centroid_id: str,
+    centroid_col: str,
+    carry_vec: bool,
+    n_assign: int,
+) -> DataFrame:
+    """Broadcast-join assignment for centroid sets too big to pickle into a
+    task closure: Spark ships the centroid frame once per executor (torrent
+    broadcast, not per-task), the Arrow-batched cosine scores each
+    (vector, centroid) pair, and a window keeps the ``n_assign`` nearest
+    under the SAME (cos desc, id asc) ordering contract as the closure
+    path.  The window shuffles on vec_id — the price of exceeding closure
+    scale; plan shows BroadcastNestedLoopJoin (no equi-key exists)."""
+    c = centroids.select(
+        F.col(centroid_id), _as_double(F.col(centroid_col)).alias("_c")
+    )
+    sel = [F.col(vec_id), _as_double(F.col(vec_col)).alias("_v")]
+    pairs = vectors.select(*sel).join(F.broadcast(c), how="cross")
+    scored = pairs.withColumn("_cos", cosine_pd(F.col("_v"), F.col("_c")))
+    w = Window.partitionBy(vec_id).orderBy(
+        F.col("_cos").desc(), F.col(centroid_id).asc()
+    )
+    out = [vec_id, centroid_id] + (["_v"] if carry_vec else [])
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= n_assign)
+        .select(*out)
+    )
+
+
 def assign_centroids(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -246,6 +280,7 @@ def assign_centroids(
     centroid_col: str = "c_embedding",
     carry_vec: bool = False,
     n_assign: int = 1,
+    closure_max_centroids: int = 65536,
 ) -> DataFrame:
     """(vec_id, centroid_id): the ``n_assign`` nearest centroids by cosine
     (ties → lower id; one output row per assignment, nearest first).
@@ -256,7 +291,18 @@ def assign_centroids(
     tie-break; for n_assign > 1 a (cid, -cos) lexsort keeps the same
     order.  ``carry_vec=True`` additionally emits the embedding column
     (as ``_v``, array<double>) so downstream consumers avoid a re-join
-    against the vector table."""
+    against the vector table.
+
+    Above ``closure_max_centroids`` the closure path stops scaling — a
+    √N centroid set at 100 TB is a multi-GB pickled matrix shipped with
+    every task — so assignment switches to a Spark broadcast join against
+    the centroid frame (same ordering contract, enforced by a window)."""
+    n_c = centroids.limit(closure_max_centroids + 1).count()
+    if n_c > closure_max_centroids:
+        return _assign_centroids_broadcast(
+            vectors, centroids, vec_id, vec_col, centroid_id, centroid_col,
+            carry_vec, n_assign,
+        )
     cids, Cn = _collect_matrix(centroids, centroid_id, centroid_col, normalize=True)
     cid_arr = np.asarray(cids)
     n_assign = min(n_assign, len(cids))
@@ -309,6 +355,7 @@ def ivf_topk(
     centroid_id: str = "centroid_id",
     centroid_col: str = "c_embedding",
     nprobe: int = 1,
+    closure_max_centroids: int = 65536,
 ) -> DataFrame:
     """IVF approximate top-k: search the query's ``nprobe`` nearest cells.
 
@@ -320,7 +367,8 @@ def ivf_topk(
     broadcast the tiny assigned-query set, Arrow-batched cosine on the
     in-cell candidates, window top-k."""
     v_assigned = assign_centroids(
-        vectors, centroids, vec_id, vec_col, centroid_id, centroid_col, carry_vec=True
+        vectors, centroids, vec_id, vec_col, centroid_id, centroid_col,
+        carry_vec=True, closure_max_centroids=closure_max_centroids,
     )
     q_assigned = assign_centroids(
         queries,
@@ -331,6 +379,7 @@ def ivf_topk(
         centroid_col,
         carry_vec=True,
         n_assign=nprobe,
+        closure_max_centroids=closure_max_centroids,
     ).withColumnRenamed("_v", "_q")
     cands = v_assigned.join(F.broadcast(q_assigned), on=centroid_id, how="inner")
     scored = cands.withColumn("_cos", cosine_pd(F.col("_v"), F.col("_q")))

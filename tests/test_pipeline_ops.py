@@ -499,3 +499,56 @@ def test_embed_neardup_or_amplified_recall(spark):
     for a, b in got:
         va, vb = vecs[a], vecs[b]
         assert (va @ vb) / (_np.linalg.norm(va) * _np.linalg.norm(vb)) >= 0.99
+
+
+def test_assign_centroids_broadcast_path_matches_closure(spark):
+    """Above closure_max_centroids, assignment switches to a Spark broadcast
+    join (centroids shipped once per executor, not pickled per task) and
+    must produce the same assignments as the closure matmul path — including
+    the n_assign>1 multi-probe set and the carried embedding."""
+    from shapefile_rs_spark.operators.similarity import assign_centroids
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    centroids = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+
+    for n_assign in (1, 2):
+        closure = assign_centroids(emb, centroids, n_assign=n_assign, carry_vec=True)
+        bcast = assign_centroids(
+            emb, centroids, n_assign=n_assign, carry_vec=True,
+            closure_max_centroids=0,
+        )
+        plan = bcast._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan  # BroadcastNestedLoopJoin: no equi-key
+        c_rows = {(r["vec_id"], r["centroid_id"]): list(r["_v"]) for r in closure.collect()}
+        b_rows = {(r["vec_id"], r["centroid_id"]): list(r["_v"]) for r in bcast.collect()}
+        assert c_rows == b_rows
+
+
+def test_ivf_topk_broadcast_assignment_unchanged(spark):
+    """ivf_topk results are identical whichever assignment path runs."""
+    from shapefile_rs_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+    queries = emb.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    base = {
+        (r["query_id"], r["vec_id"], r["rnk"])
+        for r in ivf_topk(emb, queries, centroids, k=3, nprobe=2).collect()
+    }
+    forced = {
+        (r["query_id"], r["vec_id"], r["rnk"])
+        for r in ivf_topk(
+            emb, queries, centroids, k=3, nprobe=2, closure_max_centroids=0
+        ).collect()
+    }
+    assert base == forced
