@@ -955,6 +955,100 @@ def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
 
 
+_EVAL_PHRASE = " held out eval phrase alpha beta gamma delta"  # 8 words
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125, "zh": 0.0625}
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every-50th doc (plus a planted 8-word
+    eval phrase) is the held-out benchmark; corpus docs sharing any 8-gram
+    with it are flagged.  Docs with doc_id%7==3 carry the planted phrase,
+    so contamination is guaranteed non-trivial.  Broadcast hash join on
+    the tiny benchmark n-gram set — the corpus side never shuffles."""
+    from shapefile_rs_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_EVAL_PHRASE)).alias("text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(_EVAL_PHRASE))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return decontaminate(corpus, bench, k=8)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: synthesize an email + phone onto every 3rd doc, then
+    count and strip them with the shared-regex-subset patterns (map-only
+    codegen — the redacted text is pinned by its md5)."""
+    from shapefile_rs_spark.operators.curation import redact_pii
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_pii = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, pii).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(with_pii).select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.md5(F.col("text_redacted").cast("binary")).alias("redacted_md5"),
+    )
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language md5-prefix Bernoulli
+    keep rates (en 50% … zh 6.25%), aggregated per language.  Map-only
+    filter — same keep-set at any partitioning, which df.sample() cannot
+    promise across cluster sizes."""
+    from shapefile_rs_spark.operators.curation import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = stratified_sample(docs, _SAMPLE_RATES)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting per language: GPT-2-style pretokenizer
+    (space-prefixed letter/digit/punct runs) vs whitespace tokens, both
+    codegen'd regex scans."""
+    from shapefile_rs_spark.operators.curation import bpe_token_count
+
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "lang",
+        bpe_token_count(F.col("text")).cast("long").alias("bpe"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("total_bpe"),
+        F.min("bpe").alias("min_bpe"),
+        F.max("bpe").alias("max_bpe"),
+        F.sum("ws").alias("total_ws"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
@@ -1004,6 +1098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "audio_stats": q_audio_stats,
         "video_frames": q_video_frames,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "doc_sample": q_doc_sample,
+        "token_count": q_token_count,
     }
 
 
@@ -1444,7 +1542,80 @@ WITH meta AS (
 SELECT doc_id, n_frames, UNNEST(range(0, n_frames, step)) AS frame_idx
 FROM stepped
 """,
+        "decontaminate": _decontaminate_oracle(),
+        "pii_redact": _pii_redact_oracle(),
+        "doc_sample": _doc_sample_oracle(),
+        "token_count": _token_count_oracle(),
     }
+
+
+def _decontaminate_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import decontaminate_sql
+
+    corpus = (
+        "SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || '"
+        + _EVAL_PHRASE
+        + "' ELSE text END AS text FROM documents WHERE doc_id % 50 <> 0"
+    )
+    bench = (
+        "SELECT doc_id, text || '"
+        + _EVAL_PHRASE
+        + "' AS text FROM documents WHERE doc_id % 50 = 0"
+    )
+    return decontaminate_sql(corpus, bench, k=8)
+
+
+def _pii_redact_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import redact_pii_sql
+
+    n_e, n_p, red = redact_pii_sql("text")
+    return f"""
+WITH with_pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+                || CAST(doc_id % 10 AS VARCHAR) || '.example or 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST({n_e} AS BIGINT) AS n_emails,
+       CAST({n_p} AS BIGINT) AS n_phones,
+       md5({red}) AS redacted_md5
+FROM with_pii
+"""
+
+
+def _doc_sample_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import stratified_sample_sql
+
+    where = stratified_sample_sql(_SAMPLE_RATES)
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE {where}
+GROUP BY lang
+"""
+
+
+def _token_count_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import bpe_token_count_sql
+
+    bpe = bpe_token_count_sql("text")
+    return rf"""
+WITH per_doc AS (
+  SELECT lang, CAST({bpe} AS BIGINT) AS bpe,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(bpe) AS BIGINT) AS total_bpe,
+       MIN(bpe) AS min_bpe, MAX(bpe) AS max_bpe,
+       CAST(SUM(ws) AS BIGINT) AS total_ws
+FROM per_doc GROUP BY lang
+"""
 
 
 def _tile_pyramid_oracle(from_z: int = 6, to_z: int = 3) -> str:

@@ -1,0 +1,212 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, PII redaction, and deterministic stratified sampling.
+
+These are the steps a 100 TB pretraining pipeline runs between raw ingest
+and dedup (reference scope analog: the attribute/filter surface the
+shapefile reader exposes per record, src/reader.rs:164-193 — here applied
+to the documents table):
+
+* :func:`decontaminate` — flag documents sharing any k-gram with a
+  held-out benchmark set.  The benchmark n-gram set is small by definition
+  (eval suites are ~1e5-1e6 n-grams), so the join is a **broadcast hash
+  join against the exploded document n-grams** — the 100 TB side never
+  shuffles; the only shuffle is the per-doc count, which partial-aggregates
+  map-side on doc_id.
+* :func:`redact_pii` — map-only regexp redaction (emails, phone numbers)
+  with match counts.  Pure codegen'd JVM expressions: no Python on the
+  scan, linear scale-out.
+* :func:`stratified_sample` — deterministic per-stratum downsampling by an
+  md5-prefix threshold.  Map-only filter (no sampling state, no shuffle),
+  reproducible across runs/engines: the same (id, rate) always keeps the
+  same rows — the property a resumable 100 TB pipeline needs, which
+  ``df.sample()``'s partition-dependent RNG does not provide.
+
+Every operator has a DuckDB-twin spelling (``*_sql``) so the driver's
+oracle gate pins the exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles, word_shingles_sql
+
+# Redaction patterns — shared Java-regex/RE2 subset (no backrefs, no
+# lookaround) so the Spark and DuckDB spellings are the SAME string.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_overlap, contaminated): per-document count of distinct
+    k-gram shingles shared with the benchmark corpus.
+
+    Plan shape for 100 TB: the benchmark's distinct n-gram set is tiny →
+    ``broadcast()`` it; document n-grams explode map-side and probe the
+    broadcast hash table; the per-doc count partial-aggregates before the
+    one shuffle on ``id_col``.  Documents with zero overlap never survive
+    the inner join, so the final left join restores them with count 0."""
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("_g"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("_g")
+        )
+        .distinct()
+    )
+    counts = (
+        doc_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return docs.select(id_col).join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def decontaminate_sql(
+    docs_sql: str,
+    bench_sql: str,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`decontaminate` (same shingle arithmetic)."""
+    sh = word_shingles_sql(text_col, k)
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest(list_distinct({sh})) AS _g FROM ({bench_sql})
+),
+docg AS (
+  SELECT {id_col}, unnest(list_distinct({sh})) AS _g FROM ({docs_sql})
+)
+SELECT d.{id_col} AS {id_col},
+       CAST(COUNT(b._g) AS BIGINT) AS n_overlap,
+       COUNT(b._g) > 0 AS contaminated
+FROM docg d LEFT JOIN bench b USING (_g)
+GROUP BY d.{id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``n_emails``/``n_phones`` match counts and a
+    ``<text_col>_redacted`` column with both patterns replaced by typed
+    placeholders.  Map-only codegen'd expressions (regexp_extract_all +
+    regexp_replace) — nothing leaves the JVM."""
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        df.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        )
+        .withColumn(
+            "n_phones", F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        )
+        .withColumn(f"{text_col}_redacted", red)
+    )
+
+
+def redact_pii_sql(text_sql: str) -> tuple:
+    """(n_emails_sql, n_phones_sql, redacted_sql) DuckDB twins."""
+    n_e = f"len(regexp_extract_all({text_sql}, '{EMAIL_RE}'))"
+    n_p = f"len(regexp_extract_all({text_sql}, '{PHONE_RE}'))"
+    red = (
+        f"regexp_replace(regexp_replace({text_sql}, '{EMAIL_RE}', '<EMAIL>', 'g'),"
+        f" '{PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return n_e, n_p, red
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _rate_threshold(rate: float) -> str:
+    """4-hex-char md5-prefix threshold: P(prefix < thr) = rate ± 2^-16."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    if rate >= 1.0:
+        return "ffff~"  # '~' sorts above 'f': keeps every row
+    return format(int(rate * 65536), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff the first 4 hex chars of md5(id) sort below the
+    stratum's threshold — a deterministic, engine-portable Bernoulli
+    sample at the stratum's rate (granularity 2^-16).
+
+    Map-only: the when-chain over ``strata_col`` (a plain column, not an
+    exploded one — the codegen hazard documented in CLAUDE.md does not
+    apply) and the md5 both codegen; no shuffle, no RNG state, identical
+    keep-set at any partitioning or cluster size."""
+    prefix = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4)
+    thr = F.lit(_rate_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(_rate_threshold(rate))).otherwise(thr)
+    return df.filter(prefix < thr)
+
+
+def stratified_sample_sql(
+    rates: Dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB twin WHERE-clause of :func:`stratified_sample`."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{_rate_threshold(r)}'" for s, r in sorted(rates.items())
+    )
+    return (
+        f"substring(md5(CAST({id_col} AS VARCHAR)), 1, 4) < "
+        f"(CASE {strata_col} {cases} ELSE '{_rate_threshold(default_rate)}' END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish tokenization
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer, ASCII-lowercase corpus subset: a token is an
+# optionally space-prefixed letter run, digit run, or punctuation run.
+BPE_TOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pretokenizer (codegen'd regex scan)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def bpe_token_count_sql(text_sql: str) -> str:
+    return f"len(regexp_extract_all({text_sql}, '{BPE_TOKEN_RE}'))"

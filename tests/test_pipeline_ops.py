@@ -552,3 +552,72 @@ def test_ivf_topk_broadcast_assignment_unchanged(spark):
         ).collect()
     }
     assert base == forced
+
+
+def test_decontaminate_broadcast_plan_and_planted_overlap(spark):
+    """Planted benchmark 8-grams are found, clean docs report 0, and the
+    probe side joins the benchmark set via a broadcast hash join (the
+    corpus side must not shuffle)."""
+    from shapefile_rs_spark.operators.curation import decontaminate
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    bench = spark.createDataFrame(
+        [(100, words)], "doc_id bigint, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "zulu yankee " + words),          # contains a bench 8-gram
+            (2, "one two three four five six seven eight nine ten"),
+            (3, words + " extra tail here"),       # also contaminated
+        ],
+        "doc_id bigint, text string",
+    )
+    out = decontaminate(docs, bench, k=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r.doc_id: (r.n_overlap, r.contaminated) for r in out.collect()}
+    assert rows[2] == (0, False)
+    assert rows[1][1] and rows[3][1]
+    assert rows[1][0] >= 1 and rows[3][0] >= 1
+
+
+def test_redact_pii_counts_and_text(spark):
+    from shapefile_rs_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "write to bob.smith@corp.example or call 555-0134 or 555-9999 now")],
+        "id bigint, text string",
+    )
+    r = redact_pii(df).collect()[0]
+    assert (r.n_emails, r.n_phones) == (1, 2)
+    assert r.text_redacted == "write to <EMAIL> or call <PHONE> or <PHONE> now"
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """The keep-set is identical at any partitioning (the property
+    df.sample() lacks) and the realized rate tracks the stratum rate."""
+    from shapefile_rs_spark.operators.curation import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    rates = {"en": 0.5, "zh": 0.0}
+    kept1 = {r.doc_id for r in stratified_sample(df, rates).collect()}
+    kept2 = {
+        r.doc_id
+        for r in stratified_sample(df.repartition(17, "lang"), rates).collect()
+    }
+    assert kept1 == kept2
+    assert not any(i % 2 for i in kept1)  # zh rate 0 keeps nothing
+    assert 0.40 * 1000 < len(kept1) < 0.60 * 1000
+    # rate 1.0 keeps every row of the stratum
+    all_en = stratified_sample(df, {"en": 1.0}).count()
+    assert all_en == 1000
+
+
+def test_bpe_token_count(spark):
+    from shapefile_rs_spark.operators.curation import bpe_token_count
+
+    df = spark.createDataFrame([(1, "hello world 42 end-of-line")], "id bigint, t string")
+    n = df.select(bpe_token_count(F.col("t")).alias("n")).collect()[0].n
+    # hello | ' world' | ' 42' | ' end' | '-' | 'of' | '-' | 'line'
+    assert n == 8
