@@ -45,6 +45,37 @@ PHONE_RE = r"[0-9]{3}-[0-9]{4}"
 # ---------------------------------------------------------------------------
 
 
+def _exploded_distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, _g) rows: the DISTINCT k-word shingles of each document,
+    generated Arrow-batch-at-a-time in numpy/Python instead of the
+    interpreted ``transform()`` HOF + Generate (the measured 10×
+    interpreted-HOF cost class from CLAUDE.md).  Semantics identical to
+    ``explode(array_distinct(word_shingles(text, k)))``: a text shorter
+    than k words yields its whole text as the single shingle."""
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col], StructField("_g", StringType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out, grams = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = t.split(" ")
+                n = max(1, len(words) - k + 1)
+                seen = {" ".join(words[j : j + k]) for j in range(n)}
+                ids_out.extend([i] * len(seen))
+                grams.extend(seen)
+            yield pd.DataFrame({id_col: ids_out, "_g": grams})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -60,14 +91,10 @@ def decontaminate(
     broadcast hash table; the per-doc count partial-aggregates before the
     one shuffle on ``id_col``.  Documents with zero overlap never survive
     the inner join, so the final left join restores them with count 0."""
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("_g"),
-    )
+    doc_grams = _exploded_distinct_shingles(docs, id_col, text_col, k)
     bench_grams = (
-        benchmark.select(
-            F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("_g")
-        )
+        _exploded_distinct_shingles(benchmark, id_col, text_col, k)
+        .select("_g")
         .distinct()
     )
     counts = (

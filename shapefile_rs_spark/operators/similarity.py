@@ -82,10 +82,20 @@ def cosine_pd(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str, normalize: bool):
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str, normalize: bool, limit=None):
     """Driver-side (id array, row matrix) of a provably-small frame, rows
-    sorted by id so numpy first-max tie-breaks resolve to the lowest id."""
-    rows = sorted(df.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    sorted by id so numpy first-max tie-breaks resolve to the lowest id.
+    With ``limit`` set (0 allowed), collects at most limit+1 rows and
+    returns ``(None, None)`` when the frame exceeds the limit — one job
+    doubles as the size probe AND the matrix fetch."""
+    src = df.select(id_col, vec_col)
+    if limit is not None:
+        head = src.limit(limit + 1).collect()
+        if len(head) > limit:
+            return None, None
+        rows = sorted(head, key=lambda r: r[0])
+    else:
+        rows = sorted(src.collect(), key=lambda r: r[0])
     ids = [r[0] for r in rows]
     M = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
     if normalize:
@@ -220,7 +230,14 @@ def embedding_neardup_pairs(
                 ]
             )
 
-    b = vectors.select(vec_id, vec_col).mapInPandas(bucket, schema=b_schema)
+    # the self-join consumes the bucket frame on BOTH sides — without a
+    # checkpoint each side re-runs the full vector scan + L-table matmul
+    # (2× the dominant stage; at 100 TB, 2× the table read)
+    b = (
+        vectors.select(vec_id, vec_col)
+        .mapInPandas(bucket, schema=b_schema)
+        .localCheckpoint(eager=True)
+    )
     left = b.select(F.col("_id").alias("id_a"), "_tbl", "_bucket")
     right = b.select(F.col("_id").alias("id_b"), "_tbl", "_bucket")
     pairs = (
@@ -296,14 +313,18 @@ def assign_centroids(
     Above ``closure_max_centroids`` the closure path stops scaling — a
     √N centroid set at 100 TB is a multi-GB pickled matrix shipped with
     every task — so assignment switches to a Spark broadcast join against
-    the centroid frame (same ordering contract, enforced by a window)."""
-    n_c = centroids.limit(closure_max_centroids + 1).count()
-    if n_c > closure_max_centroids:
+    the centroid frame (same ordering contract, enforced by a window).
+    The size probe is the matrix collect itself (limit+1 rows, ONE job)
+    — no separate count pass."""
+    cids, Cn = _collect_matrix(
+        centroids, centroid_id, centroid_col, normalize=True,
+        limit=closure_max_centroids,
+    )
+    if cids is None:
         return _assign_centroids_broadcast(
             vectors, centroids, vec_id, vec_col, centroid_id, centroid_col,
             carry_vec, n_assign,
         )
-    cids, Cn = _collect_matrix(centroids, centroid_id, centroid_col, normalize=True)
     cid_arr = np.asarray(cids)
     n_assign = min(n_assign, len(cids))
     fields = [
