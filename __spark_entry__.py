@@ -597,8 +597,24 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str, split: bool = False) -> DataFrame:
+    """documents table.  ``split=True`` re-splits to the session's
+    parallelism: the fixture parquet is ONE row group, which Spark cannot
+    split, so a heavy map-only operator over it runs single-threaded
+    (measured: the char_minhash scan equals its pure-Python single-core
+    wall).  A real lake's files carry many row groups and split natively —
+    the explicit repartition is the local twin of format-level splitting.
+    It costs a full exchange, so only the queries whose per-row map work
+    dominates that cost opt in (measured per query; light scans and
+    shuffle-bound aggregations stay on the direct read)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if split:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,7 +683,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard between each doc and its planted near-dup."""
     from shapefile_rs_spark.operators.dedup import ngram_jaccard, word_shingles
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, split=True)
     sa = word_shingles(F.col("text"), 3)
     sb = word_shingles(F.concat(F.col("text"), F.lit(" near dup suffix")), 3)
     return docs.select(
@@ -678,21 +694,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_queries(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return emb.filter(F.col("vec_id") < n).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return cosine_topk(emb, _emb_queries(spark, sf_dir), k=5)
 
 
 def _emb_centroids(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return emb.filter(F.col("vec_id") < n).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
     )
@@ -701,7 +721,7 @@ def _emb_centroids(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     centroids = _emb_centroids(spark, sf_dir)
     return ivf_topk(emb, _emb_queries(spark, sf_dir), centroids, k=5)
 
@@ -711,7 +731,7 @@ def q_ann_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells — the recall dial of the IVF scale path."""
     from shapefile_rs_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     centroids = _emb_centroids(spark, sf_dir)
     return ivf_topk(emb, _emb_queries(spark, sf_dir), centroids, k=5, nprobe=2)
 
@@ -725,7 +745,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id + 100000)."""
     from shapefile_rs_spark.operators.similarity import embedding_neardup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     corpus = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
@@ -802,7 +822,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-doc repetition: duplicate word-bigram fraction."""
     from shapefile_rs_spark.operators.textstats import repetition_metrics
 
-    return repetition_metrics(_docs(spark, sf_dir), n=2)
+    return repetition_metrics(_docs(spark, sf_dir, split=True), n=2)
 
 
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,18 +830,19 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     w=4 windows) — position-robust partial-overlap fingerprints."""
     from shapefile_rs_spark.operators.textstats import winnow_fingerprint
 
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, split=True).select(
         "doc_id", winnow_fingerprint(F.col("text"), k=5, w=4).alias("fp")
     )
 
 
 def q_char_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-permutation char-shingle min-hash (the former global-min
-    'winnow_fp' signal, renamed to what it actually is)."""
-    from shapefile_rs_spark.operators.textstats import char_minhash
+    'winnow_fp' signal, renamed to what it actually is).  Arrow-batched
+    hashlib twin of the HOF spelling — bit-identical hex mins."""
+    from shapefile_rs_spark.operators.textstats import char_minhash_pd
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", char_minhash(F.col("text"), 8).alias("fp")
+    return _docs(spark, sf_dir, split=True).select(
+        "doc_id", char_minhash_pd(F.col("text"), 8).alias("fp")
     )
 
 
@@ -886,7 +907,7 @@ def q_lang_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-window rollup (batch twin of the streaming hourly aggregation)."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_start")
     ).agg(
@@ -939,13 +960,13 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary sum; all-integer output."""
     from shapefile_rs_spark.operators.sessions import gap_sessions
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return gap_sessions(events, gap_sec=1800)
 
 
 def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-rank top-3 users per event type (windows + sorts + limits)."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     per_user = events.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
@@ -968,7 +989,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny benchmark n-gram set — the corpus side never shuffles."""
     from shapefile_rs_spark.operators.curation import decontaminate
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, split=True).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 50 == 0).select(
         "doc_id", F.concat(F.col("text"), F.lit(_EVAL_PHRASE)).alias("text")
     )
@@ -989,7 +1010,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen — the redacted text is pinned by its md5)."""
     from shapefile_rs_spark.operators.curation import redact_pii
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, split=True).select("doc_id", "text")
     pii = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -1034,7 +1055,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd regex scans."""
     from shapefile_rs_spark.operators.curation import bpe_token_count
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, split=True)
     per_doc = docs.select(
         "lang",
         bpe_token_count(F.col("text")).cast("long").alias("bpe"),

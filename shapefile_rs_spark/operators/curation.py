@@ -66,6 +66,8 @@ def _exploded_distinct_shingles(
         for pdf in batches:
             ids_out, grams = [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:  # null text contributes no shingles
+                    continue
                 words = t.split(" ")
                 n = max(1, len(words) - k + 1)
                 seen = {" ".join(words[j : j + k]) for j in range(n)}

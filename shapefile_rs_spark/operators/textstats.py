@@ -95,6 +95,29 @@ def char_minhash(text: Column, window: int = 8) -> Column:
     )
 
 
+def char_minhash_pd(text: Column, window: int = 8) -> Column:
+    """Arrow-batched twin of :func:`char_minhash`: hashlib md5 per sliding
+    window inside one pandas UDF instead of an interpreted ``transform()``
+    fold per row (the measured interpreted-HOF cost class; same hex-min
+    result bit-for-bit — md5 of the UTF-8 bytes of each char window)."""
+    import hashlib
+
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def _mh(s: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = []
+        for t in s:
+            n = max(1, len(t) - window + 1)
+            out.append(
+                min(md5(t[i : i + window].encode("utf-8")).hexdigest() for i in range(n))
+            )
+        return pd.Series(out)
+
+    return _mh(text)
+
+
 def char_minhash_sql(text_sql: str, window: int = 8) -> str:
     n = f"greatest(1, length({text_sql}) - {window - 1})"
     return (
