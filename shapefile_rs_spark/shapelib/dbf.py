@@ -250,14 +250,17 @@ def write_dbf(
     last_update: tuple = (2026, 1, 1),
 ) -> bytes:
     """Deterministic dBase III writer (fixed last-update date for
-    byte-identical round trips, the write_tests.rs:18-151 analog)."""
+    byte-identical round trips, the write_tests.rs:18-151 analog).  The
+    version byte advertises the memo sidecar (0x83) when any field is
+    type ``M``, per the dBase III spec."""
     rows = list(rows)
     record_size = 1 + sum(f.length for f in fields)
     header_size = 32 + 32 * len(fields) + 1
     out = bytearray()
     yy, mm, dd = last_update
+    version = 0x83 if any(f.ftype == "M" for f in fields) else 0x03
     out += struct.pack(
-        "<BBBBIHH", 0x03, (yy - 1900) % 256, mm, dd, len(rows), header_size, record_size
+        "<BBBBIHH", version, (yy - 1900) % 256, mm, dd, len(rows), header_size, record_size
     )
     out += b"\x00" * 20
     for f in fields:

@@ -288,6 +288,22 @@ def write_shapefiles(
                 fh.write(shx)
             if fields:
                 rows = grp[attr_cols].to_dict("records")
+                memo_names = [f.name for f in fields if f.ftype == "M"]
+                if memo_names:
+                    # memo columns carry TEXT in the DataFrame; resolve to
+                    # .dbt block pointers and emit the sidecar (dbase-crate
+                    # memo surface, src/lib.rs:60) — the read path maps
+                    # them back to text, closing the memo round trip
+                    from ..shapelib.dbf import write_dbt
+
+                    memos = [row.get(n) for row in rows for n in memo_names]
+                    dbt, blocks = write_dbt(memos, encoding=enc or "ascii")
+                    it = iter(blocks)
+                    for row in rows:
+                        for n in memo_names:
+                            row[n] = next(it)
+                    with open(base + ".dbt", "wb") as fh:
+                        fh.write(dbt)
                 with open(base + ".dbf", "wb") as fh:
                     fh.write(write_dbf(fields, rows, encoding=enc or "ascii"))
             if enc:

@@ -555,3 +555,39 @@ def test_read_shapefile_headers(spark, join_fixture_dir):
         assert row.file_length_words == h.file_length_words
         assert (row.xmin, row.ymin, row.xmax, row.ymax) == h.bbox[:4]
         assert (row.zmin, row.zmax, row.mmin, row.mmax) == h.bbox[4:]
+
+
+def test_memo_roundtrip_through_sink(spark, tmp_path):
+    """DataFrame-level memo round trip: a text column written as an 'M'
+    field resolves through the sink-emitted .dbt sidecar and reads back as
+    the same text in attrs_json (dbase-crate memo surface, src/lib.rs:60;
+    version byte 0x83 advertises the sidecar)."""
+    import json
+
+    from shapefile_rs_spark.geom.wkb import point_wkb
+    from shapefile_rs_spark.shapelib.dbf import DbfField
+    from shapefile_rs_spark.sources.shapefile_sink import write_shapefiles
+
+    df = spark.createDataFrame(
+        [
+            ("m", 1, bytearray(point_wkb(1.0, 2.0)), "first parcel memo", 7),
+            ("m", 2, bytearray(point_wkb(3.0, 4.0)), None, 8),
+            ("m", 3, bytearray(point_wkb(5.0, 6.0)), "third memo " * 60, 9),
+        ],
+        "output_stem string, record_number int, wkb binary, NOTE string, ID int",
+    )
+    write_shapefiles(
+        df,
+        str(tmp_path),
+        dbf_fields=[DbfField("ID", "N", 4, 0), DbfField("NOTE", "M", 10, 0)],
+        attr_cols=["ID", "NOTE"],
+    )
+    assert (tmp_path / "m.dbt").exists()
+    assert (tmp_path / "m.dbf").read_bytes()[0] == 0x83
+    back = {
+        r.record_number: json.loads(r.attrs_json)
+        for r in read_shapefiles(spark, str(tmp_path)).collect()
+    }
+    assert back[1] == {"ID": 7, "NOTE": "first parcel memo"}
+    assert back[2] == {"ID": 8, "NOTE": None}
+    assert back[3]["NOTE"] == "third memo " * 60
