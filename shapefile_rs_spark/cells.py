@@ -121,6 +121,10 @@ def cover_bbox(
     n = np.int64(1) << np.int64(res)
     if xmin > xmax:  # antimeridian wrap: ix0..n-1 then 0..ix1
         span = (ix1[0] - ix0[0]) % n + 1
+        if span == 1 and ix0[0] == ix1[0]:
+            # both endpoints land in the SAME column yet the range wraps:
+            # the excluded gap is sub-cell, so every column intersects
+            span = n
         xs = (ix0[0] + np.arange(span, dtype=np.int64)) % n
     else:
         xs = np.arange(ix0[0], ix1[0] + 1, dtype=np.int64)
@@ -171,6 +175,14 @@ def classify_cover(
     from .geom.pip import points_in_rings, rings_bbox
 
     rings = [np.asarray(r, dtype=np.float64) for r in rings if len(r) >= 2]
+    if not rings:
+        # all rings degenerate (<2 points): zero-area polygon contains
+        # nothing under even-odd — empty covering, no crash (the bbox-only
+        # covering this replaced also completed on such records)
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=bool),
+        )
     xmin, ymin, xmax, ymax = rings_bbox(rings)
     ix0, iy0 = lonlat_to_ixiy(np.array([xmin]), np.array([ymin]), res)
     ix1, iy1 = lonlat_to_ixiy(np.array([xmax]), np.array([ymax]), res)

@@ -118,7 +118,10 @@ def decontaminate_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """DuckDB twin of :func:`decontaminate` (same shingle arithmetic)."""
+    """DuckDB twin of :func:`decontaminate` (same shingle arithmetic).
+    Structured like the Spark plan — inner hit-count then LEFT JOIN back
+    from the DOCS relation — so a null-text doc (no shingles) still emits
+    its (id, 0, false) row exactly as the operator does."""
     sh = word_shingles_sql(text_col, k)
     return f"""
 WITH bench AS (
@@ -126,12 +129,16 @@ WITH bench AS (
 ),
 docg AS (
   SELECT {id_col}, unnest(list_distinct({sh})) AS _g FROM ({docs_sql})
+),
+hits AS (
+  SELECT d.{id_col} AS {id_col}, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM docg d JOIN bench b USING (_g)
+  GROUP BY d.{id_col}
 )
 SELECT d.{id_col} AS {id_col},
-       CAST(COUNT(b._g) AS BIGINT) AS n_overlap,
-       COUNT(b._g) > 0 AS contaminated
-FROM docg d LEFT JOIN bench b USING (_g)
-GROUP BY d.{id_col}
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM ({docs_sql}) d LEFT JOIN hits h USING ({id_col})
 """
 
 

@@ -512,15 +512,19 @@ def dedup_clusters(
             casts=[pairs.schema[id_a].dataType.simpleString()] * 2,
         )
 
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # eager checkpoint: the loop joins against `edges` every round — when
-    # ``pairs`` is the minhash_lsh_pairs output, an unmaterialized plan
-    # would re-run the full signature+banding+self-join pipeline O(log d)
-    # times.  localCheckpoint truncates the lineage so the upstream runs
-    # exactly once (the same discipline `labels` already gets).
+    # eager checkpoint BEFORE the symmetrizing union: the loop joins
+    # against `edges` every round — when ``pairs`` is the
+    # minhash_lsh_pairs output, an unmaterialized plan would re-run the
+    # full signature+banding+self-join pipeline O(log d) times, and a
+    # checkpoint placed AFTER the union would still evaluate that pipeline
+    # once per union arm (2×).  Checkpoint the one-directional edge set,
+    # then union the cheap swap of the materialized frame.
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
     labels = (
         edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
     ).persist()
@@ -559,7 +563,7 @@ def dedup_clusters(
             break
     if not converged:
         labels.unpersist()
-        edges.unpersist()
+        e.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge within max_iter={max_iter} rounds; "
             "raise max_iter (component diameter exceeds 2^rounds)"
@@ -569,5 +573,5 @@ def dedup_clusters(
     # the loop's last persist can be released without recompute
     final = out.localCheckpoint(eager=True)
     labels.unpersist()
-    edges.unpersist()
+    e.unpersist()
     return final

@@ -366,19 +366,23 @@ def point_in_polygon_join(
     else:
         candidates = pts.join(covering, on=["cell_res", "cell_id"], how="inner")
 
-    poly_geo = polygons.select(polygon_key, *[c for c in polygon_cols if c != polygon_key], wkb_col)
+    poly_geo = polygons.select(
+        *dict.fromkeys([polygon_key, *polygon_cols, wkb_col])
+    )
     joined = candidates.join(
         F.broadcast(poly_geo) if broadcast_polygons else poly_geo, on=polygon_key, how="inner"
     )
     # interior-cell bypass: candidates in a fully-interior cell are contained
-    # by construction — null their wkb (the blob never crosses Arrow) and let
-    # pip_refine_full pass them through; only boundary-cell rows ray-cast
+    # by construction — feed the refine UDF a TEMP wkb nulled for such rows
+    # (the blob never crosses Arrow) so pip_refine_full passes them through;
+    # only boundary-cell rows ray-cast.  The user-visible wkb column (when
+    # carried via polygon_cols) stays untouched.
     joined = joined.withColumn(
-        wkb_col, F.when(F.col("cell_full"), F.lit(None)).otherwise(F.col(wkb_col))
+        "_refine_wkb", F.when(F.col("cell_full"), F.lit(None)).otherwise(F.col(wkb_col))
     )
     refined = joined.filter(
         pip_refine_full(
-            F.col(wkb_col), F.col(lon_col), F.col(lat_col), F.col("cell_full")
+            F.col("_refine_wkb"), F.col(lon_col), F.col(lat_col), F.col("cell_full")
         )
     )
     keep = [c for c in point_cols if c not in ("cell_id", "cell_res", "cell_full")] + [

@@ -109,6 +109,9 @@ def char_minhash_pd(text: Column, window: int = 8) -> Column:
         md5 = hashlib.md5
         out = []
         for t in s:
+            if t is None:  # NULL text → NULL fp (expr/oracle parity)
+                out.append(None)
+                continue
             n = max(1, len(t) - window + 1)
             out.append(
                 min(md5(t[i : i + window].encode("utf-8")).hexdigest() for i in range(n))

@@ -69,7 +69,12 @@ def read_memo(dbt: bytes, block: int, encoding: str = "ascii") -> Optional[str]:
     start = block * DBT_BLOCK
     if block <= 0 or start >= len(dbt):
         return None
-    end = dbt.find(b"\x1a", start)
+    # dBase III terminates memo text with the 0x1A 0x1A PAIR — scan for it
+    # first so text containing a lone chr(26) round-trips; tolerate legacy
+    # single-terminator writers, then end-of-blob
+    end = dbt.find(b"\x1a\x1a", start)
+    if end == -1:
+        end = dbt.find(b"\x1a", start)
     chunk = dbt[start : end if end != -1 else len(dbt)]
     return chunk.decode(encoding, errors="replace")
 

@@ -272,6 +272,28 @@ def _decode_stem_group(
             yield slow
 
 
+def _stem_grouped(spark: SparkSession, path: str, pattern: str, exts: tuple) -> DataFrame:
+    """One row per shapefile stem with a binary column per sidecar
+    extension — the shared binaryFile scan + stem/ext pivot both the
+    record reader and the header reader group on."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"{pattern}.{{{','.join(exts)}}}")
+        .load(path)
+        .select(
+            F.regexp_replace(F.col("path"), r"\.[a-z]{3}$", "").alias("stem"),
+            F.lower(F.regexp_extract(F.col("path"), r"\.([a-z]{3})$", 1)).alias("ext"),
+            F.col("content"),
+        )
+    )
+    return raw.groupBy("stem").agg(
+        *[
+            F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e)
+            for e in exts
+        ]
+    )
+
+
 def _shapes_schema(raw_geometry: bool) -> StructType:
     if not raw_geometry:
         return SHAPES_SCHEMA
@@ -309,21 +331,8 @@ def read_shapefiles(
     Memo attributes: a ``stem.dbt`` sidecar resolves ``M`` field block
     pointers to memo text in ``attrs_json`` (dbase crate, src/lib.rs:60).
     """
-    raw = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", f"{pattern}.{{shp,shx,dbf,cpg,prj,dbt}}")
-        .load(path)
-        .select(
-            F.regexp_replace(F.col("path"), r"\.[a-z]{3}$", "").alias("stem"),
-            F.lower(F.regexp_extract(F.col("path"), r"\.([a-z]{3})$", 1)).alias("ext"),
-            F.col("content"),
-        )
-    )
-    grouped = raw.groupBy("stem").agg(
-        *[
-            F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e)
-            for e in ("shp", "shx", "dbf", "cpg", "prj", "dbt")
-        ]
+    grouped = _stem_grouped(
+        spark, path, pattern, ("shp", "shx", "dbf", "cpg", "prj", "dbt")
     )
     return grouped.mapInPandas(
         lambda it: _decode_stem_group(
@@ -389,22 +398,7 @@ def read_shapefile_headers(spark: SparkSession, path: str, pattern: str = "*") -
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    raw = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", f"{pattern}.{{shp,prj}}")
-        .load(path)
-        .select(
-            F.regexp_replace(F.col("path"), r"\.[a-z]{3}$", "").alias("stem"),
-            F.lower(F.regexp_extract(F.col("path"), r"\.([a-z]{3})$", 1)).alias("ext"),
-            F.col("content"),
-        )
-    )
-    grouped = raw.groupBy("stem").agg(
-        *[
-            F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e)
-            for e in ("shp", "prj")
-        ]
-    )
+    grouped = _stem_grouped(spark, path, pattern, ("shp", "prj"))
     return grouped.mapInPandas(headers, schema=HEADERS_SCHEMA)
 
 

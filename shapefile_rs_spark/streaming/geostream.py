@@ -46,12 +46,13 @@ def stream_pip_tiles(pages_stream: DataFrame, polygons: DataFrame, z: int = 6) -
     pts = with_cells(tagged, res_levels)
     cands = pts.join(F.broadcast(covering), on=["cell_res", "cell_id"], how="inner")
     joined = cands.join(F.broadcast(polygons.select("polygon_id", "wkb")), "polygon_id")
-    # interior-cell bypass (same contract as the batch PIP join)
+    # interior-cell bypass (same contract as the batch PIP join): temp
+    # refine column, the carried wkb stays intact
     joined = joined.withColumn(
-        "wkb", F.when(F.col("cell_full"), F.lit(None)).otherwise(F.col("wkb"))
+        "_refine_wkb", F.when(F.col("cell_full"), F.lit(None)).otherwise(F.col("wkb"))
     )
     inside = joined.filter(
-        pip_refine_full(F.col("wkb"), F.col("lon"), F.col("lat"), F.col("cell_full"))
+        pip_refine_full(F.col("_refine_wkb"), F.col("lon"), F.col("lat"), F.col("cell_full"))
     )
     return (
         inside.withColumn("tile_x", tile_x_col(F.col("lon"), z))

@@ -191,3 +191,33 @@ def test_cover_bbox_antimeridian_wrap():
     # ordinary bboxes unchanged
     plain = C.cover_bbox(-1.0, -1.0, 1.0, 1.0, res)
     assert len(plain) == len(set(plain.tolist()))
+
+
+def test_cover_bbox_wrap_same_column_covers_ring():
+    """A wrapped bbox whose endpoints land in the SAME cell column spans
+    (almost) the whole ring — the covering must include every column, not
+    collapse to one."""
+    import numpy as np
+
+    from shapefile_rs_spark import cells as C
+
+    res = 6
+    n = 1 << res
+    cells = C.cover_bbox(10.0, -5.0, 9.0, 5.0, res)  # gap inside one column
+    _, ix, iy = C.decode_cell(np.asarray(cells, dtype=np.int64))
+    assert len(set(ix.tolist())) == n
+    # normal wrap (distinct columns) unchanged
+    cells2 = C.cover_bbox(170.0, -5.0, -170.0, 5.0, res)
+    _, ix2, _ = C.decode_cell(np.asarray(cells2, dtype=np.int64))
+    assert 0 < len(set(ix2.tolist())) < n
+
+
+def test_classify_cover_degenerate_rings_empty():
+    """All-degenerate rings (<2 points) → empty covering, no crash (the
+    bbox covering this replaced completed on such records too)."""
+    import numpy as np
+
+    from shapefile_rs_spark import cells as C
+
+    cells, full = C.classify_cover([np.array([[1.0, 2.0]])], res=6)
+    assert len(cells) == 0 and len(full) == 0

@@ -621,3 +621,30 @@ def test_bpe_token_count(spark):
     n = df.select(bpe_token_count(F.col("t")).alias("n")).collect()[0].n
     # hello | ' world' | ' 42' | ' end' | '-' | 'of' | '-' | 'line'
     assert n == 8
+
+
+def test_decontaminate_sql_twin_null_text_parity(spark):
+    """A null-text doc must appear as (id, 0, false) in BOTH the operator
+    and the DuckDB twin (the twin left-joins back from the docs relation,
+    not from the shingle explosion that drops the doc)."""
+    import duckdb
+
+    from shapefile_rs_spark.operators.curation import decontaminate, decontaminate_sql
+
+    docs = [(1, "alpha beta gamma delta"), (2, None), (3, "one two three four")]
+    bench = [(9, "alpha beta gamma delta")]
+    sdocs = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sbench = spark.createDataFrame(bench, "doc_id bigint, text string")
+    got = sorted(
+        (r.doc_id, r.n_overlap, r.contaminated)
+        for r in decontaminate(sdocs, sbench, k=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    con.execute("CREATE TABLE b (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO b VALUES (?, ?)", bench)
+    sql = decontaminate_sql("SELECT * FROM d", "SELECT * FROM b", k=4)
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+    assert (2, 0, False) in got

@@ -547,3 +547,13 @@ def test_dbf_memo_dbt_resolution():
     dbf4 = write_dbf(fields4, [{"NOTE": blocks[0]}])
     _, back4 = read_dbf(dbf4, dbt=dbt)
     assert back4[0]["NOTE"] == memos[0]
+
+
+def test_read_memo_interior_terminator_byte():
+    """Memo text containing an interior lone chr(26) round-trips: the
+    reader scans for the 0x1A 0x1A PAIR terminator first."""
+    from shapefile_rs_spark.shapelib.dbf import read_memo, write_dbt
+
+    text = "before\x1aafter"
+    dbt, blocks = write_dbt([text])
+    assert read_memo(dbt, blocks[0]) == text

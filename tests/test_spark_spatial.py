@@ -591,3 +591,25 @@ def test_memo_roundtrip_through_sink(spark, tmp_path):
     assert back[1] == {"ID": 7, "NOTE": "first parcel memo"}
     assert back[2] == {"ID": 8, "NOTE": None}
     assert back[3]["NOTE"] == "third memo " * 60
+
+
+def test_pip_join_carries_polygon_wkb_intact(spark):
+    """polygon_cols carrying the wkb column must survive the interior-cell
+    refine bypass un-nulled (the bypass feeds the UDF a TEMP column)."""
+    from shapefile_rs_spark import demo
+    from shapefile_rs_spark.operators.spatial_join import point_in_polygon_join
+
+    polys = demo.oracle_polygons_df(spark)
+    pts = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 100) * 0.1).alias("lon"),
+        ((F.col("id") % 50) * 0.2).alias("lat"),
+    )
+    out = point_in_polygon_join(
+        pts, polys,
+        point_cols=["doc_id"],
+        polygon_cols=["polygon_id", "wkb"],
+    )
+    rows = out.collect()
+    assert rows, "grid must intersect the demo polygons"
+    assert all(r.wkb is not None for r in rows)
