@@ -1070,6 +1070,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup over the planted near-dup corpus: fraction of
+    5-word spans per doc that occur more than once corpus-wide (original
+    and its near-dup variant share almost every span)."""
+    from shapefile_rs_spark.operators.dedup import span_dedup_stats
+
+    return span_dedup_stats(_dup_corpus(spark, sf_dir), id_col="id", k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
@@ -1123,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "doc_sample": q_doc_sample,
         "token_count": q_token_count,
+        "span_dedup": q_span_dedup,
     }
 
 
@@ -1563,11 +1573,23 @@ WITH meta AS (
 SELECT doc_id, n_frames, UNNEST(range(0, n_frames, step)) AS frame_idx
 FROM stepped
 """,
+        "span_dedup": _span_dedup_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
         "token_count": _token_count_oracle(),
     }
+
+
+def _span_dedup_oracle() -> str:
+    from shapefile_rs_spark.operators.dedup import span_dedup_stats_sql
+
+    corpus = (
+        "SELECT doc_id * 2 AS id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id * 2 + 1 AS id, text || ' near dup suffix' AS text FROM documents"
+    )
+    return span_dedup_stats_sql(corpus, id_col="id", k=5)
 
 
 def _decontaminate_oracle() -> str:

@@ -575,3 +575,83 @@ def dedup_clusters(
     labels.unpersist()
     e.unpersist()
     return final
+
+
+# ---------------------------------------------------------------------------
+# span-level dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def word_spans(text: Column, k: int = 5) -> Column:
+    """NON-overlapping k-word spans (stride k; C4's three-sentence-span
+    analog for the single-space corpus convention).  The tail span may be
+    shorter; empty text yields one empty span."""
+    words = F.split(text, " ")
+    n_spans = F.greatest(
+        F.lit(1), F.ceil(F.size(words) / F.lit(k)).cast("int")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i * F.lit(k) + F.lit(1), k)),
+    )
+
+
+def word_spans_sql(text_sql: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`word_spans`."""
+    words = f"string_split({text_sql}, ' ')"
+    n = f"greatest(1, CAST(ceil(len({words}) / {k}.0) AS INTEGER))"
+    return (
+        f"list_transform(range(0, {n}), "
+        f"i -> array_to_string(({words})[(i*{k}+1):(i*{k}+{k})], ' '))"
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame, id_col: str = "id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(id, n_spans, n_dup_spans, dup_frac): per-document fraction of
+    k-word spans that occur MORE THAN ONCE corpus-wide (C4's span-dedup
+    signal — a doc with high dup_frac is boilerplate or a near-copy).
+
+    Plan: explode spans (map-side), ONE shuffle on the span string for the
+    global occurrence count (window; partial-combine does not apply to
+    windows, but span keys are high-cardinality so the shuffle is uniform),
+    then the per-doc rollup shuffles on id.  At 100 TB the span column
+    would be hashed to a fixed-width key before the exchange; the string
+    key is kept here so the DuckDB twin is value-identical."""
+    from pyspark.sql import Window
+
+    spans = df.select(
+        F.col(id_col), F.explode(word_spans(F.col(text_col), k)).alias("_span")
+    )
+    w = Window.partitionBy("_span")
+    counted = spans.withColumn("_n", F.count(F.lit(1)).over(w))
+    return counted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        (
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("dup_frac"),
+    )
+
+
+def span_dedup_stats_sql(
+    corpus_sql: str, id_col: str = "id", text_col: str = "text", k: int = 5
+) -> str:
+    """DuckDB twin of :func:`span_dedup_stats` (same integer counts, same
+    IEEE division for dup_frac)."""
+    spans = word_spans_sql(text_col, k)
+    return f"""
+WITH spans AS (
+  SELECT {id_col}, unnest({spans}) AS _span FROM ({corpus_sql})
+),
+counted AS (
+  SELECT {id_col}, COUNT(*) OVER (PARTITION BY _span) AS _n FROM spans
+)
+SELECT {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN _n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(CASE WHEN _n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+FROM counted GROUP BY {id_col}
+"""

@@ -648,3 +648,21 @@ def test_decontaminate_sql_twin_null_text_parity(spark):
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want
     assert (2, 0, False) in got
+
+
+def test_span_dedup_stats(spark):
+    """Exact copies share every span; a unique doc shares none; the tail
+    span may be short but still counts."""
+    from shapefile_rs_spark.operators.dedup import span_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 2 full spans
+            (2, "a b c d e f g h i j"),   # exact copy -> all spans dup
+            (3, "q r s t u v w"),          # unique: span2 = 'v w' (short tail)
+        ],
+        "id bigint, text string",
+    )
+    rows = {r.id: (r.n_spans, r.n_dup_spans, r.dup_frac) for r in span_dedup_stats(df, k=5).collect()}
+    assert rows[1] == (2, 2, 1.0) and rows[2] == (2, 2, 1.0)
+    assert rows[3] == (2, 0, 0.0)
