@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -59,7 +60,7 @@ def flagship_pipeline(spark, sf_dir):
     )
 
 
-def run_queries(spark, sf_dir, names=None, repeats: int = 2):
+def run_queries(spark, sf_dir, names=None, repeats: Optional[int] = None):
     """Per-query wall time, MIN of ``repeats`` runs: the first execution of
     a plan pays JVM JIT + python-worker + allocator warm-up (measured 5-15s
     on this host vs 1-3s steady-state); min-of-k is the standard
@@ -68,6 +69,10 @@ def run_queries(spark, sf_dir, names=None, repeats: int = 2):
 
     import gc
 
+    if repeats is None:
+        # env override for noisy-host windows (min-of-k rescues spot noise,
+        # not a uniformly degraded phase — see host_control_sec)
+        repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
     qs = E.queries()
     times = {}
     for name, fn in qs.items():
