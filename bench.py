@@ -254,6 +254,7 @@ def main():
 
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     only = set(only.split(",")) if only else None
+    scale_only = os.environ.get("SPARK_GRAFT_SCALE_ONLY") == "1"
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -277,7 +278,9 @@ def main():
     spark.range(0, CPUS * 4, 1, CPUS).mapInPandas(_noop, "id long").count()
 
     flagship_s = min(time_flagship(spark, SF_DIR)[0] for _ in range(2))
-    qtimes = run_queries(spark, SF_DIR, only)
+    # SPARK_GRAFT_SCALE_ONLY=1 skips the per-query suite so a scaling run
+    # fits a short wall-clock budget (the scaling block below still runs)
+    qtimes = {} if scale_only else run_queries(spark, SF_DIR, only)
     qtimes["flagship_pip_pipeline"] = round(flagship_s, 3)
     total = round(sum(qtimes.values()), 3)
 
@@ -290,8 +293,8 @@ def main():
         "pages": n_pages,
         "pages_per_sec": round(n_pages / flagship_s, 1),
         "cpus": CPUS,
-        "codec": codec_microbench(),
-        "ann": ann_microbench(spark),
+        "codec": None if scale_only else codec_microbench(),
+        "ann": None if scale_only else ann_microbench(spark),
         # single-thread numpy control: the host's effective speed varies
         # >3x between runs (documented in BASELINE.md) — divide suite
         # numbers by (host_control_sec / 0.1) to normalize across phases

@@ -32,7 +32,7 @@ from typing import Dict
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import word_shingles, word_shingles_sql
+from .dedup import word_shingles_sql
 
 # Redaction patterns — shared Java-regex/RE2 subset (no backrefs, no
 # lookaround) so the Spark and DuckDB spellings are the SAME string.
