@@ -1,0 +1,167 @@
+"""End-to-end curation job: documents → features → dedup → decontaminate →
+sample → curated corpus.
+
+The training-data twin of jobs/run_pipeline.py: every stage commits through
+:class:`CheckpointedPipeline` (Iceberg-style snapshot + per-partition
+lineage rows), so a killed run resumes from the last committed stage.
+Ships as a plain spark-submit job::
+
+    cd /root/repo && zip -qr /tmp/engine.zip shapefile_rs_spark
+    spark-submit --py-files /tmp/engine.zip jobs/run_curation.py \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/curation_run \
+        [--span-k 5] [--sample en=0.5,de=0.25,es=0.25,fr=0.25,zh=0.25]
+
+Stage DAG (each stage's parquet is the next stage's input — the lineage
+checkpoints sit on the critical path, not as dead side writes):
+
+1. ``features``  — map-only: BPE token count, span-dup fraction signal
+   inputs, PII match counts + redacted text.  At 100 TB this is the one
+   full scan of the corpus.
+2. ``dedup``     — exact-dedup keeper per content digest (one digest
+   shuffle), flags rather than drops so downstream stages can audit.
+3. ``decontam``  — benchmark 8-gram overlap via the broadcast hash join
+   (the held-out set here: every 50th doc, the documents-table stand-in
+   for an eval suite).
+4. ``curated``   — apply keep = keeper ∧ ¬contaminated ∧ stratified
+   per-language sample; write the final corpus with redacted text.
+
+Prints one JSON line: per-stage rows/wall-times, kept/dropped breakdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _parse_rates(spec: str) -> dict:
+    out = {}
+    for part in spec.split(","):
+        lang, rate = part.split("=")
+        out[lang.strip()] = float(rate)
+    return out
+
+
+def build_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", required=True, help="checkpoint/output root")
+    p.add_argument("--span-k", type=int, default=5)
+    p.add_argument("--ngram-k", type=int, default=8)
+    p.add_argument(
+        "--sample",
+        default="en=0.75,de=0.75,es=0.75,fr=0.75,zh=0.75",
+        help="per-language keep rates lang=rate[,lang=rate...]",
+    )
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    return p.parse_args(argv)
+
+
+def run(spark, args) -> dict:
+    from shapefile_rs_spark.lineage import CheckpointedPipeline
+    from shapefile_rs_spark.operators.curation import (
+        bpe_token_count,
+        decontaminate,
+        redact_pii,
+        stratified_sample,
+    )
+
+    pipe = CheckpointedPipeline(spark, args.out)
+    t_all = time.time()
+    stage_names = ("features", "dedup", "decontam", "curated")
+    already_done = [s for s in stage_names if pipe.completed(s)]
+
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+
+    def stage_features():
+        with_pii = redact_pii(docs)
+        return with_pii.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "text",
+            F.col("text_redacted"),
+            "n_emails",
+            "n_phones",
+            bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        )
+
+    feats = pipe.run_stage("features", stage_features)
+
+    def stage_dedup():
+        w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+            F.col("doc_id").asc()
+        )
+        return feats.withColumn("_rn", F.row_number().over(w)).select(
+            "*", (F.col("_rn") == 1).alias("is_keeper")
+        ).drop("_rn")
+
+    deduped = pipe.run_stage("dedup", stage_dedup)
+
+    def stage_decontam():
+        bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+        flags = decontaminate(
+            deduped.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text"),
+            bench,
+            k=args.ngram_k,
+        )
+        return deduped.join(flags.select("doc_id", "contaminated"), "doc_id", "left").select(
+            "*", F.coalesce(F.col("contaminated"), F.lit(True)).alias("is_clean_src")
+        ).drop("contaminated").withColumn(
+            # benchmark members themselves are never training docs
+            "is_clean", (F.col("doc_id") % 50 != 0) & ~F.col("is_clean_src")
+        ).drop("is_clean_src")
+
+    flagged = pipe.run_stage("decontam", stage_decontam)
+
+    rates = _parse_rates(args.sample)
+
+    def stage_curated():
+        survivors = flagged.filter(F.col("is_keeper") & F.col("is_clean"))
+        sampled = stratified_sample(survivors, rates, strata_col="lang", id_col="doc_id")
+        return sampled.select(
+            "doc_id", "lang", "source", "n_chars", "bpe_tokens",
+            F.col("text_redacted").alias("text"),
+        )
+
+    curated = pipe.run_stage("curated", stage_curated)
+
+    lineage = pipe.lineage()
+    by_stage = {}
+    for r in lineage:
+        s = by_stage.setdefault(r["stage"], {"rows": 0, "partitions": 0, "wall_ms": r["wall_ms"]})
+        s["rows"] += r["output_rows"]
+        s["partitions"] += 1
+    n_in = by_stage.get("features", {}).get("rows", 0)
+    n_out = by_stage.get("curated", {}).get("rows", 0)
+    return {
+        "stages": by_stage,
+        "docs_in": n_in,
+        "docs_out": n_out,
+        "kept_frac": round(n_out / n_in, 4) if n_in else None,
+        "wall_sec": round(time.time() - t_all, 3),
+        "resumed_stages": already_done,
+    }
+
+
+def main():
+    args = build_args()
+    from shapefile_rs_spark.session import get_spark
+
+    spark = get_spark(app_name="run_curation", master=f"local[{args.cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run(spark, args)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

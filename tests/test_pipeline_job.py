@@ -55,3 +55,41 @@ def test_kill_midway_resume(spark, sf_dir, tmp_path, monkeypatch):
     # pages + indexed committed before the kill -> resumed; pip/tiles computed
     assert res["resumed_stages"] == ["pages", "indexed"]
     assert res["joined_rows"] > 0
+
+
+def test_curation_job_run_and_kill_resume(spark, sf_dir, tmp_path, monkeypatch):
+    """The curation twin of the flagship job: full run, then a kill at the
+    decontam stage must resume features+dedup without recompute."""
+    import pytest
+
+    from run_curation import build_args, run
+    from shapefile_rs_spark.lineage import CheckpointedPipeline
+
+    out = str(tmp_path / "cur1")
+    args = build_args(["--sf-dir", sf_dir, "--out", out, "--cpus", "4"])
+    res = run(spark, args)
+    assert res["resumed_stages"] == []
+    assert res["docs_in"] > 0 and 0 < res["docs_out"] < res["docs_in"]
+    assert set(res["stages"]) == {"features", "dedup", "decontam", "curated"}
+    # benchmark members (doc_id % 50 == 0) are never in the curated output
+    curated = spark.read.parquet(f"{out}/stages/curated/data")
+    assert curated.filter((curated.doc_id % 50) == 0).count() == 0
+
+    out2 = str(tmp_path / "cur2")
+    args2 = build_args(["--sf-dir", sf_dir, "--out", out2, "--cpus", "4"])
+    original = CheckpointedPipeline.run_stage
+    state = {"killed": False}
+
+    def flaky(self, stage, build, partition_by=None):
+        if stage == "decontam" and not state["killed"]:
+            state["killed"] = True
+            raise RuntimeError("simulated loss mid-decontam")
+        return original(self, stage, build, partition_by)
+
+    monkeypatch.setattr(CheckpointedPipeline, "run_stage", flaky)
+    with pytest.raises(RuntimeError):
+        run(spark, args2)
+    monkeypatch.setattr(CheckpointedPipeline, "run_stage", original)
+    res2 = run(spark, args2)
+    assert res2["resumed_stages"] == ["features", "dedup"]
+    assert res2["docs_out"] == res["docs_out"]
