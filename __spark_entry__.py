@@ -858,9 +858,13 @@ def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fixture_dir applies to the shapefile fixtures."""
     from shapefile_rs_spark.operators.multimodal import attach_fake_media
 
-    key = (id(spark), sf_dir)
+    # keyed by the SESSION OBJECT (not id(): a stopped session's id can be
+    # reused and would serve a frame bound to a dead SparkContext); the
+    # strong ref pins at most a handful of sessions per process.
+    # attach_fake_media owns the re-split of the narrow fixture input.
+    key = (spark, sf_dir)
     if key not in _MEDIA_FRAMES:
-        docs = _docs(spark, sf_dir, split=True).select("doc_id")
+        docs = _docs(spark, sf_dir).select("doc_id")
         _MEDIA_FRAMES[key] = attach_fake_media(docs).localCheckpoint(eager=True)
     return _MEDIA_FRAMES[key]
 
@@ -1595,11 +1599,9 @@ FROM stepped
 def _span_dedup_oracle() -> str:
     from shapefile_rs_spark.operators.dedup import span_dedup_stats_sql
 
-    corpus = (
-        "SELECT doc_id * 2 AS id, text FROM documents "
-        "UNION ALL "
-        "SELECT doc_id * 2 + 1 AS id, text || ' near dup suffix' AS text FROM documents"
-    )
+    # the ONE planted-near-dup corpus definition (_DUP_CORPUS_SQL) — a
+    # drift between this oracle and _dup_corpus would be a silent gate trap
+    corpus = f"WITH {_DUP_CORPUS_SQL.strip()} SELECT id, text FROM corpus"
     return span_dedup_stats_sql(corpus, id_col="id", k=5)
 
 

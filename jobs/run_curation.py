@@ -18,7 +18,9 @@ checkpoints sit on the critical path, not as dead side writes):
    inputs, PII match counts + redacted text.  At 100 TB this is the one
    full scan of the corpus.
 2. ``dedup``     — exact-dedup keeper per content digest (one digest
-   shuffle), flags rather than drops so downstream stages can audit.
+   shuffle) + the C4-style span-dup fraction (``--span-k``-word spans
+   occurring more than once corpus-wide); flags rather than drops so
+   downstream stages can audit.
 3. ``decontam``  — benchmark 8-gram overlap via the broadcast hash join
    (the held-out set here: every 50th doc, the documents-table stand-in
    for an eval suite).
@@ -61,6 +63,13 @@ def build_args(argv=None):
         default="en=0.75,de=0.75,es=0.75,fr=0.75,zh=0.75",
         help="per-language keep rates lang=rate[,lang=rate...]",
     )
+    p.add_argument(
+        "--sample-default",
+        type=float,
+        default=1.0,
+        help="keep rate for languages NOT listed in --sample (1.0 keeps "
+        "them all; the silent-drop default would be a data-loss trap)",
+    )
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     return p.parse_args(argv)
 
@@ -98,12 +107,20 @@ def run(spark, args) -> dict:
     feats = pipe.run_stage("features", stage_features)
 
     def stage_dedup():
+        from shapefile_rs_spark.operators.dedup import span_dedup_stats
+
         w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
             F.col("doc_id").asc()
         )
-        return feats.withColumn("_rn", F.row_number().over(w)).select(
+        flagged = feats.withColumn("_rn", F.row_number().over(w)).select(
             "*", (F.col("_rn") == 1).alias("is_keeper")
         ).drop("_rn")
+        spans = span_dedup_stats(
+            feats.select("doc_id", "text"), id_col="doc_id", k=args.span_k
+        ).select("doc_id", "dup_frac")
+        return flagged.join(spans, "doc_id", "left").withColumnRenamed(
+            "dup_frac", "span_dup_frac"
+        )
 
     deduped = pipe.run_stage("dedup", stage_dedup)
 
@@ -114,12 +131,17 @@ def run(spark, args) -> dict:
             bench,
             k=args.ngram_k,
         )
-        return deduped.join(flags.select("doc_id", "contaminated"), "doc_id", "left").select(
-            "*", F.coalesce(F.col("contaminated"), F.lit(True)).alias("is_clean_src")
-        ).drop("contaminated").withColumn(
-            # benchmark members themselves are never training docs
-            "is_clean", (F.col("doc_id") % 50 != 0) & ~F.col("is_clean_src")
-        ).drop("is_clean_src")
+        # benchmark members themselves are never training docs; a doc the
+        # decontaminate stage never saw (null flag) defaults to NOT clean
+        return (
+            deduped.join(flags.select("doc_id", "contaminated"), "doc_id", "left")
+            .withColumn(
+                "is_clean",
+                (F.col("doc_id") % 50 != 0)
+                & ~F.coalesce(F.col("contaminated"), F.lit(True)),
+            )
+            .drop("contaminated")
+        )
 
     flagged = pipe.run_stage("decontam", stage_decontam)
 
@@ -127,9 +149,12 @@ def run(spark, args) -> dict:
 
     def stage_curated():
         survivors = flagged.filter(F.col("is_keeper") & F.col("is_clean"))
-        sampled = stratified_sample(survivors, rates, strata_col="lang", id_col="doc_id")
+        sampled = stratified_sample(
+            survivors, rates, strata_col="lang", id_col="doc_id",
+            default_rate=args.sample_default,
+        )
         return sampled.select(
-            "doc_id", "lang", "source", "n_chars", "bpe_tokens",
+            "doc_id", "lang", "source", "n_chars", "bpe_tokens", "span_dup_frac",
             F.col("text_redacted").alias("text"),
         )
 

@@ -597,8 +597,10 @@ def word_spans(text: Column, k: int = 5) -> Column:
 
 
 def word_spans_sql(text_sql: str, k: int = 5) -> str:
-    """DuckDB twin of :func:`word_spans`."""
-    words = f"string_split({text_sql}, ' ')"
+    """DuckDB twin of :func:`word_spans`.  ``coalesce(text, '')`` mirrors
+    the Spark side, where ``concat_ws`` over a null slice yields '' — so a
+    null-text doc produces the single span '' in BOTH engines."""
+    words = f"string_split(coalesce({text_sql}, ''), ' ')"
     n = f"greatest(1, CAST(ceil(len({words}) / {k}.0) AS INTEGER))"
     return (
         f"list_transform(range(0, {n}), "
@@ -613,17 +615,34 @@ def span_dedup_stats(
     k-word spans that occur MORE THAN ONCE corpus-wide (C4's span-dedup
     signal — a doc with high dup_frac is boilerplate or a near-copy).
 
-    Plan: explode spans (map-side), ONE shuffle on the span string for the
-    global occurrence count (window; partial-combine does not apply to
-    windows, but span keys are high-cardinality so the shuffle is uniform),
-    then the per-doc rollup shuffles on id.  At 100 TB the span column
-    would be hashed to a fixed-width key before the exchange; the string
-    key is kept here so the DuckDB twin is value-identical."""
+    Plan: explode spans (map-side, Arrow-batched — the interpreted
+    transform()+Generate HOF path costs ~10× per CLAUDE.md), ONE shuffle on
+    the span string for the global occurrence count (window; partial-combine
+    does not apply to windows, but span keys are high-cardinality so the
+    shuffle is uniform), then the per-doc rollup shuffles on id.  At 100 TB
+    the span column would be hashed to a fixed-width key before the
+    exchange; the string key is kept here so the DuckDB twin is
+    value-identical."""
     from pyspark.sql import Window
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    spans = df.select(
-        F.col(id_col), F.explode(word_spans(F.col(text_col), k)).alias("_span")
-    )
+    schema = StructType([df.schema[id_col], StructField("_span", StringType())])
+
+    def gen(batches):
+        import math
+
+        for pdf in batches:
+            ids_out, spans_out = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = ("" if t is None else t).split(" ")
+                n = max(1, math.ceil(len(words) / k))
+                ids_out.extend([i] * n)
+                spans_out.extend(
+                    " ".join(words[j * k : (j + 1) * k]) for j in range(n)
+                )
+            yield pd.DataFrame({id_col: ids_out, "_span": spans_out})
+
+    spans = df.select(id_col, text_col).mapInPandas(gen, schema=schema)
     w = Window.partitionBy("_span")
     counted = spans.withColumn("_n", F.count(F.lit(1)).over(w))
     return counted.groupBy(id_col).agg(
