@@ -1,9 +1,11 @@
 """Deduplication operators for web-scale corpus hygiene.
 
-Every operator is a pure Catalyst expression pipeline (higher-order array
-functions + md5 — no Python in the hot path), so each has an exactly
-equivalent DuckDB oracle built from the same primitives (md5 hex strings
-compare identically under both engines' binary collation).
+Every operator has an exactly equivalent DuckDB oracle built from shared
+primitives (md5 hex strings compare identically under both engines' binary
+collation).  Hot-path hashing runs as Arrow-batched hashlib/numpy pandas
+UDFs with bit-identical pure-Catalyst HOF spellings kept alongside (the
+``*_expr`` / un-suffixed forms) for oracle derivation and plans that must
+avoid Python workers.
 
 Scale notes (100 TB story):
 * exact dedup — one hash-shuffle on the content digest; map-side partial
@@ -282,7 +284,7 @@ def minhash_lsh_pairs(
         docs = docs.repartition(par)
     sigs = docs.select(
         F.col(id_col).alias("_id"),
-        shingle_hashes(word_shingles(F.col(text_col), k)).alias("_hs"),
+        shingle_token_hashes_pd(F.col(text_col), k).alias("_hs"),
     ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
     # eager materialization: three downstream consumers (banding + both
     # sides of the scoring join) would otherwise race the cache inside one
@@ -342,6 +344,58 @@ def token_hashes(text: Column) -> Column:
             "long"
         ),
     )
+
+
+def token_hashes_pd(text: Column) -> Column:
+    """Arrow-batched twin of :func:`token_hashes` — hashlib md5 per token
+    inside one pandas UDF instead of an interpreted transform() per row
+    (bit-identical 60-bit ints; null text → null array)."""
+    import hashlib
+
+    md5 = hashlib.md5
+
+    @F.pandas_udf("array<long>")
+    def _th(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            out.append(
+                [int(md5(w.encode("utf-8")).hexdigest()[:15], 16) for w in t.split(" ")]
+            )
+        return pd.Series(out, dtype=object)
+
+    return _th(text)
+
+
+def shingle_token_hashes_pd(text: Column, k: int = 3) -> Column:
+    """Arrow-batched twin of ``shingle_hashes(word_shingles(text, k))`` —
+    the two interpreted HOF passes fused into one hashlib loop per Arrow
+    batch (bit-identical: 60-bit md5 prefix mod 2^31-1 per k-word shingle,
+    whole-text shingle for short texts).  NULL text behaves like '' — the
+    HOF chain's concat_ws skips the null slice and emits the single shingle
+    '' (verified against the expression form), so the twin does too."""
+    import hashlib
+
+    md5 = hashlib.md5
+
+    @F.pandas_udf("array<long>")
+    def _sh(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            words = ("" if t is None else t).split(" ")
+            n = max(1, len(words) - k + 1)
+            out.append(
+                [
+                    int(md5(" ".join(words[j : j + k]).encode("utf-8")).hexdigest()[:15], 16)
+                    % _MERSENNE31
+                    for j in range(n)
+                ]
+            )
+        return pd.Series(out, dtype=object)
+
+    return _sh(text)
 
 
 def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
@@ -405,7 +459,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     """(id, simhash) per doc — map-only fingerprint pass."""
     return docs.select(
         F.col(id_col), F.col(text_col)
-    ).withColumn("_h", token_hashes(F.col(text_col))).select(
+    ).withColumn("_h", token_hashes_pd(F.col(text_col))).select(
         id_col, simhash_from_hashes(F.col("_h"), bits).alias("simhash")
     )
 

@@ -666,3 +666,33 @@ def test_span_dedup_stats(spark):
     rows = {r.id: (r.n_spans, r.n_dup_spans, r.dup_frac) for r in span_dedup_stats(df, k=5).collect()}
     assert rows[1] == (2, 2, 1.0) and rows[2] == (2, 2, 1.0)
     assert rows[3] == (2, 0, 0.0)
+
+
+def test_hash_twins_bit_identical(spark):
+    """The Arrow-batched token/shingle hash twins must equal the HOF
+    spellings bit-for-bit, including NULL text (token: null array; shingle:
+    the single ''-shingle the HOF's concat_ws produces), empty text, and
+    texts shorter than k."""
+    from shapefile_rs_spark.operators.dedup import (
+        shingle_hashes,
+        shingle_token_hashes_pd,
+        token_hashes,
+        token_hashes_pd,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, ""), (4, "one two")],
+        "id bigint, text string",
+    )
+    hof = df.select(
+        "id",
+        token_hashes(F.col("text")).alias("h"),
+        shingle_hashes(word_shingles(F.col("text"), 3)).alias("s"),
+    ).collect()
+    pd_ = df.select(
+        "id",
+        token_hashes_pd(F.col("text")).alias("h"),
+        shingle_token_hashes_pd(F.col("text"), 3).alias("s"),
+    ).collect()
+    assert {r.id: (r.h, r.s) for r in hof} == {r.id: (r.h, r.s) for r in pd_}
