@@ -1085,6 +1085,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs (multi-index: 4 blocks of an
+    8-bit 32-bit fingerprint, exact popcount refine at radius 2) over the
+    planted near-dup corpus — the fingerprint-pairing mode complementing
+    minhash_lsh.  16-bit fingerprints saturate their block space on a
+    same-domain corpus (measured: B² bucket blowup at 10k docs); 32 bits
+    keep buckets sparse, the right shape at scale."""
+    from shapefile_rs_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_dup_corpus(spark, sf_dir), id_col="id", bits=32, bands=4, radius=2)
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style span dedup over the planted near-dup corpus: fraction of
     5-word spans per doc that occur more than once corpus-wide (original
@@ -1148,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         "token_count": q_token_count,
         "span_dedup": q_span_dedup,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -1589,11 +1602,19 @@ SELECT doc_id, n_frames, UNNEST(range(0, n_frames, step)) AS frame_idx
 FROM stepped
 """,
         "span_dedup": _span_dedup_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
         "token_count": _token_count_oracle(),
     }
+
+
+def _simhash_pairs_oracle() -> str:
+    from shapefile_rs_spark.operators.dedup import simhash_pairs_sql
+
+    corpus = f"WITH {_DUP_CORPUS_SQL.strip()} SELECT id, text FROM corpus"
+    return simhash_pairs_sql(corpus, id_col="id", bits=32, bands=4, radius=2)
 
 
 def _span_dedup_oracle() -> str:

@@ -728,3 +728,104 @@ SELECT {id_col},
        CAST(SUM(CASE WHEN _n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
 FROM counted GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-ball pairing (multi-index)
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    radius: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming): document pairs whose SimHash fingerprints
+    differ in at most ``radius`` bits — the fingerprint-prefix bucketing
+    the module docstring defers from :func:`simhash`.
+
+    Multi-index construction: the ``bits``-bit fingerprint splits into
+    ``bands`` contiguous blocks; by pigeonhole, any pair with hamming ≤
+    bands−1 agrees on at least one whole block, so candidates = pairs
+    sharing (block index, block value) and the exact ``bit_count(xor)``
+    refine never misses at radius ≤ bands−1 (larger radii trade recall).
+
+    Plan shape: map-only fingerprint scan, explode to ``bands`` rows/doc,
+    ONE shuffle on the (band, block value) key, in-bucket self-join,
+    distinct, then the integer xor/popcount refine — the same
+    block→join→refine decomposition as minhash LSH, with an all-integer
+    refine the DuckDB twin reproduces exactly."""
+    if radius > bands - 1:
+        # pigeonhole guarantee only covers hamming ≤ bands-1
+        import warnings
+
+        warnings.warn(
+            f"radius {radius} > bands-1 ({bands - 1}): recall is partial",
+            stacklevel=2,
+        )
+    assert bits % bands == 0
+    width = bits // bands
+    fps = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    # per-band (index, block value) pairs with LITERAL shift amounts —
+    # shiftright takes a Python int, not a Column, so unroll the bands
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("_band"),
+                (F.shiftright(F.col("simhash"), b * width) % F.lit(1 << width)).alias(
+                    "_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        fps.select(F.col(id_col).alias("_id"), "simhash", F.explode(blocks).alias("_bk"))
+        .select("_id", "simhash", F.col("_bk._band").alias("_band"), F.col("_bk._key").alias("_key"))
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"), "_band", "_key"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"), "_band", "_key"
+    )
+    pairs = (
+        left.join(right, ["_band", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= radius)
+
+
+def simhash_pairs_sql(
+    corpus_sql: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    radius: int = 3,
+) -> str:
+    """DuckDB twin of :func:`simhash_pairs` (same integer arithmetic)."""
+    width = bits // bands
+    sim = simhash_sql(text_col, bits)
+    bands_union = " UNION ALL ".join(f"SELECT {b} AS _band" for b in range(bands))
+    return f"""
+WITH fps AS (
+  SELECT {id_col} AS _id, {sim} AS simhash FROM ({corpus_sql})
+),
+banded AS (
+  SELECT _id, simhash, _band, (simhash // (1 << (_band * {width}))) % {1 << width} AS _key
+  FROM fps CROSS JOIN ({bands_union})
+),
+pairs AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM banded a JOIN banded b USING (_band, _key)
+  WHERE a._id < b._id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {radius}
+"""

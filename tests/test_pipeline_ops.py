@@ -696,3 +696,36 @@ def test_hash_twins_bit_identical(spark):
         shingle_token_hashes_pd(F.col("text"), 3).alias("s"),
     ).collect()
     assert {r.id: (r.h, r.s) for r in hof} == {r.id: (r.h, r.s) for r in pd_}
+
+
+def test_simhash_pairs_pigeonhole_and_refine(spark):
+    """Identical docs pair at hamming 0; a crafted near-identical doc pairs
+    within radius; the pigeonhole multi-index finds every pair with
+    hamming <= bands-1 (cross-checked against an all-pairs popcount)."""
+    from shapefile_rs_spark.operators.dedup import simhash, simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                 # exact copy -> hamming 0
+            (3, base + "tail word"),                   # near copy
+            (4, "entirely different content " * 8),
+        ],
+        "id bigint, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(docs, id_col="id", bands=4, radius=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # oracle: all-pairs popcount from the fingerprints themselves
+    fps = {r.id: r.simhash for r in simhash(docs, id_col="id").collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert pairs == want
