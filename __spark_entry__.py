@@ -739,12 +739,9 @@ def q_ann_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEARDUP_TABLES = 4
 
 
-def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (hyperplane-LSH blocked, 4-table
-    OR-amplified) over the embeddings table with planted exact duplicates
-    (vec_id + 100000)."""
-    from shapefile_rs_spark.operators.similarity import embedding_neardup_pairs
-
+def _neardup_inputs(spark: SparkSession, sf_dir: str) -> tuple:
+    """(corpus, planes) for the embed_neardup query AND its bucket
+    telemetry — one construction so the audited buckets are the query's."""
     emb = _emb(spark, sf_dir)
     corpus = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
@@ -758,6 +755,16 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = emb.filter(F.col("vec_id") < _NEARDUP_TABLES * ppt).select(
         F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
     )
+    return corpus, planes
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (hyperplane-LSH blocked, 4-table
+    OR-amplified) over the embeddings table with planted exact duplicates
+    (vec_id + 100000)."""
+    from shapefile_rs_spark.operators.similarity import embedding_neardup_pairs
+
+    corpus, planes = _neardup_inputs(spark, sf_dir)
     return embedding_neardup_pairs(
         corpus, planes, threshold=0.99, n_tables=_NEARDUP_TABLES
     )
@@ -827,11 +834,19 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True winnowing (per-window local-minima set, k=5 char grams,
-    w=4 windows) — position-robust partial-overlap fingerprints."""
+    w=4 windows) — position-robust partial-overlap fingerprints.
+
+    The operator returns ``array<long>``; the gate row string-encodes it
+    ('-'-joined decimal) because the DRIVER's canonicalizer hashes scalar
+    cells only (r3: the raw array row ERRORED with "unhashable type:
+    'list'").  int64→decimal rendering is engine-independent, so the
+    encoding adds no float/locale risk; the DuckDB twin spells the same
+    join via array_to_string."""
     from shapefile_rs_spark.operators.textstats import winnow_fingerprint
 
+    fp = winnow_fingerprint(F.col("text"), k=5, w=4)
     return _docs(spark, sf_dir, split=True).select(
-        "doc_id", winnow_fingerprint(F.col("text"), k=5, w=4).alias("fp")
+        "doc_id", F.concat_ws("-", fp.cast("array<string>")).alias("fp")
     )
 
 
@@ -1086,15 +1101,26 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-ball near-dup pairs (multi-index: 4 blocks of an
-    8-bit 32-bit fingerprint, exact popcount refine at radius 2) over the
-    planted near-dup corpus — the fingerprint-pairing mode complementing
-    minhash_lsh.  16-bit fingerprints saturate their block space on a
-    same-domain corpus (measured: B² bucket blowup at 10k docs); 32 bits
-    keep buckets sparse, the right shape at scale."""
+    """SimHash Hamming-ball near-dup pairs (multi-index: 4 blocks of a
+    60-bit fingerprint, exact popcount refine at radius 2) over the planted
+    near-dup corpus — the fingerprint-pairing mode complementing
+    minhash_lsh.  Block-space ladder (measured on same-domain corpora):
+    16-bit fps saturate at 10k docs (B² bucket blowup), r3's 32-bit/8-bit
+    blocks bound each band at 256 buckets — population N/256, quadratic
+    in-bucket joins at corpus scale; 60-bit/15-bit blocks give 32,768
+    bucket values per band (60 is the exact-int64/BIGINT ceiling — see
+    dedup._SIMHASH_MAX_BITS).  bucket_cap guards residual hot buckets, the
+    same contract (and oracle QUALIFY mirror) as minhash_lsh."""
     from shapefile_rs_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_dup_corpus(spark, sf_dir), id_col="id", bits=32, bands=4, radius=2)
+    return simhash_pairs(
+        _dup_corpus(spark, sf_dir),
+        id_col="id",
+        bits=60,
+        bands=4,
+        radius=2,
+        bucket_cap=_LSH_BUCKET_CAP,
+    )
 
 
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1130,41 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.dedup import span_dedup_stats
 
     return span_dedup_stats(_dup_corpus(spark, sf_dir), id_col="id", k=5)
+
+
+def lsh_bucket_report(spark: SparkSession, sf_dir: str) -> dict:
+    """Hot-bucket telemetry for the LSH family (r3 verdict item 6): max /
+    avg / count of band-bucket populations for the three bucketed near-dup
+    operators, computed on the SAME banded-key frames the operators
+    shuffle on (shared builders — no reimplementation drift).  Emitted in
+    bench JSON so a cap regression or a saturated key space shows up as a
+    ``max_bucket`` jump, not as a quadratic wall-time surprise."""
+    from shapefile_rs_spark.operators.dedup import (
+        bucket_population_stats,
+        minhash_banded,
+        simhash_banded,
+    )
+    from shapefile_rs_spark.operators.similarity import hyperplane_buckets
+
+    corpus = _dup_corpus(spark, sf_dir)
+    out = {
+        # parameter sets mirror q_minhash_lsh / q_simhash_pairs exactly
+        "minhash_lsh": bucket_population_stats(
+            minhash_banded(corpus, id_col="id", k=3, num_hashes=12, bands=4),
+            ["band", "band_key"],
+        ),
+        "simhash_pairs": bucket_population_stats(
+            simhash_banded(corpus, id_col="id", bits=60, bands=4),
+            ["_band", "_key"],
+        ),
+    }
+    e_corpus, planes = _neardup_inputs(spark, sf_dir)
+    out["embed_neardup"] = bucket_population_stats(
+        hyperplane_buckets(e_corpus, planes, n_tables=_NEARDUP_TABLES),
+        ["_tbl", "_bucket"],
+    )
+    out["bucket_cap"] = _LSH_BUCKET_CAP
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1541,7 +1602,10 @@ JOIN corpus cb ON cb.id = p.id_b
 WHERE list_cosine_similarity(ca.e, cb.e) >= 0.99
 """,
         "text_quality": ts.quality_metrics_sql("documents"),
-        "winnow_fp": f"SELECT doc_id, {ts.winnow_fingerprint_sql('text', 5, 4)} AS fp FROM documents",
+        "winnow_fp": (
+            "SELECT doc_id, array_to_string("
+            f"{ts.winnow_fingerprint_sql('text', 5, 4)}, '-') AS fp FROM documents"
+        ),
         "char_minhash": f"SELECT doc_id, {ts.char_minhash_sql('text', 8)} AS fp FROM documents",
         "url_canon": _url_canon_oracle(),
         "doc_repetition": ts.repetition_metrics_sql("documents", n=2),
@@ -1614,7 +1678,9 @@ def _simhash_pairs_oracle() -> str:
     from shapefile_rs_spark.operators.dedup import simhash_pairs_sql
 
     corpus = f"WITH {_DUP_CORPUS_SQL.strip()} SELECT id, text FROM corpus"
-    return simhash_pairs_sql(corpus, id_col="id", bits=32, bands=4, radius=2)
+    return simhash_pairs_sql(
+        corpus, id_col="id", bits=60, bands=4, radius=2, bucket_cap=_LSH_BUCKET_CAP
+    )
 
 
 def _span_dedup_oracle() -> str:

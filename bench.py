@@ -231,6 +231,12 @@ def ann_microbench(spark, n: int = 200_000, d: int = 64, nq: int = 4, k: int = 5
     }
 
 
+def _lsh_buckets(spark) -> dict:
+    import __spark_entry__ as E
+
+    return E.lsh_bucket_report(spark, SF_DIR)
+
+
 def _host_control(n: int = 4_000_000) -> float:
     """Fixed SINGLE-thread numpy workload (~0.3 s healthy): sort, which
     BLAS cannot parallelize (a matmul control read 9 ms — OpenBLAS used
@@ -295,6 +301,10 @@ def main():
         "cpus": CPUS,
         "codec": None if scale_only else codec_microbench(),
         "ann": None if scale_only else ann_microbench(spark),
+        # hot-bucket canary for the LSH family: max_bucket drifting toward
+        # bucket_cap (or n_buckets collapsing) flags an impending quadratic
+        # in-bucket self-join before it costs wall-time
+        "lsh_buckets": None if scale_only else _lsh_buckets(spark),
         # single-thread numpy control: the host's effective speed varies
         # >3x between runs (documented in BASELINE.md) — divide suite
         # numbers by (host_control_sec / 0.1) to normalize across phases

@@ -49,7 +49,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "url") -> D
 
     Single-pass window form: ONE md5 per row and one shuffle on the digest
     (rank over partitionBy(md5) order by id), instead of hashing both sides
-    of a groupBy+self-join — half the hashing, one join fewer."""
+    of a groupBy+self-join — half the hashing, one join fewer.
+
+    Edge semantics (intentional, pinned by tests): null texts form ONE
+    group (md5(NULL) is NULL; a null window key partitions together), so
+    exactly one null-text row survives — "one row per distinct text" with
+    NULL as a distinct value.  Rows tied on (text, id) also collapse to
+    one (row_number breaks the tie arbitrarily but keeps exactly one).
+    The r2 md5-equijoin dropped all null-text rows and kept every tied
+    row — both contradicted the contract."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
@@ -244,6 +252,63 @@ def lsh_band_keys_sql(sig_sql: str, bands: int, rows_per_band: int) -> str:
     return f"[{entries}]"
 
 
+def _band_rows(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, band, band_key) from a (_id, _sig) signature frame — the ONE
+    spelling of the LSH shuffle key, shared by the pairing operator and the
+    bucket-telemetry path so the audited key cannot drift from the joined
+    key."""
+    return sigs.select(
+        "_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_b")
+    ).select(
+        "_id", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key")
+    )
+
+
+def minhash_banded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(_id, band, band_key): the band frame :func:`minhash_lsh_pairs`
+    self-joins on, rebuilt standalone for bucket-population telemetry
+    (single consumer — no persist; the operator keeps its own persisted
+    signature frame because banding AND scoring both read it)."""
+    assert num_hashes % bands == 0
+    sigs = docs.select(
+        F.col(id_col).alias("_id"),
+        shingle_token_hashes_pd(F.col(text_col), k).alias("_hs"),
+    ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
+    return _band_rows(sigs, bands, num_hashes // bands)
+
+
+def bucket_population_stats(banded: DataFrame, keys: list) -> dict:
+    """Hot-bucket telemetry shared by the LSH family (minhash bands,
+    simhash blocks, hyperplane tables): population of the largest bucket,
+    the mean, and the bucket count for the frame's shuffle key.  The
+    in-bucket self-join cost is Σ n_b² — ``max_bucket`` is the canary that
+    a cap regression (or a saturated key space, the r3 simhash finding)
+    is about to go quadratic, surfaced in bench JSON instead of as
+    wall-time."""
+    row = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.max("_n").alias("_max"),
+            F.avg("_n").alias("_avg"),
+            F.count(F.lit(1)).alias("_nb"),
+        )
+        .collect()[0]
+    )
+    return {
+        "max_bucket": int(row["_max"]),
+        "avg_bucket": round(float(row["_avg"]), 2),
+        "n_buckets": int(row["_nb"]),
+    }
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -291,9 +356,7 @@ def minhash_lsh_pairs(
     # job and recompute the signature pass ~3x (measured)
     sigs = sigs.persist()
     sigs.count()
-    banded = sigs.select(
-        "_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rpb)).alias("_b")
-    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+    banded = _band_rows(sigs, bands, rpb)
     if bucket_cap is not None:
         from pyspark.sql import Window
 
@@ -398,10 +461,26 @@ def shingle_token_hashes_pd(text: Column, k: int = 3) -> Column:
     return _sh(text)
 
 
+# Fingerprint width ceiling shared by every simhash entry point.  Two
+# binding constraints meet at 60:
+# * token hashes are 60-bit md5 prefixes — fingerprint bits ≥ 60 would
+#   vote on constant-zero hash bits (always -1 ⇒ always unset): dead
+#   discriminators, silently narrower buckets;
+# * bit 63 of an int64 is the sign bit — `1 << 63` wraps negative in both
+#   numpy and Spark, and the block extraction (Spark arithmetic shiftright
+#   + pmod vs DuckDB's floor-division `//`) diverges on negative values,
+#   so a bits=64 fingerprint would pass Spark-side and silently mismatch
+#   the oracle (ADVICE r3).
+_SIMHASH_MAX_BITS = 60
+
+
 def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
     """SimHash fingerprint over pre-computed token hashes: bit b of the
     fingerprint is set iff the sum over tokens of ±1 (sign of token-hash
     bit b) is positive.  Duplicate tokens vote multiply — standard.
+
+    ``bits`` is capped at 60 (``_SIMHASH_MAX_BITS``): the token hashes only
+    carry 60 informative bits, and 64 would hit the int64 sign bit.
 
     Arrow-batched numpy (the minhash discipline): token hashes concatenate
     ONCE per batch, each bit's ±1 votes reduce per-doc with
@@ -409,6 +488,10 @@ def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
     :func:`simhash_from_hashes_expr` and the DuckDB twin.  The per-bit loop
     keeps the working set O(total_tokens), not O(bits·total_tokens) (this
     host punishes large fresh allocations)."""
+    assert 1 <= bits <= _SIMHASH_MAX_BITS, (
+        f"bits={bits}: fingerprints wider than {_SIMHASH_MAX_BITS} vote on "
+        "constant-zero hash bits and (at 64) wrap the int64 sign"
+    )
 
     @F.pandas_udf("long")
     def _simhash(col: pd.Series) -> pd.Series:
@@ -444,6 +527,7 @@ def simhash_from_hashes_expr(hashes: Column, bits: int = 16) -> Column:
     """Pure-Catalyst spelling of :func:`simhash_from_hashes` (bit-identical
     output; interpreted HOF folds — keep off hot paths, kept for plans that
     must avoid Python workers entirely)."""
+    assert 1 <= bits <= _SIMHASH_MAX_BITS
 
     def voter(b: int):
         return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -466,6 +550,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 
 def simhash_sql(text_sql: str, bits: int = 16) -> str:
     """DuckDB twin of the full simhash pipeline for one text expression."""
+    assert 1 <= bits <= _SIMHASH_MAX_BITS
     hashes = (
         f"list_transform(string_split({text_sql}, ' '), "
         f"w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT))"
@@ -533,7 +618,17 @@ def dedup_clusters(
     downstream if required.
     """
     spark = pairs.sparkSession
-    if driver_threshold and pairs.count() <= driver_threshold:
+    # limit(N+1).collect() is the probe AND the fetch in ONE job (the
+    # assign_centroids pattern): a count()-then-collect() pair evaluates an
+    # unmaterialized upstream (e.g. the full minhash banding pipeline)
+    # twice.  Overflow (N+1 rows back) falls through to the distributed
+    # path, having read only the first N+1 pairs.
+    probe = (
+        pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
+        if driver_threshold
+        else None
+    )
+    if probe is not None and len(probe) <= driver_threshold:
         from .knn import _values_df
 
         parent: dict = {}
@@ -546,7 +641,7 @@ def dedup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in pairs.select(id_a, id_b).collect():
+        for row in probe:
             a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -735,37 +830,17 @@ FROM counted GROUP BY {id_col}
 # ---------------------------------------------------------------------------
 
 
-def simhash_pairs(
+def simhash_banded(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 60,
     bands: int = 4,
-    radius: int = 3,
 ) -> DataFrame:
-    """(id_a, id_b, hamming): document pairs whose SimHash fingerprints
-    differ in at most ``radius`` bits — the fingerprint-prefix bucketing
-    the module docstring defers from :func:`simhash`.
-
-    Multi-index construction: the ``bits``-bit fingerprint splits into
-    ``bands`` contiguous blocks; by pigeonhole, any pair with hamming ≤
-    bands−1 agrees on at least one whole block, so candidates = pairs
-    sharing (block index, block value) and the exact ``bit_count(xor)``
-    refine never misses at radius ≤ bands−1 (larger radii trade recall).
-
-    Plan shape: map-only fingerprint scan, explode to ``bands`` rows/doc,
-    ONE shuffle on the (band, block value) key, in-bucket self-join,
-    distinct, then the integer xor/popcount refine — the same
-    block→join→refine decomposition as minhash LSH, with an all-integer
-    refine the DuckDB twin reproduces exactly."""
-    if radius > bands - 1:
-        # pigeonhole guarantee only covers hamming ≤ bands-1
-        import warnings
-
-        warnings.warn(
-            f"radius {radius} > bands-1 ({bands - 1}): recall is partial",
-            stacklevel=2,
-        )
+    """(_id, simhash, _band, _key): one row per (doc, fingerprint block) —
+    the multi-index frame :func:`simhash_pairs` self-joins on, exposed so
+    bucket-population telemetry (bench.py) audits the EXACT key the
+    operator shuffles on rather than a reimplementation that could drift."""
     assert bits % bands == 0
     width = bits // bands
     fps = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
@@ -782,50 +857,126 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    banded = (
+    return (
         fps.select(F.col(id_col).alias("_id"), "simhash", F.explode(blocks).alias("_bk"))
         .select("_id", "simhash", F.col("_bk._band").alias("_band"), F.col("_bk._key").alias("_key"))
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    bands: int = 4,
+    radius: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming): document pairs whose SimHash fingerprints
+    differ in at most ``radius`` bits — the fingerprint-prefix bucketing
+    the module docstring defers from :func:`simhash`.
+
+    Multi-index construction (Charikar fingerprints with the Manku-style
+    block index): the ``bits``-bit fingerprint splits into ``bands``
+    contiguous blocks; by pigeonhole, any pair with hamming ≤ bands−1
+    agrees on at least one whole block, so candidates = pairs sharing
+    (block index, block value) and the exact ``bit_count(xor)`` refine
+    never misses at radius ≤ bands−1 (larger radii trade recall).
+
+    Defaults are the scale shape: 60-bit fingerprints / 4 bands ⇒ 15-bit
+    blocks ⇒ 32,768 bucket values per band (r3's 32-bit/8-bit-block config
+    bounded each band at 256 buckets — in-bucket population grows N/256 and
+    the self-join goes quadratic; 60 is the exact-arithmetic ceiling, see
+    ``_SIMHASH_MAX_BITS``).  ``bucket_cap`` is the residual guard for
+    pathological buckets (boilerplate corpora vote identical fingerprints):
+    a (band, block value) bucket holding more than ``bucket_cap`` docs is
+    dropped whole before the self-join, same contract as
+    :func:`minhash_lsh_pairs`; the count is a window over the join's own
+    partitioning, so it costs no extra shuffle.
+
+    Plan shape: map-only fingerprint scan, explode to ``bands`` rows/doc,
+    ONE shuffle on the (band, block value) key, in-bucket self-join, the
+    integer xor/popcount refine, hamming filter, THEN distinct — in-radius
+    filtering before the distinct exchange so the dedup shuffle carries
+    only true near-dup pairs, not every bucket collision (a pair colliding
+    in several bands dedups identically either way)."""
+    if radius > bands - 1:
+        # pigeonhole guarantee only covers hamming ≤ bands-1
+        import warnings
+
+        warnings.warn(
+            f"radius {radius} > bands-1 ({bands - 1}): recall is partial",
+            stacklevel=2,
+        )
+    banded = simhash_banded(docs, id_col=id_col, text_col=text_col, bits=bits, bands=bands)
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_band", "_key")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= bucket_cap)
+            .drop("_n")
+        )
+    # both sides of the self-join consume this pandas-UDF frame — without a
+    # checkpoint each side re-runs the full scan + fingerprint vote pass
+    # (the embed_neardup lesson; measured 3.4→2.5 s at sf0.1, 2× the table
+    # read at scale)
+    banded = banded.localCheckpoint(eager=True)
     left = banded.select(
         F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"), "_band", "_key"
     )
     right = banded.select(
         F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"), "_band", "_key"
     )
-    pairs = (
+    return (
         left.join(right, ["_band", "_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("hamming"))
+        .filter(F.col("hamming") <= radius)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= radius)
 
 
 def simhash_pairs_sql(
     corpus_sql: str,
     id_col: str = "id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 60,
     bands: int = 4,
     radius: int = 3,
+    bucket_cap: int | None = None,
 ) -> str:
-    """DuckDB twin of :func:`simhash_pairs` (same integer arithmetic)."""
+    """DuckDB twin of :func:`simhash_pairs` (same integer arithmetic;
+    positive fingerprints by the ``_SIMHASH_MAX_BITS`` bound, so DuckDB's
+    floor-division block keys equal Spark's arithmetic shiftright).  The
+    ``bucket_cap`` QUALIFY mirrors the Spark count-window filter; hamming
+    filters before DISTINCT exactly as the operator does (same result set
+    either side of the dedup — hamming is a pure function of the pair)."""
     width = bits // bands
     sim = simhash_sql(text_col, bits)
     bands_union = " UNION ALL ".join(f"SELECT {b} AS _band" for b in range(bands))
+    cap = (
+        f"QUALIFY COUNT(*) OVER (PARTITION BY _band, _key) <= {bucket_cap}"
+        if bucket_cap is not None
+        else ""
+    )
     return f"""
 WITH fps AS (
   SELECT {id_col} AS _id, {sim} AS simhash FROM ({corpus_sql})
 ),
 banded AS (
-  SELECT _id, simhash, _band, (simhash // (1 << (_band * {width}))) % {1 << width} AS _key
+  SELECT _id, simhash, _band,
+         (simhash // (CAST(1 AS BIGINT) << (_band * {width}))) % {1 << width} AS _key
   FROM fps CROSS JOIN ({bands_union})
+  {cap}
 ),
 pairs AS (
   SELECT DISTINCT a._id AS id_a, b._id AS id_b,
          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
   FROM banded a JOIN banded b USING (_band, _key)
   WHERE a._id < b._id
+    AND bit_count(xor(a.simhash, b.simhash)) <= {radius}
 )
-SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {radius}
+SELECT id_a, id_b, hamming FROM pairs
 """

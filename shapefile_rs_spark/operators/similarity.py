@@ -163,38 +163,21 @@ def cosine_topk(
     )
 
 
-def embedding_neardup_pairs(
+def hyperplane_buckets(
     vectors: DataFrame,
     planes: DataFrame,
-    threshold: float = 0.99,
+    n_tables: int = 1,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
     plane_id: str = "plane_id",
     plane_col: str = "p_embedding",
-    n_tables: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs with random-hyperplane LSH
-    blocking: bucket = sign bits of the dot product against each plane
-    (identical vectors always share a bucket), candidate pairs form only
-    inside a bucket, exact cosine refines.
-
-    ``n_tables`` is the OR-amplification dial (the band structure
-    :func:`..dedup.minhash_lsh_pairs` has): the plane list splits into
-    ``n_tables`` contiguous groups of p = len(planes)/n_tables planes
-    (by POSITION in the id-sorted list); each group is an independent
-    hash table and a pair is a candidate if it collides in ANY table —
-    P(candidate at cos τ) = 1 − (1 − q^p)^L with q = 1 − θ/π.  A single
-    table at the scale-appropriate ~log2(N) planes keeps buckets O(1) but
-    collapses recall (~25 % at τ=0.99, N=2^30); L tables of log2(N)
-    planes each restore it while the per-table bucket population stays
-    O(N/2^p).
-
-    Scale shape: ONE map-only scan buckets every vector into all L tables
-    (the full plane matrix rides the closure — a B×d @ d×(L·p) matmul per
-    Arrow batch), the self-join shuffles on (table, bucket), candidates
-    union via distinct, and the Arrow-batched cosine refine runs only on
-    in-bucket pairs — the same block→join→refine decomposition as the
-    spatial PIP join."""
+    """(_id, _tbl, _bucket): the hyperplane-LSH table/bucket frame
+    :func:`embedding_neardup_pairs` self-joins on — the ONE spelling of
+    that shuffle key, exposed so bucket-population telemetry (bench.py)
+    audits the exact buckets the operator joins, not a reimplementation.
+    Un-checkpointed: the pairing operator adds its own localCheckpoint for
+    the two-sided consumption; telemetry reads it once."""
     pids, P = _collect_matrix(planes, plane_id, plane_col, normalize=False)
     if n_tables < 1 or len(pids) % n_tables:
         raise ValueError(
@@ -230,14 +213,53 @@ def embedding_neardup_pairs(
                 ]
             )
 
+    return vectors.select(vec_id, vec_col).mapInPandas(bucket, schema=b_schema)
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    planes: DataFrame,
+    threshold: float = 0.99,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_id: str = "plane_id",
+    plane_col: str = "p_embedding",
+    n_tables: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with random-hyperplane LSH
+    blocking: bucket = sign bits of the dot product against each plane
+    (identical vectors always share a bucket), candidate pairs form only
+    inside a bucket, exact cosine refines.
+
+    ``n_tables`` is the OR-amplification dial (the band structure
+    :func:`..dedup.minhash_lsh_pairs` has): the plane list splits into
+    ``n_tables`` contiguous groups of p = len(planes)/n_tables planes
+    (by POSITION in the id-sorted list); each group is an independent
+    hash table and a pair is a candidate if it collides in ANY table —
+    P(candidate at cos τ) = 1 − (1 − q^p)^L with q = 1 − θ/π.  A single
+    table at the scale-appropriate ~log2(N) planes keeps buckets O(1) but
+    collapses recall (~25 % at τ=0.99, N=2^30); L tables of log2(N)
+    planes each restore it while the per-table bucket population stays
+    O(N/2^p).
+
+    Scale shape: ONE map-only scan buckets every vector into all L tables
+    (the full plane matrix rides the closure — a B×d @ d×(L·p) matmul per
+    Arrow batch), the self-join shuffles on (table, bucket), candidates
+    union via distinct, and the Arrow-batched cosine refine runs only on
+    in-bucket pairs — the same block→join→refine decomposition as the
+    spatial PIP join."""
     # the self-join consumes the bucket frame on BOTH sides — without a
     # checkpoint each side re-runs the full vector scan + L-table matmul
     # (2× the dominant stage; at 100 TB, 2× the table read)
-    b = (
-        vectors.select(vec_id, vec_col)
-        .mapInPandas(bucket, schema=b_schema)
-        .localCheckpoint(eager=True)
-    )
+    b = hyperplane_buckets(
+        vectors,
+        planes,
+        n_tables=n_tables,
+        vec_id=vec_id,
+        vec_col=vec_col,
+        plane_id=plane_id,
+        plane_col=plane_col,
+    ).localCheckpoint(eager=True)
     left = b.select(F.col("_id").alias("id_a"), "_tbl", "_bucket")
     right = b.select(F.col("_id").alias("id_b"), "_tbl", "_bucket")
     pairs = (

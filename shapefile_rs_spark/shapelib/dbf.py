@@ -65,7 +65,16 @@ DBT_BLOCK = 512
 def read_memo(dbt: bytes, block: int, encoding: str = "ascii") -> Optional[str]:
     """Resolve one dBase III memo: text starts at ``block``·512 and runs to
     the 0x1A terminator.  Out-of-range pointers tolerate as None (crash-safe,
-    matching the field-level policy)."""
+    matching the field-level policy).
+
+    Representable-payload bound (a FORMAT limit, not an implementation
+    choice): dBase III stores no memo length — readers scan for the
+    terminator — so a payload CONTAINING the byte pair 0x1A 0x1A, or
+    ENDING in 0x1A (which abuts the written terminator into a pair),
+    cannot round-trip through write_dbt→read_memo; it reads back truncated
+    at the first pair.  Lone interior 0x1A bytes DO round-trip (the pair
+    scan runs first).  Payloads needing arbitrary bytes belong in dBase
+    IV/FoxPro memo formats, which carry explicit lengths."""
     start = block * DBT_BLOCK
     if block <= 0 or start >= len(dbt):
         return None
@@ -84,7 +93,11 @@ def write_dbt(memos: Sequence[Optional[str]], encoding: str = "ascii") -> tuple:
     blocks, text terminated ``0x1A 0x1A``, header block 0 carrying the
     next-free-block pointer.  Returns ``(dbt_bytes, block_indices)`` where
     ``block_indices[i]`` is the value to store in record i's ``M`` field
-    (None for absent memos)."""
+    (None for absent memos).
+
+    Round-trip caveat: payloads containing 0x1A 0x1A or ending in 0x1A are
+    unrepresentable in the terminator-scanned dBase III format — see
+    :func:`read_memo` for the exact bound."""
     blocks = bytearray(DBT_BLOCK)
     blocks[16] = 0x03  # dBase III version marker
     indices: List[Optional[int]] = []

@@ -30,6 +30,29 @@ def test_exact_dedup(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
 
 
+def test_exact_dedup_null_text_and_tied_ids(spark):
+    """Pins the window form's edge semantics (ADVICE r3): null texts are
+    ONE group — exactly one null-text row survives (the r2 md5-equijoin
+    dropped them all); rows tied on (text, id) collapse to one (the
+    equijoin kept both)."""
+    from shapefile_rs_spark.operators.dedup import exact_dedup
+
+    rows = [
+        (1, None),
+        (2, None),
+        (3, "same words"),
+        (3, "same words"),  # exact (text, id) tie
+        (4, "other words"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = exact_dedup(corpus, id_col="doc_id").collect()
+    assert sorted((r["doc_id"], r["text"]) for r in kept) == [
+        (1, None),
+        (3, "same words"),
+        (4, "other words"),
+    ]
+
+
 def test_minhash_identical_and_near_dup(spark):
     from shapefile_rs_spark.operators.dedup import minhash_lsh_pairs
 
@@ -312,6 +335,31 @@ def test_dedup_clusters_components(spark):
         for r in dedup_clusters(pairs, driver_threshold=0).collect()
     }
     assert got_d == want
+
+
+def test_dedup_clusters_probe_single_evaluation(spark):
+    """The driver-path size probe is limit(N+1).collect() — ONE evaluation
+    of an unmaterialized upstream (a count()-then-collect() pair would run
+    the whole pair pipeline twice; r3 verdict item 4).  Pinned with an
+    accumulator tap: every upstream row is produced exactly once."""
+    import pandas as pd
+
+    from shapefile_rs_spark.operators.dedup import dedup_clusters
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.range(0, 50, 1, 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1000).alias("id_b")
+    )
+    pairs = base.mapInPandas(tap, "id_a long, id_b long")
+    got = dedup_clusters(pairs).collect()
+    assert len(got) == 100
+    assert acc.value == 50, f"upstream evaluated {acc.value / 50:.1f}x, want 1x"
 
 
 def test_url_canonicalization_golden(spark):
@@ -719,8 +767,9 @@ def test_simhash_pairs_pigeonhole_and_refine(spark):
         for r in simhash_pairs(docs, id_col="id", bands=4, radius=3).collect()
     }
     assert pairs[(1, 2)] == 0
-    # oracle: all-pairs popcount from the fingerprints themselves
-    fps = {r.id: r.simhash for r in simhash(docs, id_col="id").collect()}
+    # oracle: all-pairs popcount from the fingerprints themselves (same
+    # 60-bit width as simhash_pairs' default)
+    fps = {r.id: r.simhash for r in simhash(docs, id_col="id", bits=60).collect()}
     ids = sorted(fps)
     want = {
         (a, b): bin(fps[a] ^ fps[b]).count("1")
@@ -729,3 +778,60 @@ def test_simhash_pairs_pigeonhole_and_refine(spark):
         if bin(fps[a] ^ fps[b]).count("1") <= 3
     }
     assert pairs == want
+
+
+def test_simhash_bits_ceiling():
+    """Fingerprints wider than 60 bits are rejected: token hashes carry 60
+    informative bits, and bit 63 would wrap the int64 sign, silently
+    diverging the Spark block keys from the DuckDB twin (ADVICE r3)."""
+    import pytest
+
+    from shapefile_rs_spark.operators.dedup import (
+        simhash_from_hashes,
+        simhash_from_hashes_expr,
+        simhash_sql,
+    )
+
+    for fn in (simhash_from_hashes, simhash_from_hashes_expr):
+        with pytest.raises(AssertionError):
+            fn(F.lit(None), bits=64)
+    with pytest.raises(AssertionError):
+        simhash_sql("text", bits=64)
+
+
+def test_simhash_pairs_bucket_population_and_cap(spark):
+    """Band-bucket telemetry on a same-domain corpus: 15-bit blocks keep
+    every (band, key) bucket far below the corpus size (the r3 8-bit-block
+    config collapsed all docs into ≤256 buckets per band), and bucket_cap
+    drops a planted boilerplate bucket whole — identical-text docs (one
+    shared fingerprint ⇒ one bucket per band) stop producing the B² pair
+    blowup while distinct near-dups still pair."""
+    from shapefile_rs_spark.operators.dedup import simhash_banded, simhash_pairs
+
+    base = "shared domain header words common to every page "
+    n, hot = 60, 30
+    rows = [(i, base + f"doc {i} body content item {i * 7} {i * 13}") for i in range(n)]
+    rows += [(1000 + i, "identical boilerplate page " * 5) for i in range(hot)]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+
+    pops = (
+        simhash_banded(docs, id_col="id", bits=60, bands=4)
+        .groupBy("_band", "_key")
+        .count()
+        .collect()
+    )
+    by_band: dict = {}
+    for r in pops:
+        by_band.setdefault(r["_band"], []).append(r["count"])
+    assert set(by_band) == {0, 1, 2, 3}
+    for band, counts in by_band.items():
+        # the boilerplate clones share one bucket (population `hot`); every
+        # OTHER bucket must stay tiny — same-domain text must not saturate
+        # the 32768-value block space the way 256-value blocks did
+        assert max(counts) == hot
+        assert sorted(counts)[-2] <= 10
+    capped = simhash_pairs(
+        docs, id_col="id", bits=60, bands=4, radius=2, bucket_cap=hot - 1
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert all(a < 1000 and b < 1000 for a, b in got), "hot bucket not dropped"

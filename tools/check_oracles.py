@@ -76,6 +76,21 @@ def spark_numeric_kind(dt) -> str | None:
 def dtype_mismatches(sdf, duck_df) -> list[str]:
     problems = []
     for field in sdf.schema.fields:
+        from pyspark.sql import types as T
+
+        if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            # the DRIVER canonicalizer sorts a pandas frame by value — a
+            # list/dict cell raises "unhashable type" there even though our
+            # repr()-based canon() handles it (r3: winnow_fp ERRORED on the
+            # driver while green here).  Refuse locally so the divergence
+            # can't recur: string-encode (concat_ws/array_to_string) or
+            # explode nested outputs in the query wrapper.
+            problems.append(
+                f"column {field.name!r}: nested type "
+                f"{field.dataType.simpleString()} — the driver canonicalizer "
+                "cannot hash it; string-encode or explode in the wrapper"
+            )
+            continue
         sk = spark_numeric_kind(field.dataType)
         if sk is None:
             continue
