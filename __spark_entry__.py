@@ -1100,6 +1100,22 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document quota (C4/RefinedWeb per-domain cap): at most 8
+    docs per synthesized host, best n_chars first, doc_id tie-break.
+    Host = deterministic doc_id hash into 37 'site<k>' domains (the
+    documents table carries no url; the same spelling lives in the
+    oracle)."""
+    from shapefile_rs_spark.operators.curation import host_cap
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("site"), F.pmod(F.col("doc_id") * 131, F.lit(37))).alias("host"),
+        F.col("n_chars").alias("quality"),
+    )
+    return host_cap(docs, cap=8)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs (multi-index: 4 blocks of a
     60-bit fingerprint, exact popcount refine at radius 2) over the planted
@@ -1222,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "span_dedup": q_span_dedup,
         "simhash_pairs": q_simhash_pairs,
+        "host_cap": q_host_cap,
     }
 
 
@@ -1667,6 +1684,7 @@ FROM stepped
 """,
         "span_dedup": _span_dedup_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
+        "host_cap": _host_cap_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
@@ -1681,6 +1699,16 @@ def _simhash_pairs_oracle() -> str:
     return simhash_pairs_sql(
         corpus, id_col="id", bits=60, bands=4, radius=2, bucket_cap=_LSH_BUCKET_CAP
     )
+
+
+def _host_cap_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import host_cap_sql
+
+    docs = (
+        "SELECT doc_id, 'site' || CAST((doc_id * 131) % 37 AS VARCHAR) AS host, "
+        "n_chars AS quality FROM documents"
+    )
+    return host_cap_sql(docs, cap=8)
 
 
 def _span_dedup_oracle() -> str:

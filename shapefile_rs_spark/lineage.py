@@ -143,9 +143,22 @@ class CheckpointedPipeline:
         if self.completed(stage):
             return self.spark.read.parquet(self.stage_path(stage))
 
+        data_dir = self.stage_path(stage)
+        # crash-orphan GC (Iceberg's orphan-file cleanup analog): a job
+        # killed inside the staging-write→manifest-commit window leaves a
+        # data.staging.<uuid> sibling behind.  It can never leak into a
+        # snapshot (_stage_files walks the committed data dir only), but a
+        # restart must not accrete dead copies of the stage on disk.
+        # Single-writer assumption, same as the manifest replace itself.
+        stage_dir = os.path.dirname(data_dir)
+        if os.path.isdir(stage_dir):
+            base = os.path.basename(data_dir)
+            for name in os.listdir(stage_dir):
+                if name.startswith(base + ".staging."):
+                    shutil.rmtree(os.path.join(stage_dir, name), ignore_errors=True)
+
         t0 = time.time()
         df = build()
-        data_dir = self.stage_path(stage)
         staging = data_dir + f".staging.{uuid.uuid4().hex}"
         writer = df.write.mode("overwrite")
         if partition_by:

@@ -246,3 +246,66 @@ def bpe_token_count(text: Column) -> Column:
 
 def bpe_token_count_sql(text_sql: str) -> str:
     return f"len(regexp_extract_all({text_sql}, '{BPE_TOKEN_RE}'))"
+
+
+# ---------------------------------------------------------------------------
+# per-host document quota
+# ---------------------------------------------------------------------------
+
+
+def host_cap(
+    df: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    order_col: str = "quality",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per host — the C4/RefinedWeb-style
+    per-domain quota that stops template-heavy or SEO-spam hosts from
+    dominating a crawl-derived corpus.  Within a host, documents rank by
+    (``order_col`` desc, ``id_col`` asc): best-quality first, id as the
+    deterministic tie-break, so the keep-set is identical at any
+    partitioning or cluster size.
+
+    Output: the input rows that survive, plus ``host_rank`` (1-based rank
+    within the host) so callers can tighten the quota downstream without
+    re-ranking.
+
+    Scale shape: ONE shuffle on the host key (the window's partitionBy);
+    rank + filter are in-partition.  Host keys are high-cardinality
+    (millions of registrable domains in a crawl) so the exchange is
+    uniform by construction; a mega-host (the boilerplate analog of a hot
+    LSH bucket) bounds its partition at the host's own document count —
+    at web scale pre-aggregate a per-host count and salt only hosts above
+    ~10M docs before ranking, the pip_join_salted two-phase treatment."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= cap)
+    )
+
+
+def host_cap_sql(
+    docs_sql: str,
+    cap: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    order_col: str = "quality",
+) -> str:
+    """DuckDB twin of :func:`host_cap` (identical rank + quota)."""
+    return f"""
+SELECT *
+FROM (
+  SELECT d.*,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY {host_col}
+           ORDER BY {order_col} DESC, {id_col} ASC
+         ) AS INTEGER) AS host_rank
+  FROM ({docs_sql}) d
+)
+WHERE host_rank <= {cap}
+"""

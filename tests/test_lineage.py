@@ -53,6 +53,65 @@ def test_killed_stage_leaves_no_commit(spark, tmp_path):
     assert df.count() == 5
 
 
+def test_kill_inside_commit_window_restarts_clean(spark, tmp_path, monkeypatch):
+    """Kill INSIDE run_stage's atomicity window — after the staging parquet
+    write, before the manifest commit (the writer-finalize contract,
+    reference src/writer.rs:190-228 finalize-on-Drop analog).  The stage
+    must restart cleanly: not completed, recompute succeeds, exactly one
+    snapshot lands, and no staging path ever appears in a snapshot's file
+    manifest."""
+    root = str(tmp_path)
+    pipe = CheckpointedPipeline(spark, root)
+    pipe.run_stage("base", lambda: spark.range(50))
+
+    real_commit = CheckpointedPipeline._commit
+
+    def dying_commit(self, *a, **kw):
+        raise RuntimeError("simulated kill before manifest commit")
+
+    monkeypatch.setattr(CheckpointedPipeline, "_commit", dying_commit)
+    with pytest.raises(RuntimeError):
+        pipe.run_stage("mid", lambda: spark.range(7))
+    monkeypatch.setattr(CheckpointedPipeline, "_commit", real_commit)
+
+    # fresh process resuming from the manifest: the half-written stage is
+    # invisible (completed() reads the manifest, which never saw it)
+    pipe2 = CheckpointedPipeline(spark, root)
+    assert not pipe2.completed("mid")
+    assert pipe2.completed("base")  # earlier commits untouched
+    df = pipe2.run_stage("mid", lambda: spark.range(7))
+    assert df.count() == 7
+    snaps = pipe2.snapshots("mid")
+    assert len(snaps) == 1
+    for s in pipe2.snapshots():
+        assert s["files"], "snapshot without a file manifest"
+        assert all(".staging." not in f for f in s["files"])
+        assert all(os.path.exists(f) for f in s["files"])
+
+
+def test_staging_orphan_cleaned_on_restart(spark, tmp_path):
+    """A crash between the staging write and the data-dir rename leaves a
+    data.staging.<uuid> sibling.  It must never enter a snapshot, and the
+    restart's orphan GC must remove it rather than accreting dead stage
+    copies on disk."""
+    root = str(tmp_path)
+    pipe = CheckpointedPipeline(spark, root)
+    stage_dir = os.path.join(root, "stages", "s")
+    orphan = os.path.join(stage_dir, "data.staging.deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"junk")
+
+    df = pipe.run_stage("s", lambda: spark.range(9))
+    assert df.count() == 9
+    assert not os.path.exists(orphan)
+    (snap,) = pipe.snapshots("s")
+    assert all(".staging." not in f for f in snap["files"])
+    # the committed data reads back exactly the 9 rows — the orphan's junk
+    # never contaminated the stage
+    assert pipe.read_snapshot("s").count() == 9
+
+
 def test_multi_stage_pipeline_resume_midway(spark, tmp_path):
     root = str(tmp_path)
     pipe = CheckpointedPipeline(spark, root)

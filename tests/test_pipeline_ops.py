@@ -671,6 +671,32 @@ def test_bpe_token_count(spark):
     assert n == 8
 
 
+def test_host_cap_quota_and_determinism(spark):
+    """Per-host quota keeps the cap-best docs by (quality desc, id asc);
+    a host under its quota keeps everything; the keep-set is identical at
+    different partitionings (deterministic tie-break, no RNG)."""
+    from shapefile_rs_spark.operators.curation import host_cap
+
+    rows = [
+        # hot host: 5 docs, quality ties between 11/12 broken by id
+        ("a.com", 10, 100), ("a.com", 11, 90), ("a.com", 12, 90),
+        ("a.com", 13, 80), ("a.com", 14, 70),
+        ("b.org", 20, 50), ("b.org", 21, 60),
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id bigint, quality bigint")
+    kept = host_cap(df, cap=3).collect()
+    got = {(r.host, r.doc_id, r.host_rank) for r in kept}
+    assert got == {
+        ("a.com", 10, 1), ("a.com", 11, 2), ("a.com", 12, 3),
+        ("b.org", 21, 1), ("b.org", 20, 2),
+    }
+    rep = {
+        (r.host, r.doc_id, r.host_rank)
+        for r in host_cap(df.repartition(7, "doc_id"), cap=3).collect()
+    }
+    assert rep == got
+
+
 def test_decontaminate_sql_twin_null_text_parity(spark):
     """A null-text doc must appear as (id, 0, false) in BOTH the operator
     and the DuckDB twin (the twin left-joins back from the docs relation,
