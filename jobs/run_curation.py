@@ -25,7 +25,10 @@ checkpoints sit on the critical path, not as dead side writes):
    (the held-out set here: every 50th doc, the documents-table stand-in
    for an eval suite).
 4. ``curated``   — apply keep = keeper ∧ ¬contaminated ∧ stratified
-   per-language sample; write the final corpus with redacted text.
+   per-language sample ∧ (optional) per-source quota (``--host-cap``:
+   at most N docs per source, best n_chars first — the C4/RefinedWeb
+   per-domain cap with the ``source`` column as the host key); write the
+   final corpus with redacted text.
 
 Prints one JSON line: per-stage rows/wall-times, kept/dropped breakdown.
 """
@@ -69,6 +72,13 @@ def build_args(argv=None):
         default=1.0,
         help="keep rate for languages NOT listed in --sample (1.0 keeps "
         "them all; the silent-drop default would be a data-loss trap)",
+    )
+    p.add_argument(
+        "--host-cap",
+        type=int,
+        default=0,
+        help="keep at most N docs per source (host analog), ranked by "
+        "n_chars desc then doc_id; 0 disables the quota",
     )
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     return p.parse_args(argv)
@@ -149,6 +159,19 @@ def run(spark, args) -> dict:
 
     def stage_curated():
         survivors = flagged.filter(F.col("is_keeper") & F.col("is_clean"))
+        if args.host_cap:
+            from shapefile_rs_spark.operators.curation import host_cap
+
+            # quota AFTER the flag filters (rank only docs that can ship),
+            # BEFORE sampling (the sample rate then applies uniformly to
+            # quota survivors — sampling first would under-fill small hosts)
+            survivors = host_cap(
+                survivors,
+                cap=args.host_cap,
+                host_col="source",
+                id_col="doc_id",
+                order_col="n_chars",
+            ).drop("host_rank")
         sampled = stratified_sample(
             survivors, rates, strata_col="lang", id_col="doc_id",
             default_rate=args.sample_default,

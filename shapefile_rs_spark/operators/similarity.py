@@ -320,9 +320,12 @@ def assign_centroids(
     carry_vec: bool = False,
     n_assign: int = 1,
     closure_max_centroids: int = 65536,
+    _chunk_elems: int = 16_000_000,
 ) -> DataFrame:
     """(vec_id, centroid_id): the ``n_assign`` nearest centroids by cosine
     (ties → lower id; one output row per assignment, nearest first).
+    ``_chunk_elems`` bounds the per-matmul score-matrix size (elements);
+    overridable so tests can force multi-chunk merges at toy scale.
 
     Centroid matrix rides the mapInPandas closure: one scan, one matmul +
     top-n per Arrow batch — no crossJoin, no window shuffle.  Centroid
@@ -332,12 +335,21 @@ def assign_centroids(
     (as ``_v``, array<double>) so downstream consumers avoid a re-join
     against the vector table.
 
-    Above ``closure_max_centroids`` the closure path stops scaling — a
-    √N centroid set at 100 TB is a multi-GB pickled matrix shipped with
-    every task — so assignment switches to a Spark broadcast join against
-    the centroid frame (same ordering contract, enforced by a window).
-    The size probe is the matrix collect itself (limit+1 rows, ONE job)
-    — no separate count pass."""
+    Measured crossover (100k vectors, d=64, local[32]): the closure path
+    is the fast path EVERYWHERE it fits — 3.6 s vs 119.3 s for the
+    broadcast-join fallback at C=1024 (the fallback's crossJoin
+    materializes N×C rows before the rank window; at C=16k its 1.6e9-row
+    cosine stage exhausted worker memory).  ``closure_max_centroids`` is
+    therefore a DRIVER-MEMORY bound, not a compute crossover: the default
+    65536 caps the collected matrix at C×d×8 ≈ 33 MB (d=64) and the
+    limit+1 collect at 65k driver rows; the per-batch score matrix is no
+    longer a constraint (centroid-chunked matmul below).  Past the bound,
+    assignment falls back to the broadcast join against the centroid
+    frame (same ordering contract, enforced by a window) — a correctness
+    escape hatch that pays the N×C row explosion; at corpus scale prefer
+    hierarchical probing (:func:`ivf_topk` with a coarse quantizer) over
+    a flat C > 65536 codebook.  The size probe is the matrix collect
+    itself (limit+1 rows, ONE job) — no separate count pass."""
     cids, Cn = _collect_matrix(
         centroids, centroid_id, centroid_col, normalize=True,
         limit=closure_max_centroids,
@@ -364,15 +376,42 @@ def assign_centroids(
             V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             with np.errstate(invalid="ignore", divide="ignore"):
                 Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
-            S = Vn @ Cn.T
+            B = len(Vn)
+            # centroid-CHUNKED scoring: a full B×C score matrix is the real
+            # memory ceiling of the closure path — at the default Arrow
+            # batch (20k rows) and C = 65536, B×C float64 is ~10.5 GB PER
+            # WORKER (measured: the un-chunked form stalled the host at
+            # C ≥ 64k).  Chunks of ≤ ~16M elements keep the working set
+            # ~128 MB while the running merge keeps exact (cos desc, cid
+            # asc) semantics: ascending-cid chunk order + strict > update
+            # (n_assign=1) or a final lexsort over per-chunk top-n
+            # candidates (n_assign>1).
+            chunk = max(1, _chunk_elems // max(B, 1))
             if n_assign == 1:
-                best = np.argmax(S, axis=1)[:, None]  # first max = lowest cid
+                best_s = np.full(B, -np.inf)
+                best = np.zeros((B, 1), dtype=np.int64)
+                for lo in range(0, len(cid_arr), chunk):
+                    S = Vn @ Cn[lo : lo + chunk].T
+                    loc = np.argmax(S, axis=1)  # first max = lowest cid
+                    s = S[np.arange(B), loc]
+                    upd = s > best_s  # strict: earlier (lower) cid wins ties
+                    best_s[upd] = s[upd]
+                    best[upd, 0] = loc[upd] + lo
             else:
-                # stable (cos desc, cid asc) order per row
-                order = np.lexsort(
-                    (np.broadcast_to(np.arange(S.shape[1]), S.shape), -S), axis=1
-                )
-                best = order[:, :n_assign]
+                cand_s, cand_i = [], []
+                for lo in range(0, len(cid_arr), chunk):
+                    S = Vn @ Cn[lo : lo + chunk].T
+                    # stable (cos desc, cid asc) order per row within chunk
+                    order = np.lexsort(
+                        (np.broadcast_to(np.arange(S.shape[1]), S.shape), -S),
+                        axis=1,
+                    )[:, :n_assign]
+                    cand_i.append(order + lo)
+                    cand_s.append(np.take_along_axis(S, order, axis=1))
+                Sc = np.concatenate(cand_s, axis=1)
+                Ic = np.concatenate(cand_i, axis=1)
+                order = np.lexsort((Ic, -Sc), axis=1)[:, :n_assign]
+                best = np.take_along_axis(Ic, order, axis=1)
             reps = best.shape[1]
             out = {
                 vec_id: np.repeat(pdf[vec_id].to_numpy(), reps),

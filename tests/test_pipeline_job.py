@@ -66,7 +66,9 @@ def test_curation_job_run_and_kill_resume(spark, sf_dir, tmp_path, monkeypatch):
     from shapefile_rs_spark.lineage import CheckpointedPipeline
 
     out = str(tmp_path / "cur1")
-    args = build_args(["--sf-dir", sf_dir, "--out", out, "--cpus", "4"])
+    args = build_args(
+        ["--sf-dir", sf_dir, "--out", out, "--cpus", "4", "--host-cap", "20"]
+    )
     res = run(spark, args)
     assert res["resumed_stages"] == []
     assert res["docs_in"] > 0 and 0 < res["docs_out"] < res["docs_in"]
@@ -74,9 +76,14 @@ def test_curation_job_run_and_kill_resume(spark, sf_dir, tmp_path, monkeypatch):
     # benchmark members (doc_id % 50 == 0) are never in the curated output
     curated = spark.read.parquet(f"{out}/stages/curated/data")
     assert curated.filter((curated.doc_id % 50) == 0).count() == 0
+    # the per-source quota holds in the shipped corpus
+    per_src = curated.groupBy("source").count().collect()
+    assert per_src and max(r["count"] for r in per_src) <= 20
 
     out2 = str(tmp_path / "cur2")
-    args2 = build_args(["--sf-dir", sf_dir, "--out", out2, "--cpus", "4"])
+    args2 = build_args(
+        ["--sf-dir", sf_dir, "--out", out2, "--cpus", "4", "--host-cap", "20"]
+    )
     original = CheckpointedPipeline.run_stage
     state = {"killed": False}
 

@@ -576,6 +576,41 @@ def test_assign_centroids_broadcast_path_matches_closure(spark):
         assert c_rows == b_rows
 
 
+def test_assign_centroids_chunked_scoring_exact(spark):
+    """The centroid-chunked matmul (the B×C score matrix at default Arrow
+    batches and C=65536 is ~10.5 GB/worker — measured stall, hence the
+    chunking) merges to EXACTLY the single-matmul result, ties included:
+    forcing ~1-4 centroid chunks must not change any assignment for
+    n_assign 1 or 2.  Duplicate centroids exercise the cross-chunk
+    tie-break (equal cosines in different chunks → lower cid wins)."""
+    from shapefile_rs_spark.operators.similarity import assign_centroids
+
+    rng = np.random.default_rng(23)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    cent_rows = [(i, v) for i, (_, v) in enumerate(vecs[:10])]
+    cent_rows += [(100 + i, v) for i, (_, v) in enumerate(vecs[:3])]  # dup ties
+    centroids = spark.createDataFrame(
+        cent_rows, "centroid_id bigint, c_embedding array<double>"
+    )
+    for n_assign in (1, 2):
+        whole = {
+            (r["vec_id"], r["centroid_id"])
+            for r in assign_centroids(emb, centroids, n_assign=n_assign).collect()
+        }
+        chunked = {
+            (r["vec_id"], r["centroid_id"])
+            for r in assign_centroids(
+                emb, centroids, n_assign=n_assign, _chunk_elems=1
+            ).collect()
+        }
+        assert chunked == whole
+        if n_assign == 1:
+            # every duplicate-centroid tie resolved to the LOW id copy
+            # (n_assign=2 legitimately takes the duplicate as runner-up)
+            assert not any(cid >= 100 for _, cid in whole)
+
+
 def test_ivf_topk_broadcast_assignment_unchanged(spark):
     """ivf_topk results are identical whichever assignment path runs."""
     from shapefile_rs_spark.operators.similarity import ivf_topk
