@@ -148,3 +148,35 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     a = spark.read.parquet(src).groupBy().sum("id").collect()[0][0]
     b = spark.read.parquet(out).groupBy().sum("id").collect()[0][0]
     assert a == b and spark.read.parquet(out).count() == 20000
+
+
+def test_simhash_pairs_joins_checkpointed_banded_frame(spark, sf_dir):
+    """The banded fingerprint frame is localCheckpoint'ed before the
+    self-join: the pairing plan must consume the materialized RDD on BOTH
+    sides with NO ArrowEvalPython (a python node here would mean the
+    fingerprint scan re-runs per join side — 2x the table read at scale)."""
+    from shapefile_rs_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    plan = _plan(simhash_pairs(docs, id_col="id", radius=2, bucket_cap=50))
+    assert "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_host_cap_single_host_exchange(spark, sf_dir):
+    """host_cap is one shuffle on the host key: exactly one hash-partition
+    exchange, keyed by host, feeding the rank window."""
+    from shapefile_rs_spark.operators.curation import host_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.col("n_chars").alias("quality"),
+    )
+    plan = _plan(host_cap(docs, cap=5))
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1 and "host" in exchanges[0]
