@@ -1116,6 +1116,18 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_cap(docs, cap=8)
 
 
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30%-per-language quality pruning (FineWeb-style percentile
+    threshold): exact integer rank vs ceil(0.3·stratum size) — no
+    approximate percentiles (Spark/DuckDB interpolate differently)."""
+    from shapefile_rs_spark.operators.curation import quality_prune
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_chars").alias("quality")
+    )
+    return quality_prune(docs, frac=0.3)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs (multi-index: 4 blocks of a
     60-bit fingerprint, exact popcount refine at radius 2) over the planted
@@ -1154,7 +1166,14 @@ def lsh_bucket_report(spark: SparkSession, sf_dir: str) -> dict:
     operators, computed on the SAME banded-key frames the operators
     shuffle on (shared builders — no reimplementation drift).  Emitted in
     bench JSON so a cap regression or a saturated key space shows up as a
-    ``max_bucket`` jump, not as a quadratic wall-time surprise."""
+    ``max_bucket`` jump, not as a quadratic wall-time surprise.
+
+    Stats are PRE-cap by design: they measure the corpus's bucket
+    EXPOSURE (what the self-join would face uncapped) next to the
+    ``bucket_cap`` that bounds it — max_bucket ≫ bucket_cap means the cap
+    is actively dropping boilerplate buckets (sf0.1 measured: simhash
+    max_bucket 556 vs cap 50), while max_bucket creeping toward the cap
+    from below warns the key space is saturating."""
     from shapefile_rs_spark.operators.dedup import (
         bucket_population_stats,
         minhash_banded,
@@ -1239,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "simhash_pairs": q_simhash_pairs,
         "host_cap": q_host_cap,
+        "quality_prune": q_quality_prune,
     }
 
 
@@ -1685,6 +1705,7 @@ FROM stepped
         "span_dedup": _span_dedup_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "host_cap": _host_cap_oracle(),
+        "quality_prune": _quality_prune_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
@@ -1709,6 +1730,13 @@ def _host_cap_oracle() -> str:
         "n_chars AS quality FROM documents"
     )
     return host_cap_sql(docs, cap=8)
+
+
+def _quality_prune_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import quality_prune_sql
+
+    docs = "SELECT doc_id, lang, n_chars AS quality FROM documents"
+    return quality_prune_sql(docs, frac=0.3)
 
 
 def _span_dedup_oracle() -> str:

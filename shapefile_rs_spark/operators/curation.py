@@ -309,3 +309,74 @@ FROM (
 )
 WHERE host_rank <= {cap}
 """
+
+
+# ---------------------------------------------------------------------------
+# top-fraction quality pruning
+# ---------------------------------------------------------------------------
+
+
+def quality_prune(
+    df: DataFrame,
+    frac: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    order_col: str = "quality",
+) -> DataFrame:
+    """Keep the best ``frac`` fraction of documents per stratum by score —
+    the FineWeb-style move of thresholding a quality signal at a corpus
+    percentile rather than a magic constant, so the keep rate survives
+    score-distribution drift between crawls.
+
+    Exact and engine-portable by construction: rank = row_number over
+    (stratum, score desc, id asc), threshold = ceil(frac · stratum_count)
+    — pure integer arithmetic, no approximate percentiles (Spark's
+    approx_percentile and DuckDB's quantile interpolate differently and
+    would break the oracle gate).  Output adds ``q_rank`` (1-based rank in
+    stratum) and ``n_stratum`` so callers can re-threshold downstream
+    without re-ranking.
+
+    Scale shape: ONE shuffle on the stratum key serves both windows (rank
+    and count share the partitioning); languages are few → each stratum is
+    huge, so at 100 TB swap the count window for a broadcast of the tiny
+    per-stratum count table computed by a map-side-combined groupBy, and
+    salt the rank window only if a single stratum exceeds a partition
+    (ranks within a stratum are order-stable under the same total order,
+    so a two-phase sample-sort assigns exact global ranks — the
+    pip_join_salted treatment)."""
+    from pyspark.sql import Window
+
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac {frac} outside [0, 1]")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("q_rank", F.row_number().over(w))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(wc))
+        .filter(F.col("q_rank") <= F.ceil(F.col("n_stratum") * F.lit(frac)))
+    )
+
+
+def quality_prune_sql(
+    docs_sql: str,
+    frac: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    order_col: str = "quality",
+) -> str:
+    """DuckDB twin of :func:`quality_prune` (identical integer threshold)."""
+    return f"""
+SELECT *
+FROM (
+  SELECT d.*,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY {strata_col}
+           ORDER BY {order_col} DESC, {id_col} ASC
+         ) AS INTEGER) AS q_rank,
+         COUNT(*) OVER (PARTITION BY {strata_col}) AS n_stratum
+  FROM ({docs_sql}) d
+)
+WHERE q_rank <= CAST(ceil(n_stratum * CAST({frac} AS DOUBLE)) AS BIGINT)
+"""

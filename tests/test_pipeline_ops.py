@@ -732,6 +732,37 @@ def test_host_cap_quota_and_determinism(spark):
     assert rep == got
 
 
+def test_quality_prune_percentile_threshold(spark):
+    """Top-frac-per-stratum pruning: exact ceil threshold per stratum,
+    (score desc, id asc) tie-break, frac=1 keeps everything, and the
+    keep-set is partitioning-independent."""
+    import pytest as _pytest
+
+    from shapefile_rs_spark.operators.curation import quality_prune
+
+    rows = [("en", i, 100 - (i % 5)) for i in range(10)]  # scores 96..100, ties
+    rows += [("de", 100 + i, 50) for i in range(3)]  # all-tied stratum
+    df = spark.createDataFrame(rows, "lang string, doc_id bigint, quality bigint")
+    kept = quality_prune(df, frac=0.3).collect()
+    by_lang: dict = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # en: ceil(10*0.3)=3 → the three score-100 docs (ids 0,5 …) — ties on
+    # score resolve by id asc → ids 0 and 5 are score 100, next is 1 (99)
+    assert by_lang["en"] == {0, 5, 1}
+    # de: ceil(3*0.3)=1 → lowest id of the all-tied stratum
+    assert by_lang["de"] == {100}
+    assert {r["doc_id"] for r in quality_prune(df, frac=1.0).collect()} == {
+        r[1] for r in rows
+    }
+    rep = quality_prune(df.repartition(5, "doc_id"), frac=0.3).collect()
+    assert {(r["lang"], r["doc_id"]) for r in rep} == {
+        (r["lang"], r["doc_id"]) for r in kept
+    }
+    with _pytest.raises(ValueError):
+        quality_prune(df, frac=1.5)
+
+
 def test_decontaminate_sql_twin_null_text_parity(spark):
     """A null-text doc must appear as (id, 0, false) in BOTH the operator
     and the DuckDB twin (the twin left-joins back from the docs relation,
