@@ -1116,6 +1116,16 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_cap(docs, cap=8)
 
 
+def q_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (overlapping 8-token grams,
+    Lee-et-al-style) over the planted near-dup corpus: the original and
+    its variant share every interior gram, so both sit near full
+    coverage; unique docs read 0."""
+    from shapefile_rs_spark.operators.dedup import dup_coverage
+
+    return dup_coverage(_dup_corpus(spark, sf_dir), id_col="id", k=8)
+
+
 def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30%-per-language quality pruning (FineWeb-style percentile
     threshold): exact integer rank vs ceil(0.3·stratum size) — no
@@ -1259,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "host_cap": q_host_cap,
         "quality_prune": q_quality_prune,
+        "dup_coverage": q_dup_coverage,
     }
 
 
@@ -1706,6 +1717,7 @@ FROM stepped
         "simhash_pairs": _simhash_pairs_oracle(),
         "host_cap": _host_cap_oracle(),
         "quality_prune": _quality_prune_oracle(),
+        "dup_coverage": _dup_coverage_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
@@ -1730,6 +1742,13 @@ def _host_cap_oracle() -> str:
         "n_chars AS quality FROM documents"
     )
     return host_cap_sql(docs, cap=8)
+
+
+def _dup_coverage_oracle() -> str:
+    from shapefile_rs_spark.operators.dedup import dup_coverage_sql
+
+    corpus = f"WITH {_DUP_CORPUS_SQL.strip()} SELECT id, text FROM corpus"
+    return dup_coverage_sql(corpus, id_col="id", k=8)
 
 
 def _quality_prune_oracle() -> str:

@@ -980,3 +980,127 @@ pairs AS (
 )
 SELECT id_a, id_b, hamming FROM pairs
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring coverage (overlapping k-grams)
+# ---------------------------------------------------------------------------
+
+
+def dup_coverage(
+    df: DataFrame, id_col: str = "id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """(id, n_tokens, n_dup_grams, covered_tokens, dup_cov_frac): per-doc
+    fraction of TOKENS covered by overlapping ``k``-token grams that occur
+    more than once corpus-wide — the token-granular approximation of
+    suffix-array exact-substring dedup (Lee et al.'s dedup signal;
+    RefinedWeb's exact-substring pass): a long shared passage marks every
+    position it covers, where :func:`span_dedup_stats`'s NON-overlapping
+    spans miss duplicates that straddle span boundaries and
+    ``repetition_metrics`` only sees intra-doc repeats.
+
+    Coverage is the union length of intervals [p, p+k) over duplicated
+    gram positions p — computed with a LEAD window per doc: position p
+    contributes min(k, next_p − p) tokens (k for the last) — exact integer
+    arithmetic, identical in DuckDB.
+
+    Plan: Arrow-batched gram explode (map-side), ONE shuffle on the gram
+    string for the corpus-wide count (high-cardinality → uniform), then
+    the id-partitioned LEAD window, whose exchange is REUSED by the
+    per-doc aggregate (same key), and a final id join back to the per-doc
+    token counts.  At 100 TB hash the gram to a fixed-width key before
+    the exchange (kept as the string here so the DuckDB twin is
+    value-identical — the span_dedup convention)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("_pos", IntegerType()),
+            StructField("_gram", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out, pos_out, gram_out = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = ("" if t is None else t).split(" ")
+                n = max(1, len(words) - k + 1)
+                ids_out.extend([i] * n)
+                pos_out.extend(range(n))
+                gram_out.extend(" ".join(words[j : j + k]) for j in range(n))
+            yield pd.DataFrame(
+                {id_col: ids_out, "_pos": pd.array(pos_out, dtype="int32"), "_gram": gram_out}
+            )
+
+    grams = df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    wg = Window.partitionBy("_gram")
+    dup = grams.withColumn("_n", F.count(F.lit(1)).over(wg)).filter(F.col("_n") > 1)
+    wd = Window.partitionBy(id_col).orderBy("_pos")
+    covered = dup.withColumn("_next", F.lead("_pos").over(wd)).select(
+        id_col,
+        F.least(
+            F.lit(k), F.coalesce(F.col("_next") - F.col("_pos"), F.lit(k))
+        ).alias("_cov"),
+    )
+    per_doc = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum("_cov").alias("covered_tokens"),
+    )
+    toks = df.select(
+        id_col,
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return toks.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
+        (
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_cov_frac"),
+    )
+
+
+def dup_coverage_sql(
+    corpus_sql: str, id_col: str = "id", text_col: str = "text", k: int = 8
+) -> str:
+    """DuckDB twin of :func:`dup_coverage` (same integer coverage union,
+    same IEEE division)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, string_split(coalesce({text_col}, ''), ' ') AS w
+  FROM ({corpus_sql})
+),
+grams AS (
+  SELECT {id_col}, CAST(i AS INTEGER) AS _pos,
+         array_to_string(w[(i+1):(i+{k})], ' ') AS _gram
+  FROM (SELECT {id_col}, w, unnest(range(0, greatest(1, len(w) - {k - 1}))) AS i FROM toks)
+),
+dup AS (
+  SELECT * FROM (
+    SELECT {id_col}, _pos, COUNT(*) OVER (PARTITION BY _gram) AS _n FROM grams
+  ) WHERE _n > 1
+),
+covered AS (
+  SELECT {id_col},
+         least({k}, coalesce(LEAD(_pos) OVER (PARTITION BY {id_col} ORDER BY _pos) - _pos, {k})) AS _cov
+  FROM dup
+),
+per_doc AS (
+  SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+         CAST(SUM(_cov) AS BIGINT) AS covered_tokens
+  FROM covered GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(p.covered_tokens, 0) AS covered_tokens,
+       CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / len(t.w) AS dup_cov_frac
+FROM toks t LEFT JOIN per_doc p USING ({id_col})
+"""

@@ -732,6 +732,37 @@ def test_host_cap_quota_and_determinism(spark):
     assert rep == got
 
 
+def test_dup_coverage_interval_union_golden(spark):
+    """Hand-computed coverage goldens: exact copy → full coverage; shared
+    prefix → exactly the prefix; gapped shared grams → interval UNION (not
+    k·count, which double-counts overlaps); unique doc → zero."""
+    from shapefile_rs_spark.operators.dedup import dup_coverage
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),          # exact copy of 1
+        (3, "a b c d x y z w q r"),          # shares only gram [0,4) with 1/2
+        (4, "p q r s t u v w x y"),
+        (5, "p q r s T u v w x y"),          # differs at token 4
+        (6, "totally unique tokens nothing here matches anything else at all"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {r["id"]: r for r in dup_coverage(df, id_col="id", k=4).collect()}
+    assert all(got[i]["n_tokens"] == 10 for i in got)
+    # docs 1/2: every position duplicated → union [0,10) = 10, frac 1.0
+    for i in (1, 2):
+        assert got[i]["n_dup_grams"] == 7 and got[i]["covered_tokens"] == 10
+        assert got[i]["dup_cov_frac"] == 1.0
+    # doc 3: one shared gram at pos 0 → covered 4
+    assert got[3]["n_dup_grams"] == 1 and got[3]["covered_tokens"] == 4
+    # docs 4/5 share positions {0, 5, 6}: union [0,4)∪[5,10) = 9 (a naive
+    # k·n_dup_grams would claim 12)
+    for i in (4, 5):
+        assert got[i]["n_dup_grams"] == 3 and got[i]["covered_tokens"] == 9
+    assert got[6]["n_dup_grams"] == 0 and got[6]["covered_tokens"] == 0
+    assert got[6]["dup_cov_frac"] == 0.0
+
+
 def test_quality_prune_percentile_threshold(spark):
     """Top-frac-per-stratum pruning: exact ceil threshold per stratum,
     (score desc, id asc) tie-break, frac=1 keeps everything, and the
