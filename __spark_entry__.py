@@ -841,12 +841,22 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells only (r3: the raw array row ERRORED with "unhashable type:
     'list'").  int64→decimal rendering is engine-independent, so the
     encoding adds no float/locale risk; the DuckDB twin spells the same
-    join via array_to_string."""
+    join via array_to_string.  NULL-text parity: the fingerprint is null
+    for null text, and Spark's concat_ws would flatten that to '' where
+    DuckDB's array_to_string(NULL) stays NULL — so the null is re-asserted
+    around the join (two projections: the UDF column binds once, then the
+    null guard references it without re-evaluating the UDF)."""
     from shapefile_rs_spark.operators.textstats import winnow_fingerprint
 
-    fp = winnow_fingerprint(F.col("text"), k=5, w=4)
-    return _docs(spark, sf_dir, split=True).select(
-        "doc_id", F.concat_ws("-", fp.cast("array<string>")).alias("fp")
+    with_fp = _docs(spark, sf_dir, split=True).select(
+        "doc_id", winnow_fingerprint(F.col("text"), k=5, w=4).alias("_fp")
+    )
+    return with_fp.select(
+        "doc_id",
+        F.when(
+            F.col("_fp").isNotNull(),
+            F.concat_ws("-", F.col("_fp").cast("array<string>")),
+        ).alias("fp"),
     )
 
 

@@ -269,7 +269,9 @@ def host_cap(
 
     Output: the input rows that survive, plus ``host_rank`` (1-based rank
     within the host) so callers can tighten the quota downstream without
-    re-ranking.
+    re-ranking.  ``cap`` must be ≥ 1: row_number() never emits a value a
+    zero/negative cap keeps, so such a call could only be a bug (a silent
+    empty corpus) — rejected loudly instead.
 
     Scale shape: ONE shuffle on the host key (the window's partitionBy);
     rank + filter are in-partition.  Host keys are high-cardinality
@@ -280,6 +282,8 @@ def host_cap(
     ~10M docs before ranking, the pip_join_salted two-phase treatment."""
     from pyspark.sql import Window
 
+    if cap < 1:
+        raise ValueError(f"cap {cap} < 1 would keep nothing; that's a bug, not a quota")
     w = Window.partitionBy(host_col).orderBy(
         F.col(order_col).desc(), F.col(id_col).asc()
     )

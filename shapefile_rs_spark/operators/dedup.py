@@ -302,6 +302,8 @@ def bucket_population_stats(banded: DataFrame, keys: list) -> dict:
         )
         .collect()[0]
     )
+    if row["_max"] is None:  # empty frame: max/avg aggregate to NULL
+        return {"max_bucket": 0, "avg_bucket": 0.0, "n_buckets": 0}
     return {
         "max_bucket": int(row["_max"]),
         "avg_bucket": round(float(row["_avg"]), 2),
@@ -1019,30 +1021,50 @@ def dup_coverage(
             df.schema[id_col],
             StructField("_pos", IntegerType()),
             StructField("_gram", StringType()),
+            StructField("_nt", IntegerType()),
         ]
     )
 
     def gen(batches):
         for pdf in batches:
-            ids_out, pos_out, gram_out = [], [], []
+            ids_out, pos_out, gram_out, nt_out = [], [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 words = ("" if t is None else t).split(" ")
                 n = max(1, len(words) - k + 1)
                 ids_out.extend([i] * n)
                 pos_out.extend(range(n))
                 gram_out.extend(" ".join(words[j : j + k]) for j in range(n))
+                nt_out.extend([len(words)] * n)
             yield pd.DataFrame(
-                {id_col: ids_out, "_pos": pd.array(pos_out, dtype="int32"), "_gram": gram_out}
+                {
+                    id_col: ids_out,
+                    "_pos": pd.array(pos_out, dtype="int32"),
+                    "_gram": gram_out,
+                    "_nt": pd.array(nt_out, dtype="int32"),
+                }
             )
 
-    grams = df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    src = df.select(id_col, text_col)
+    # the gram explode is the CPU-heavy stage and the fixture parquet is
+    # one unsplittable row group — widen a narrow input once (no-op when
+    # the source partitioning already exceeds the core count; the
+    # minhash_lsh_pairs guard)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    grams = src.mapInPandas(gen, schema=schema)
     wg = Window.partitionBy("_gram")
     dup = grams.withColumn("_n", F.count(F.lit(1)).over(wg)).filter(F.col("_n") > 1)
     wd = Window.partitionBy(id_col).orderBy("_pos")
+    # contribution clamps at the DOC END as well as the next dup position:
+    # a sub-k doc's whole-text gram covers n_tokens tokens, not k (a bare
+    # min(k, next-pos) would report dup_cov_frac > 1 for short docs)
     covered = dup.withColumn("_next", F.lead("_pos").over(wd)).select(
         id_col,
         F.least(
-            F.lit(k), F.coalesce(F.col("_next") - F.col("_pos"), F.lit(k))
+            F.lit(k),
+            F.col("_nt") - F.col("_pos"),
+            F.coalesce(F.col("_next") - F.col("_pos"), F.lit(k)),
         ).alias("_cov"),
     )
     per_doc = covered.groupBy(id_col).agg(
@@ -1079,17 +1101,19 @@ WITH toks AS (
 ),
 grams AS (
   SELECT {id_col}, CAST(i AS INTEGER) AS _pos,
-         array_to_string(w[(i+1):(i+{k})], ' ') AS _gram
+         array_to_string(w[(i+1):(i+{k})], ' ') AS _gram,
+         CAST(len(w) AS INTEGER) AS _nt
   FROM (SELECT {id_col}, w, unnest(range(0, greatest(1, len(w) - {k - 1}))) AS i FROM toks)
 ),
 dup AS (
   SELECT * FROM (
-    SELECT {id_col}, _pos, COUNT(*) OVER (PARTITION BY _gram) AS _n FROM grams
+    SELECT {id_col}, _pos, _nt, COUNT(*) OVER (PARTITION BY _gram) AS _n FROM grams
   ) WHERE _n > 1
 ),
 covered AS (
   SELECT {id_col},
-         least({k}, coalesce(LEAD(_pos) OVER (PARTITION BY {id_col} ORDER BY _pos) - _pos, {k})) AS _cov
+         least({k}, _nt - _pos,
+               coalesce(LEAD(_pos) OVER (PARTITION BY {id_col} ORDER BY _pos) - _pos, {k})) AS _cov
   FROM dup
 ),
 per_doc AS (

@@ -387,11 +387,18 @@ def assign_centroids(
             # (n_assign=1) or a final lexsort over per-chunk top-n
             # candidates (n_assign>1).
             chunk = max(1, _chunk_elems // max(B, 1))
+            # NaN scores (zero-norm vector OR zero-norm centroid — an empty
+            # k-means cluster) demote to -inf so they rank LAST everywhere:
+            # a raw np.argmax treats NaN as maximal, which would let one
+            # dead centroid in a chunk swallow that chunk's real best and
+            # diverge from the lexsort and broadcast paths (which already
+            # rank NaN last).
             if n_assign == 1:
                 best_s = np.full(B, -np.inf)
                 best = np.zeros((B, 1), dtype=np.int64)
                 for lo in range(0, len(cid_arr), chunk):
                     S = Vn @ Cn[lo : lo + chunk].T
+                    np.nan_to_num(S, copy=False, nan=-np.inf)
                     loc = np.argmax(S, axis=1)  # first max = lowest cid
                     s = S[np.arange(B), loc]
                     upd = s > best_s  # strict: earlier (lower) cid wins ties
@@ -401,6 +408,7 @@ def assign_centroids(
                 cand_s, cand_i = [], []
                 for lo in range(0, len(cid_arr), chunk):
                     S = Vn @ Cn[lo : lo + chunk].T
+                    np.nan_to_num(S, copy=False, nan=-np.inf)
                     # stable (cos desc, cid asc) order per row within chunk
                     order = np.lexsort(
                         (np.broadcast_to(np.arange(S.shape[1]), S.shape), -S),

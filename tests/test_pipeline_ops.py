@@ -611,6 +611,35 @@ def test_assign_centroids_chunked_scoring_exact(spark):
             assert not any(cid >= 100 for _, cid in whole)
 
 
+def test_assign_centroids_dead_centroid_ranks_last(spark):
+    """A zero-norm centroid (empty k-means cluster → NaN cosine) must rank
+    LAST on every path: chunked single-assign, whole-matrix, and the
+    broadcast fallback all agree, and no vector is assigned to the dead
+    centroid (review finding: raw argmax treats NaN as maximal, so a dead
+    centroid in a chunk swallowed that chunk's real best)."""
+    from shapefile_rs_spark.operators.similarity import assign_centroids
+
+    rng = np.random.default_rng(31)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    cents = [(0, [0.0] * 8)]  # dead centroid at the LOWEST cid
+    cents += [(i, v) for i, (_, v) in enumerate(vecs[:5], start=1)]
+    centroids = spark.createDataFrame(
+        cents, "centroid_id bigint, c_embedding array<double>"
+    )
+    whole = {(r["vec_id"], r["centroid_id"]) for r in assign_centroids(emb, centroids).collect()}
+    chunked = {
+        (r["vec_id"], r["centroid_id"])
+        for r in assign_centroids(emb, centroids, _chunk_elems=1).collect()
+    }
+    bcast = {
+        (r["vec_id"], r["centroid_id"])
+        for r in assign_centroids(emb, centroids, closure_max_centroids=0).collect()
+    }
+    assert whole == chunked == bcast
+    assert not any(cid == 0 for _, cid in whole)
+
+
 def test_ivf_topk_broadcast_assignment_unchanged(spark):
     """ivf_topk results are identical whichever assignment path runs."""
     from shapefile_rs_spark.operators.similarity import ivf_topk
@@ -730,6 +759,13 @@ def test_host_cap_quota_and_determinism(spark):
         for r in host_cap(df.repartition(7, "doc_id"), cap=3).collect()
     }
     assert rep == got
+    # cap < 1 keeps nothing by construction — reject loudly (a scripted
+    # negative would otherwise ship an empty corpus as "success")
+    import pytest as _pytest
+
+    for bad in (0, -8):
+        with _pytest.raises(ValueError):
+            host_cap(df, cap=bad)
 
 
 def test_dup_coverage_interval_union_golden(spark):
@@ -761,6 +797,25 @@ def test_dup_coverage_interval_union_golden(spark):
         assert got[i]["n_dup_grams"] == 3 and got[i]["covered_tokens"] == 9
     assert got[6]["n_dup_grams"] == 0 and got[6]["covered_tokens"] == 0
     assert got[6]["dup_cov_frac"] == 0.0
+
+
+def test_dup_coverage_short_doc_clamps_at_doc_end(spark):
+    """A duplicated doc SHORTER than k covers exactly its own n_tokens —
+    the whole-text gram's contribution clamps at the doc end, so
+    dup_cov_frac never exceeds 1.0 (review finding: min(k, next-pos)
+    alone reported 8/3 ≈ 2.67 for 3-token dups at k=8)."""
+    from shapefile_rs_spark.operators.dedup import dup_coverage
+
+    df = spark.createDataFrame(
+        [(1, "tiny dup doc"), (2, "tiny dup doc"), (3, "a b c d e f g h i j")],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r for r in dup_coverage(df, id_col="id", k=8).collect()}
+    for i in (1, 2):
+        assert got[i]["n_tokens"] == 3
+        assert got[i]["covered_tokens"] == 3
+        assert got[i]["dup_cov_frac"] == 1.0
+    assert all(r["dup_cov_frac"] <= 1.0 for r in got.values())
 
 
 def test_quality_prune_percentile_threshold(spark):

@@ -74,10 +74,10 @@ def spark_numeric_kind(dt) -> str | None:
 
 
 def dtype_mismatches(sdf, duck_df) -> list[str]:
+    from pyspark.sql import types as T
+
     problems = []
     for field in sdf.schema.fields:
-        from pyspark.sql import types as T
-
         if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
             # the DRIVER canonicalizer sorts a pandas frame by value — a
             # list/dict cell raises "unhashable type" there even though our
