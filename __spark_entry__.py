@@ -641,6 +641,16 @@ corpus AS (
 # mirrored in the DuckDB oracle's QUALIFY so the comparison stays exact
 _LSH_BUCKET_CAP = 50
 
+# ONE spelling of the LSH-family tuning: the query wrappers, their DuckDB
+# oracles, AND lsh_bucket_report's telemetry all read these — retuning a
+# query cannot silently leave the bench canary auditing stale buckets
+_MINHASH_K = 3
+_MINHASH_HASHES = 12
+_MINHASH_BANDS = 4
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+_SIMHASH_RADIUS = 2
+
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs over the planted corpus."""
@@ -650,9 +660,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dup_corpus(spark, sf_dir),
         id_col="id",
         text_col="text",
-        k=3,
-        num_hashes=12,
-        bands=4,
+        k=_MINHASH_K,
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
         bucket_cap=_LSH_BUCKET_CAP,
     )
 
@@ -1164,9 +1174,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         _dup_corpus(spark, sf_dir),
         id_col="id",
-        bits=60,
-        bands=4,
-        radius=2,
+        bits=_SIMHASH_BITS,
+        bands=_SIMHASH_BANDS,
+        radius=_SIMHASH_RADIUS,
         bucket_cap=_LSH_BUCKET_CAP,
     )
 
@@ -1203,13 +1213,21 @@ def lsh_bucket_report(spark: SparkSession, sf_dir: str) -> dict:
 
     corpus = _dup_corpus(spark, sf_dir)
     out = {
-        # parameter sets mirror q_minhash_lsh / q_simhash_pairs exactly
+        # parameters ARE the queries' (shared module constants)
         "minhash_lsh": bucket_population_stats(
-            minhash_banded(corpus, id_col="id", k=3, num_hashes=12, bands=4),
+            minhash_banded(
+                corpus,
+                id_col="id",
+                k=_MINHASH_K,
+                num_hashes=_MINHASH_HASHES,
+                bands=_MINHASH_BANDS,
+            ),
             ["band", "band_key"],
         ),
         "simhash_pairs": bucket_population_stats(
-            simhash_banded(corpus, id_col="id", bits=60, bands=4),
+            simhash_banded(
+                corpus, id_col="id", bits=_SIMHASH_BITS, bands=_SIMHASH_BANDS
+            ),
             ["_band", "_key"],
         ),
     }
@@ -1740,7 +1758,12 @@ def _simhash_pairs_oracle() -> str:
 
     corpus = f"WITH {_DUP_CORPUS_SQL.strip()} SELECT id, text FROM corpus"
     return simhash_pairs_sql(
-        corpus, id_col="id", bits=60, bands=4, radius=2, bucket_cap=_LSH_BUCKET_CAP
+        corpus,
+        id_col="id",
+        bits=_SIMHASH_BITS,
+        bands=_SIMHASH_BANDS,
+        radius=_SIMHASH_RADIUS,
+        bucket_cap=_LSH_BUCKET_CAP,
     )
 
 
@@ -1890,9 +1913,13 @@ GROUP BY 1
 """
 
 
-def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_lsh_oracle(
+    num_hashes: int = _MINHASH_HASHES, bands: int = _MINHASH_BANDS
+) -> str:
     rpb = num_hashes // bands
-    sig = dd.minhash_signature_sql(dd.word_shingles_sql("text", 3), num_hashes)
+    sig = dd.minhash_signature_sql(
+        dd.word_shingles_sql("text", _MINHASH_K), num_hashes
+    )
     band_selects = "\nUNION ALL\n".join(
         f"SELECT id, {b} AS band, md5(array_to_string(sig[{b * rpb + 1}:{(b + 1) * rpb}], '|')) AS band_key FROM sigs"
         for b in range(bands)

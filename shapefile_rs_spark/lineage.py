@@ -212,6 +212,16 @@ class CheckpointedPipeline:
         snapshot of the same stage."""
         if not self.completed(stage):
             return self.run_stage(stage, lambda: new_df)
+        # delta-orphan GC, the append-path twin of run_stage's staging GC:
+        # a job killed between the delta staging write and the file moves
+        # leaves data.delta.<uuid> behind, and a completed stage never
+        # reaches run_stage's cleanup (it early-returns) — collect here.
+        data_dir = self.stage_path(stage)
+        stage_dir = os.path.dirname(data_dir)
+        base = os.path.basename(data_dir)
+        for name in os.listdir(stage_dir):
+            if name.startswith(base + ".delta."):
+                shutil.rmtree(os.path.join(stage_dir, name), ignore_errors=True)
         existing = self.spark.read.parquet(self.stage_path(stage))
         delta = new_df.join(existing.select(*key_cols), on=key_cols, how="left_anti")
         if delta.isEmpty():

@@ -112,6 +112,27 @@ def test_staging_orphan_cleaned_on_restart(spark, tmp_path):
     assert pipe.read_snapshot("s").count() == 9
 
 
+def test_delta_orphan_cleaned_on_append(spark, tmp_path):
+    """append_delta's staging twin of the run_stage GC: a crash between
+    the delta staging write and the file moves leaves data.delta.<uuid> —
+    a COMPLETED stage never reaches run_stage's cleanup (early return), so
+    the append path must collect its own orphans."""
+    root = str(tmp_path)
+    pipe = CheckpointedPipeline(spark, root)
+    df = spark.range(10).withColumn("k", F.col("id"))
+    pipe.run_stage("s", lambda: df)
+    orphan = os.path.join(root, "stages", "s", "data.delta.deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"junk")
+
+    out = pipe.append_delta("s", spark.range(10, 15).withColumn("k", F.col("id")), ["id"])
+    assert out.count() == 15
+    assert not os.path.exists(orphan)
+    for s in pipe.snapshots("s"):
+        assert all(".delta." not in os.path.basename(os.path.dirname(f)) for f in s["files"])
+
+
 def test_multi_stage_pipeline_resume_midway(spark, tmp_path):
     root = str(tmp_path)
     pipe = CheckpointedPipeline(spark, root)
