@@ -1013,3 +1013,52 @@ def test_simhash_pairs_bucket_population_and_cap(spark):
     )
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert all(a < 1000 and b < 1000 for a, b in got), "hot bucket not dropped"
+
+
+def test_dup_coverage_property_vs_python_oracle(spark):
+    """Property test against an INDEPENDENT pure-Python interval-union
+    oracle (a third implementation beside the Spark plan and the DuckDB
+    twin): on a randomized corpus of repeated/overlapping/unique docs,
+    coverage equals the brute-force union and the invariants hold
+    (0 <= covered <= n_tokens, frac in [0, 1], dup grams <= gram count)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"w{j}" for j in range(12)]  # tiny vocab → heavy gram overlap
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 14)  # includes sub-k docs
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    k = 4
+
+    def py_oracle():
+        texts = {i: t.split(" ") for i, t in rows}
+        grams: dict = {}
+        for i, words in texts.items():
+            n = max(1, len(words) - k + 1)
+            for p in range(n):
+                grams.setdefault(" ".join(words[p : p + k]), []).append((i, p))
+        want = {}
+        for i, words in texts.items():
+            covered = set()
+            n = max(1, len(words) - k + 1)
+            dup_pos = [
+                p
+                for p in range(n)
+                if len(grams[" ".join(words[p : p + k])]) > 1
+            ]
+            for p in dup_pos:
+                covered.update(range(p, min(p + k, len(words))))
+            want[i] = (len(words), len(dup_pos), len(covered))
+        return want
+
+    from shapefile_rs_spark.operators.dedup import dup_coverage
+
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {r["id"]: r for r in dup_coverage(df, id_col="id", k=k).collect()}
+    want = py_oracle()
+    for i, (nt, ndup, cov) in want.items():
+        r = got[i]
+        assert (r["n_tokens"], r["n_dup_grams"], r["covered_tokens"]) == (nt, ndup, cov), (
+            i, dict(r.asDict()), (nt, ndup, cov))
+        assert 0.0 <= r["dup_cov_frac"] <= 1.0
