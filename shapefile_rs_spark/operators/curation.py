@@ -284,8 +284,12 @@ def host_cap(
 
     if cap < 1:
         raise ValueError(f"cap {cap} < 1 would keep nothing; that's a bug, not a quota")
+    # explicit null placement: Spark's bare desc() is NULLS LAST but
+    # DuckDB's bare DESC is NULLS FIRST — an unscored doc would silently
+    # rank first in the oracle and last here.  Unscored docs rank last on
+    # both engines (they should not consume quota ahead of scored docs).
     w = Window.partitionBy(host_col).orderBy(
-        F.col(order_col).desc(), F.col(id_col).asc()
+        F.col(order_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return (
         df.withColumn("host_rank", F.row_number().over(w))
@@ -307,7 +311,7 @@ FROM (
   SELECT d.*,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY {host_col}
-           ORDER BY {order_col} DESC, {id_col} ASC
+           ORDER BY {order_col} DESC NULLS LAST, {id_col} ASC
          ) AS INTEGER) AS host_rank
   FROM ({docs_sql}) d
 )
@@ -352,8 +356,10 @@ def quality_prune(
 
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac {frac} outside [0, 1]")
+    # explicit NULLS LAST for the same Spark-vs-DuckDB default divergence
+    # host_cap documents: unscored docs must not outrank scored ones
     w = Window.partitionBy(strata_col).orderBy(
-        F.col(order_col).desc(), F.col(id_col).asc()
+        F.col(order_col).desc_nulls_last(), F.col(id_col).asc()
     )
     wc = Window.partitionBy(strata_col)
     return (
@@ -377,7 +383,7 @@ FROM (
   SELECT d.*,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY {strata_col}
-           ORDER BY {order_col} DESC, {id_col} ASC
+           ORDER BY {order_col} DESC NULLS LAST, {id_col} ASC
          ) AS INTEGER) AS q_rank,
          COUNT(*) OVER (PARTITION BY {strata_col}) AS n_stratum
   FROM ({docs_sql}) d

@@ -1062,3 +1062,66 @@ def test_dup_coverage_property_vs_python_oracle(spark):
         assert (r["n_tokens"], r["n_dup_grams"], r["covered_tokens"]) == (nt, ndup, cov), (
             i, dict(r.asDict()), (nt, ndup, cov))
         assert 0.0 <= r["dup_cov_frac"] <= 1.0
+
+
+def test_rank_operators_null_score_parity_vs_duckdb(spark):
+    """Null ordering is where Spark and DuckDB silently diverge (bare desc
+    is NULLS LAST in Spark, NULLS FIRST in DuckDB) — the sf fixtures carry
+    no null scores, so the oracle gate cannot catch it.  Pin the explicit
+    NULLS LAST spelling on a null-bearing corpus for both rank operators,
+    engine-vs-engine."""
+    import duckdb
+
+    from shapefile_rs_spark.operators.curation import (
+        host_cap,
+        host_cap_sql,
+        quality_prune,
+        quality_prune_sql,
+    )
+
+    rows = [
+        ("a.com", 1, 90),
+        ("a.com", 2, None),   # unscored: must rank LAST, not first
+        ("a.com", 3, 95),
+        ("a.com", 4, None),
+        ("b.org", 5, None),   # all-null host
+        ("b.org", 6, None),
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id bigint, quality bigint")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (host VARCHAR, doc_id BIGINT, quality BIGINT); "
+        + "INSERT INTO t VALUES "
+        + ", ".join(
+            f"('{h}', {i}, {'NULL' if q is None else q})" for h, i, q in rows
+        )
+    )
+    base = "SELECT doc_id, host, quality FROM t"
+
+    s = sorted(
+        (r["host"], r["doc_id"], r["host_rank"])
+        for r in host_cap(df, cap=3, host_col="host").collect()
+    )
+    d = sorted(
+        (r[1], r[0], r[3])
+        for r in con.execute(host_cap_sql(base, cap=3, host_col="host")).fetchall()
+    )
+    assert s == d
+    # scored docs outrank unscored within a.com: 3 (95), 1 (90), then 2 (null)
+    assert [x for x in s if x[0] == "a.com"] == [
+        ("a.com", 1, 2), ("a.com", 2, 3), ("a.com", 3, 1)
+    ]
+
+    sp = sorted(
+        (r["host"], r["doc_id"], r["q_rank"])
+        for r in quality_prune(
+            df, frac=0.5, strata_col="host", order_col="quality"
+        ).collect()
+    )
+    dp = sorted(
+        (r[1], r[0], r[3])
+        for r in con.execute(
+            quality_prune_sql(base, frac=0.5, strata_col="host", order_col="quality")
+        ).fetchall()
+    )
+    assert sp == dp
