@@ -1136,6 +1136,29 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_cap(docs, cap=8)
 
 
+def q_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (the recrawl path): a NEW batch of
+    suffixed variants LSH-joins against the EXISTING documents corpus —
+    asymmetric banded join, no corpus self-join, corpus-side bucket cap.
+    Every variant should recover its original among its candidates."""
+    from shapefile_rs_spark.operators.dedup import minhash_lsh_join
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" near dup suffix")).alias("text")
+    )
+    return minhash_lsh_join(
+        new,
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        k=_MINHASH_K,
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
+        bucket_cap=_LSH_BUCKET_CAP,
+    )
+
+
 def q_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (overlapping 8-token grams,
     Lee-et-al-style) over the planted near-dup corpus: the original and
@@ -1298,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "quality_prune": q_quality_prune,
         "dup_coverage": q_dup_coverage,
+        "incr_neardup": q_incr_neardup,
     }
 
 
@@ -1746,6 +1770,7 @@ FROM stepped
         "host_cap": _host_cap_oracle(),
         "quality_prune": _quality_prune_oracle(),
         "dup_coverage": _dup_coverage_oracle(),
+        "incr_neardup": _incr_neardup_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
@@ -1943,6 +1968,51 @@ SELECT p.id_a, p.id_b,
 FROM pairs p
 JOIN sigs sa ON sa.id = p.id_a
 JOIN sigs sb ON sb.id = p.id_b
+"""
+
+
+def _incr_neardup_oracle(
+    num_hashes: int = _MINHASH_HASHES, bands: int = _MINHASH_BANDS
+) -> str:
+    """Asymmetric twin of :func:`_minhash_lsh_oracle`: new×corpus banded
+    join (QUALIFY cap on the corpus side only), same signature and
+    agreement spellings."""
+    rpb = num_hashes // bands
+    sig = dd.minhash_signature_sql(
+        dd.word_shingles_sql("text", _MINHASH_K), num_hashes
+    )
+
+    def banded(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5(array_to_string(sig[{b * rpb + 1}:{(b + 1) * rpb}], '|')) AS band_key "
+            f"FROM {src}"
+            for b in range(bands)
+        )
+
+    agree = f"len(list_filter(range(0, {num_hashes}), i -> sa.sig[i + 1] = sb.sig[i + 1]))"
+    return f"""
+WITH newdocs AS (
+  SELECT doc_id, text || ' near dup suffix' AS text FROM documents
+),
+sigs_new AS (SELECT doc_id, {sig} AS sig FROM newdocs),
+sigs_old AS (SELECT doc_id, {sig} AS sig FROM documents),
+banded_new AS ({banded('sigs_new')}),
+banded_old0 AS ({banded('sigs_old')}),
+banded_old AS (
+  SELECT doc_id, band, band_key FROM banded_old0
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {_LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id
+  FROM banded_new l JOIN banded_old r ON l.band = r.band AND l.band_key = r.band_key
+)
+SELECT p.new_id, p.corpus_id,
+       {agree} AS n_agree,
+       ({agree} / {num_hashes}) AS est_jaccard
+FROM pairs p
+JOIN sigs_new sa ON sa.doc_id = p.new_id
+JOIN sigs_old sb ON sb.doc_id = p.corpus_id
 """
 
 

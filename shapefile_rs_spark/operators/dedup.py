@@ -1128,3 +1128,98 @@ SELECT t.{id_col},
        CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / len(t.w) AS dup_cov_frac
 FROM toks t LEFT JOIN per_doc p USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental (asymmetric) MinHash LSH: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_join(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id, n_agree, est_jaccard): candidate near-duplicate
+    pairs between a NEW batch and an EXISTING corpus — the incremental
+    path a recrawl pipeline needs: re-pairing the merged corpus with the
+    self-join costs O((N+M)²/buckets) and re-reads the whole lake, while
+    the asymmetric join costs O(M·collisions) and reads the corpus once
+    (at scale: not at all, when its banded signature table is already a
+    committed stage — see ``jobs/run_curation.py``'s lineage stages and
+    ``append_delta``).
+
+    Same signature/banding primitives as :func:`minhash_lsh_pairs` (so
+    thresholds transfer), but the join is new×corpus instead of self:
+    no ``id_a < id_b`` dedup trick is needed or wanted (the sides are
+    disjoint by contract; a doc appearing on both sides pairs with
+    itself, which callers can filter).  ``bucket_cap`` caps the CORPUS
+    side's band buckets (boilerplate guard — a new doc colliding with a
+    boilerplate bucket would fan out B ways); the new side is assumed
+    batch-sized and is not capped.
+
+    Plan shape: two map-only signature scans (each persisted once —
+    banding and scoring both read them), one shuffle on (band, band_key)
+    for the asymmetric join, distinct pair set, then the signature
+    re-join to score.
+    """
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    spark = new_docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    def _sigs(docs):
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
+        s = docs.select(
+            F.col(id_col).alias("_id"),
+            shingle_token_hashes_pd(F.col(text_col), k).alias("_hs"),
+        ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
+        s = s.persist()
+        s.count()
+        return s
+
+    sigs_new, sigs_old = _sigs(new_docs), _sigs(corpus)
+    banded_new = _band_rows(sigs_new, bands, rpb)
+    banded_old = _band_rows(sigs_old, bands, rpb)
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        banded_old = (
+            banded_old.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= bucket_cap)
+            .drop("_n")
+        )
+    pairs = (
+        banded_new.select("band", "band_key", F.col("_id").alias("new_id"))
+        .join(
+            banded_old.select("band", "band_key", F.col("_id").alias("corpus_id")),
+            on=["band", "band_key"],
+            how="inner",
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = sigs_new.select(F.col("_id").alias("new_id"), F.col("_sig").alias("_sig_a"))
+    sb = sigs_old.select(F.col("_id").alias("corpus_id"), F.col("_sig").alias("_sig_b"))
+    return (
+        pairs.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn(
+            "n_agree",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ),
+        )
+        .withColumn("est_jaccard", F.col("n_agree") / F.lit(num_hashes))
+        .select("new_id", "corpus_id", "n_agree", "est_jaccard")
+    )

@@ -1125,3 +1125,36 @@ def test_rank_operators_null_score_parity_vs_duckdb(spark):
         ).fetchall()
     )
     assert sp == dp
+
+
+def test_minhash_lsh_join_incremental_recall(spark):
+    """Asymmetric (new batch × existing corpus) LSH: every near-dup variant
+    recovers its original with high signature agreement; an unrelated new
+    doc pairs with nothing; the corpus-side bucket cap drops boilerplate
+    buckets without touching ordinary ones; sides are never self-paired."""
+    from shapefile_rs_spark.operators.dedup import minhash_lsh_join
+
+    corpus_rows = [
+        (i, f"document number {i} about topic {i % 7} with plenty of unique words "
+            f"item {i * 13} value {i * 31} end")
+        for i in range(40)
+    ]
+    corpus_rows += [(100 + i, "identical boilerplate footer " * 4) for i in range(60)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    new_rows = [(1000 + i, corpus_rows[i][1] + " recrawl suffix") for i in range(10)]
+    new_rows.append((2000, "entirely novel content nothing in common with corpus docs"))
+    new_rows.append((2001, "identical boilerplate footer " * 4 + "recrawl suffix"))
+    new = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+
+    got = {
+        (r["new_id"], r["corpus_id"]): r["n_agree"]
+        for r in minhash_lsh_join(new, corpus, id_col="doc_id", bucket_cap=50).collect()
+    }
+    # every variant recovers its original (suffix only shifts tail shingles)
+    for i in range(10):
+        assert (1000 + i, i) in got and got[(1000 + i, i)] >= 6
+    # the novel doc pairs with nothing
+    assert not any(n == 2000 for n, _ in got)
+    # the boilerplate bucket (60 docs > cap 50) is dropped corpus-side:
+    # the boilerplate-derived new doc finds NO corpus partner
+    assert not any(n == 2001 for n, _ in got)
