@@ -222,6 +222,33 @@ class CheckpointedPipeline:
         for name in os.listdir(stage_dir):
             if name.startswith(base + ".delta."):
                 shutil.rmtree(os.path.join(stage_dir, name), ignore_errors=True)
+        # crash-RECONCILE for the post-move window: a kill AFTER the file
+        # moves but BEFORE the commit leaves data files in the stage dir
+        # that no snapshot lists — and the retry's empty-delta early
+        # return below would skip the commit forever (the rows are
+        # already on disk, so the anti-join finds nothing new).  Re-commit
+        # the directory as a recovery snapshot first, so the manifest and
+        # the directory agree before any delta math.
+        manifest = self._load()
+        listed: set = set()
+        for snap in reversed(manifest["snapshots"]):
+            if snap["stage"] == stage:
+                listed = set(snap.get("files") or [])
+                break
+        on_disk = set(self._stage_files(stage))
+        if on_disk - listed:
+            rows = self.spark.read.parquet(data_dir).count()
+            prev = manifest["stages"][stage]
+            self._commit(
+                stage,
+                {
+                    "path": data_dir,
+                    "rows": rows,
+                    "partitions": prev["partitions"],
+                    "wall_ms": 0,  # recovery commit, no compute of its own
+                },
+                files=sorted(on_disk),
+            )
         existing = self.spark.read.parquet(self.stage_path(stage))
         delta = new_df.join(existing.select(*key_cols), on=key_cols, how="left_anti")
         if delta.isEmpty():

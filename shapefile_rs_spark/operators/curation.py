@@ -284,10 +284,13 @@ def host_cap(
 
     if cap < 1:
         raise ValueError(f"cap {cap} < 1 would keep nothing; that's a bug, not a quota")
-    # explicit null placement: Spark's bare desc() is NULLS LAST but
-    # DuckDB's bare DESC is NULLS FIRST — an unscored doc would silently
-    # rank first in the oracle and last here.  Unscored docs rank last on
-    # both engines (they should not consume quota ahead of scored docs).
+    # explicit null placement: Spark's bare desc() is NULLS LAST, and so
+    # is DuckDB 1.0's bare DESC — but DuckDB's default is the SESSION
+    # SETTING `default_null_order` (PostgreSQL-style installs flip it to
+    # NULLS FIRST for DESC), so an oracle run on a reconfigured
+    # connection would silently rank unscored docs first.  Spell the
+    # contract on both sides: unscored docs never consume quota ahead of
+    # scored ones.
     w = Window.partitionBy(host_col).orderBy(
         F.col(order_col).desc_nulls_last(), F.col(id_col).asc()
     )
@@ -356,8 +359,9 @@ def quality_prune(
 
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac {frac} outside [0, 1]")
-    # explicit NULLS LAST for the same Spark-vs-DuckDB default divergence
-    # host_cap documents: unscored docs must not outrank scored ones
+    # explicit NULLS LAST for the same config-drift reason host_cap
+    # documents (DuckDB's default_null_order is a session setting):
+    # unscored docs must not outrank scored ones
     w = Window.partitionBy(strata_col).orderBy(
         F.col(order_col).desc_nulls_last(), F.col(id_col).asc()
     )

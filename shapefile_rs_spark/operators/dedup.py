@@ -252,6 +252,76 @@ def lsh_band_keys_sql(sig_sql: str, bands: int, rows_per_band: int) -> str:
     return f"[{entries}]"
 
 
+def _persisted_sigs(
+    docs: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
+) -> DataFrame:
+    """(_id, _sig) MinHash signature frame, widened when the source is
+    narrower than the core count (the one-row-group fixture trap) and
+    eagerly persisted — banding and pair scoring both read it, and an
+    unmaterialized cache races recompute across those consumers (measured
+    ~3×).  The cache releases when the caller's result frames become
+    unreachable (ContextCleaner), the bench's gc.collect() discipline.
+    ONE spelling shared by the self-join and asymmetric LSH operators."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    sigs = docs.select(
+        F.col(id_col).alias("_id"),
+        shingle_token_hashes_pd(F.col(text_col), k).alias("_hs"),
+    ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
+    sigs = sigs.persist()
+    sigs.count()
+    return sigs
+
+
+def _cap_buckets(banded: DataFrame, bucket_cap: int | None, keys=("band", "band_key")) -> DataFrame:
+    """Drop whole over-cap buckets before a banded join (the boilerplate
+    B² guard) — the count window runs over the join's own partitioning,
+    so the cap costs no extra shuffle.  ONE spelling for every LSH
+    operator that takes a ``bucket_cap``."""
+    if bucket_cap is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= bucket_cap)
+        .drop("_n")
+    )
+
+
+def _score_pairs(
+    pairs: DataFrame,
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    a_col: str,
+    b_col: str,
+    num_hashes: int,
+) -> DataFrame:
+    """Attach (n_agree, est_jaccard) to a candidate pair set by re-joining
+    the two signature frames — ONE spelling of the agreement arithmetic
+    (mirrored in the oracles' list_filter form)."""
+    sa = sigs_a.select(F.col("_id").alias(a_col), F.col("_sig").alias("_sig_a"))
+    sb = sigs_b.select(F.col("_id").alias(b_col), F.col("_sig").alias("_sig_b"))
+    return (
+        pairs.join(sa, a_col)
+        .join(sb, b_col)
+        .withColumn(
+            "n_agree",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ),
+        )
+        .withColumn("est_jaccard", F.col("n_agree") / F.lit(num_hashes))
+        .select(a_col, b_col, "n_agree", "est_jaccard")
+    )
+
+
 def _band_rows(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(_id, band, band_key) from a (_id, _sig) signature frame — the ONE
     spelling of the LSH shuffle key, shared by the pairing operator and the
@@ -340,34 +410,8 @@ def minhash_lsh_pairs(
     rows.
     """
     assert num_hashes % bands == 0
-    rpb = num_hashes // bands
-    # the signature scan is the CPU-heavy stage; a narrow input (one small
-    # parquet file → 1-2 partitions) would leave the other cores idle, so
-    # spread it once.  At scale the source partitioning already exceeds the
-    # core count and this is a no-op.
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
-    sigs = docs.select(
-        F.col(id_col).alias("_id"),
-        shingle_token_hashes_pd(F.col(text_col), k).alias("_hs"),
-    ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
-    # eager materialization: three downstream consumers (banding + both
-    # sides of the scoring join) would otherwise race the cache inside one
-    # job and recompute the signature pass ~3x (measured)
-    sigs = sigs.persist()
-    sigs.count()
-    banded = _band_rows(sigs, bands, rpb)
-    if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "band_key")
-        banded = (
-            banded.withColumn("_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_n") <= bucket_cap)
-            .drop("_n")
-        )
+    sigs = _persisted_sigs(docs, id_col, text_col, k, num_hashes)
+    banded = _cap_buckets(_band_rows(sigs, bands, num_hashes // bands), bucket_cap)
     left = banded.select("band", "band_key", F.col("_id").alias("id_a"))
     right = banded.select("band", "band_key", F.col("_id").alias("id_b"))
     pairs = (
@@ -376,23 +420,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"))
-    sb = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"))
-    scored = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "n_agree",
-            F.size(
-                F.filter(
-                    F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            ),
-        )
-        .withColumn("est_jaccard", F.col("n_agree") / F.lit(num_hashes))
-    )
-    return scored.select("id_a", "id_b", "n_agree", "est_jaccard")
+    return _score_pairs(pairs, sigs, sigs, "id_a", "id_b", num_hashes)
 
 
 # ---------------------------------------------------------------------------
@@ -910,16 +938,11 @@ def simhash_pairs(
             f"radius {radius} > bands-1 ({bands - 1}): recall is partial",
             stacklevel=2,
         )
-    banded = simhash_banded(docs, id_col=id_col, text_col=text_col, bits=bits, bands=bands)
-    if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("_band", "_key")
-        banded = (
-            banded.withColumn("_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_n") <= bucket_cap)
-            .drop("_n")
-        )
+    banded = _cap_buckets(
+        simhash_banded(docs, id_col=id_col, text_col=text_col, bits=bits, bands=bands),
+        bucket_cap,
+        keys=("_band", "_key"),
+    )
     # both sides of the self-join consume this pandas-UDF frame — without a
     # checkpoint each side re-runs the full scan + fingerprint vote pass
     # (the embed_neardup lesson; measured 3.4→2.5 s at sf0.1, 2× the table
@@ -1170,32 +1193,10 @@ def minhash_lsh_join(
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
-    spark = new_docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-
-    def _sigs(docs):
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par)
-        s = docs.select(
-            F.col(id_col).alias("_id"),
-            shingle_token_hashes_pd(F.col(text_col), k).alias("_hs"),
-        ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
-        s = s.persist()
-        s.count()
-        return s
-
-    sigs_new, sigs_old = _sigs(new_docs), _sigs(corpus)
+    sigs_new = _persisted_sigs(new_docs, id_col, text_col, k, num_hashes)
+    sigs_old = _persisted_sigs(corpus, id_col, text_col, k, num_hashes)
     banded_new = _band_rows(sigs_new, bands, rpb)
-    banded_old = _band_rows(sigs_old, bands, rpb)
-    if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "band_key")
-        banded_old = (
-            banded_old.withColumn("_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_n") <= bucket_cap)
-            .drop("_n")
-        )
+    banded_old = _cap_buckets(_band_rows(sigs_old, bands, rpb), bucket_cap)
     pairs = (
         banded_new.select("band", "band_key", F.col("_id").alias("new_id"))
         .join(
@@ -1206,20 +1207,4 @@ def minhash_lsh_join(
         .select("new_id", "corpus_id")
         .distinct()
     )
-    sa = sigs_new.select(F.col("_id").alias("new_id"), F.col("_sig").alias("_sig_a"))
-    sb = sigs_old.select(F.col("_id").alias("corpus_id"), F.col("_sig").alias("_sig_b"))
-    return (
-        pairs.join(sa, "new_id")
-        .join(sb, "corpus_id")
-        .withColumn(
-            "n_agree",
-            F.size(
-                F.filter(
-                    F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            ),
-        )
-        .withColumn("est_jaccard", F.col("n_agree") / F.lit(num_hashes))
-        .select("new_id", "corpus_id", "n_agree", "est_jaccard")
-    )
+    return _score_pairs(pairs, sigs_new, sigs_old, "new_id", "corpus_id", num_hashes)

@@ -133,6 +133,37 @@ def test_delta_orphan_cleaned_on_append(spark, tmp_path):
         assert all(".delta." not in os.path.basename(os.path.dirname(f)) for f in s["files"])
 
 
+def test_delta_postmove_crash_reconciles_manifest(spark, tmp_path, monkeypatch):
+    """The OTHER append_delta crash window: killed AFTER the delta files
+    moved into the data dir but BEFORE the commit.  The retry's anti-join
+    sees the rows already on disk (empty delta) and would skip the commit
+    forever — the entry reconcile must first re-commit the directory so
+    the manifest lists every on-disk file and read_snapshot sees all
+    rows (the time-travel invariant)."""
+    root = str(tmp_path)
+    pipe = CheckpointedPipeline(spark, root)
+    pipe.run_stage("s", lambda: spark.range(10))
+
+    real_commit = CheckpointedPipeline._commit
+
+    def dying_commit(self, *a, **kw):
+        raise RuntimeError("kill after file moves, before commit")
+
+    monkeypatch.setattr(CheckpointedPipeline, "_commit", dying_commit)
+    with pytest.raises(RuntimeError):
+        pipe.append_delta("s", spark.range(10, 15), ["id"])
+    monkeypatch.setattr(CheckpointedPipeline, "_commit", real_commit)
+
+    # retry the SAME batch from a fresh process: the rows are on disk but
+    # unlisted — reconcile must commit them, and no duplicates may appear
+    pipe2 = CheckpointedPipeline(spark, root)
+    out = pipe2.append_delta("s", spark.range(10, 15), ["id"])
+    assert out.count() == 15
+    assert out.select("id").distinct().count() == 15
+    assert pipe2.read_snapshot("s").count() == 15  # manifest lists the moved files
+    assert pipe2._load()["stages"]["s"]["rows"] == 15
+
+
 def test_multi_stage_pipeline_resume_midway(spark, tmp_path):
     root = str(tmp_path)
     pipe = CheckpointedPipeline(spark, root)

@@ -1065,11 +1065,13 @@ def test_dup_coverage_property_vs_python_oracle(spark):
 
 
 def test_rank_operators_null_score_parity_vs_duckdb(spark):
-    """Null ordering is where Spark and DuckDB silently diverge (bare desc
-    is NULLS LAST in Spark, NULLS FIRST in DuckDB) — the sf fixtures carry
-    no null scores, so the oracle gate cannot catch it.  Pin the explicit
-    NULLS LAST spelling on a null-bearing corpus for both rank operators,
-    engine-vs-engine."""
+    """Null ordering is a config-drift trap: DuckDB's bare DESC follows
+    the SESSION setting default_null_order (nulls_last on this install,
+    PostgreSQL-style NULLS FIRST elsewhere), and the sf fixtures carry no
+    null scores, so the oracle gate could never catch a flip.  Pin the
+    explicit NULLS LAST spelling on a null-bearing corpus for both rank
+    operators, engine-vs-engine — including under a reconfigured oracle
+    session."""
     import duckdb
 
     from shapefile_rs_spark.operators.curation import (
@@ -1125,6 +1127,14 @@ def test_rank_operators_null_score_parity_vs_duckdb(spark):
         ).fetchall()
     )
     assert sp == dp
+    # the explicit NULLS LAST must survive a PostgreSQL-style session:
+    # flip DuckDB's default and re-run — identical result
+    con.execute("SET default_null_order='nulls_first'")
+    d2 = sorted(
+        (r[1], r[0], r[3])
+        for r in con.execute(host_cap_sql(base, cap=3, host_col="host")).fetchall()
+    )
+    assert d2 == d
 
 
 def test_minhash_lsh_join_incremental_recall(spark):
