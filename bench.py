@@ -387,6 +387,24 @@ def main():
         }
 
     print(json.dumps(result))
+    # Second, COMPACT line with the headline scalars: the driver captures a
+    # bounded stdout tail, and the full blob's head (where "value" lives)
+    # can scroll out of that window (BENCH_r04 recorded "parsed": null).
+    # Keeping this line last and tiny guarantees the suite total survives.
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "n_queries": len(result["queries"]),
+        "sf": result["sf"],
+        "pages_per_sec": result["pages_per_sec"],
+        "host_control_sec": result["host_control_sec"],
+    }
+    if "scaling" in result:
+        eff_keys = [k for k in result["scaling"] if k.startswith("efficiency_")]
+        for k in eff_keys:
+            summary[k] = result["scaling"][k]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
