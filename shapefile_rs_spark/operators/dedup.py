@@ -788,20 +788,28 @@ def word_spans_sql(text_sql: str, k: int = 5) -> str:
 
 
 def span_dedup_stats(
-    df: DataFrame, id_col: str = "id", text_col: str = "text", k: int = 5
+    df: DataFrame, id_col: str = "id", text_col: str = "text", k: int = 5,
+    hash_keys: bool = True,
 ) -> DataFrame:
     """(id, n_spans, n_dup_spans, dup_frac): per-document fraction of
     k-word spans that occur MORE THAN ONCE corpus-wide (C4's span-dedup
     signal — a doc with high dup_frac is boilerplate or a near-copy).
 
     Plan: explode spans (map-side, Arrow-batched — the interpreted
-    transform()+Generate HOF path costs ~10× per CLAUDE.md), ONE shuffle on
-    the span string for the global occurrence count (window; partial-combine
-    does not apply to windows, but span keys are high-cardinality so the
-    shuffle is uniform), then the per-doc rollup shuffles on id.  At 100 TB
-    the span column would be hashed to a fixed-width key before the
-    exchange; the string key is kept here so the DuckDB twin is
-    value-identical."""
+    transform()+Generate HOF path costs ~10× per CLAUDE.md), ONE shuffle
+    for the global occurrence count (window; partial-combine does not
+    apply to windows, but span keys are high-cardinality so the shuffle
+    is uniform), then the per-doc rollup shuffles on id.
+
+    ``hash_keys=True`` (default) replaces the span STRING with its
+    ``xxhash64`` before the exchange — the count shuffle then carries one
+    int64 per span instead of ~k words of text (≈8× less shuffle volume
+    at k=5).  Only COUNTS feed the output, never the keys, so the DuckDB
+    twin (which groups by the raw string) stays value-identical unless
+    two distinct spans collide at 64 bits: expected colliding pairs for
+    G distinct spans ≈ G²/2⁶⁵ — under 30 even at 10¹² spans, and a
+    collision only over-counts one span.  ``hash_keys=False`` keeps the
+    raw string for byte-level debugging."""
     from pyspark.sql import Window
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -822,7 +830,14 @@ def span_dedup_stats(
             yield pd.DataFrame({id_col: ids_out, "_span": spans_out})
 
     spans = df.select(id_col, text_col).mapInPandas(gen, schema=schema)
-    w = Window.partitionBy("_span")
+    if hash_keys:
+        # JVM-side hash in the same map stage as the explode: the exchange
+        # then carries (id, int64) rows only — the span string never
+        # leaves the scan stage
+        spans = spans.select(id_col, F.xxhash64("_span").alias("_k"))
+        w = Window.partitionBy("_k")
+    else:
+        w = Window.partitionBy("_span")
     counted = spans.withColumn("_n", F.count(F.lit(1)).over(w))
     return counted.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
@@ -1013,7 +1028,8 @@ SELECT id_a, id_b, hamming FROM pairs
 
 
 def dup_coverage(
-    df: DataFrame, id_col: str = "id", text_col: str = "text", k: int = 8
+    df: DataFrame, id_col: str = "id", text_col: str = "text", k: int = 8,
+    hash_keys: bool = True,
 ) -> DataFrame:
     """(id, n_tokens, n_dup_grams, covered_tokens, dup_cov_frac): per-doc
     fraction of TOKENS covered by overlapping ``k``-token grams that occur
@@ -1030,12 +1046,19 @@ def dup_coverage(
     arithmetic, identical in DuckDB.
 
     Plan: Arrow-batched gram explode (map-side), ONE shuffle on the gram
-    string for the corpus-wide count (high-cardinality → uniform), then
+    key for the corpus-wide count (high-cardinality → uniform), then
     the id-partitioned LEAD window, whose exchange is REUSED by the
     per-doc aggregate (same key), and a final id join back to the per-doc
-    token counts.  At 100 TB hash the gram to a fixed-width key before
-    the exchange (kept as the string here so the DuckDB twin is
-    value-identical — the span_dedup convention)."""
+    token counts.
+
+    ``hash_keys=True`` (default) replaces the k-token gram STRING with
+    its ``xxhash64`` before the count exchange (≈8× less shuffle volume
+    at k=8; the gram text never leaves the scan stage).  Counts, not
+    keys, feed the output, so the DuckDB twin (raw-string grouping)
+    stays value-identical barring a 64-bit collision between two
+    distinct grams — expected pairs ≈ G²/2⁶⁵, under 30 at 10¹² grams,
+    each inflating one gram's count.  ``hash_keys=False`` keeps the raw
+    string for byte-level debugging (the span_dedup convention)."""
     from pyspark.sql import Window
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -1076,7 +1099,13 @@ def dup_coverage(
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
     grams = src.mapInPandas(gen, schema=schema)
-    wg = Window.partitionBy("_gram")
+    if hash_keys:
+        grams = grams.select(
+            id_col, "_pos", "_nt", F.xxhash64("_gram").alias("_k")
+        )
+        wg = Window.partitionBy("_k")
+    else:
+        wg = Window.partitionBy("_gram")
     dup = grams.withColumn("_n", F.count(F.lit(1)).over(wg)).filter(F.col("_n") > 1)
     wd = Window.partitionBy(id_col).orderBy("_pos")
     # contribution clamps at the DOC END as well as the next dup position:

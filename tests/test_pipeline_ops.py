@@ -818,6 +818,26 @@ def test_dup_coverage_short_doc_clamps_at_doc_end(spark):
     assert all(r["dup_cov_frac"] <= 1.0 for r in got.values())
 
 
+def test_hashed_key_paths_match_string_key_paths(spark, sf_dir):
+    """hash_keys=True (the int64-exchange default) must produce row-for-row
+    identical output to the raw-string grouping — the collision-free case,
+    which is every realistic corpus (expected 64-bit collisions at sf
+    scale: ~0)."""
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators.dedup import dup_coverage, span_dedup_stats
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+        .limit(200)
+    )
+    for op, kw in ((span_dedup_stats, {"k": 5}), (dup_coverage, {"k": 8})):
+        hashed = {tuple(r) for r in op(docs, id_col="id", hash_keys=True, **kw).collect()}
+        raw = {tuple(r) for r in op(docs, id_col="id", hash_keys=False, **kw).collect()}
+        assert hashed == raw
+
+
 def test_quality_prune_percentile_threshold(spark):
     """Top-frac-per-stratum pruning: exact ceil threshold per stratum,
     (score desc, id asc) tie-break, frac=1 keeps everything, and the

@@ -165,6 +165,44 @@ def test_simhash_pairs_joins_checkpointed_banded_frame(spark, sf_dir):
     assert "ExistingRDD" in plan
 
 
+def test_span_dedup_exchange_carries_long_key(spark, sf_dir):
+    """With hash_keys (the default) the corpus-count shuffle must carry an
+    int64 xxhash64 key, never the raw span string — ~8× shuffle volume at
+    k=5 on 100 TB of text."""
+    import re
+
+    from shapefile_rs_spark.operators.dedup import span_dedup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    plan = _plan(span_dedup_stats(docs, id_col="id", k=5))
+    # the count window's exchange is keyed by the hashed column, LongType
+    # (the #<id>L attribute suffix)
+    assert re.search(r"hashpartitioning\(_k#\d+L", plan)
+    # no exchange anywhere shuffles the raw span string
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "_span#" not in ln
+
+
+def test_dup_coverage_exchange_carries_long_key(spark, sf_dir):
+    """Same contract for the overlapping-gram coverage operator: the gram
+    text stays in the scan stage; only its xxhash64 is exchanged."""
+    import re
+
+    from shapefile_rs_spark.operators.dedup import dup_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    plan = _plan(dup_coverage(docs, id_col="id", k=8))
+    assert re.search(r"hashpartitioning\(_k#\d+L", plan)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "_gram#" not in ln
+
+
 def test_host_cap_single_host_exchange(spark, sf_dir):
     """host_cap is one shuffle on the host key: exactly one hash-partition
     exchange, keyed by host, feeding the rank window."""
