@@ -29,6 +29,10 @@ checkpoints sit on the critical path, not as dead side writes):
    at most N docs per source, best n_chars first — the C4/RefinedWeb
    per-domain cap with the ``source`` column as the host key); write the
    final corpus with redacted text.
+5. ``sigs``      — (``--sig-stage``) the curated corpus's MinHash
+   signature parquet, the published artifact future recrawl batches
+   LSH-join against (``minhash_lsh_join(corpus_sigs=...)``) without
+   re-reading this corpus's text.
 
 Prints one JSON line: per-stage rows/wall-times, kept/dropped breakdown.
 """
@@ -80,6 +84,16 @@ def build_args(argv=None):
         help="keep at most N docs per source (host analog), ranked by "
         "n_chars desc then doc_id; 0 disables the quota",
     )
+    p.add_argument(
+        "--sig-stage",
+        action="store_true",
+        help="also commit the corpus MinHash signature stage ('sigs'): the "
+        "(_id, _sig) parquet that future recrawl batches LSH-join against "
+        "via minhash_lsh_join(corpus_sigs=...) without re-reading this "
+        "corpus's text",
+    )
+    p.add_argument("--minhash-k", type=int, default=3)
+    p.add_argument("--num-hashes", type=int, default=12)
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     return p.parse_args(argv)
 
@@ -95,7 +109,9 @@ def run(spark, args) -> dict:
 
     pipe = CheckpointedPipeline(spark, args.out)
     t_all = time.time()
-    stage_names = ("features", "dedup", "decontam", "curated")
+    stage_names = ("features", "dedup", "decontam", "curated") + (
+        ("sigs",) if args.sig_stage else ()
+    )
     already_done = [s for s in stage_names if pipe.completed(s)]
 
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
@@ -182,6 +198,24 @@ def run(spark, args) -> dict:
         )
 
     curated = pipe.run_stage("curated", stage_curated)
+
+    if args.sig_stage:
+        # published artifact, not an input to this run's stages: the NEXT
+        # run's recrawl batches join their signatures against this
+        # committed parquet (minhash_lsh_join(corpus_sigs=...)) instead of
+        # re-hashing the curated corpus text
+        from shapefile_rs_spark.operators.dedup import minhash_signatures
+
+        pipe.run_stage(
+            "sigs",
+            lambda: minhash_signatures(
+                curated.select("doc_id", "text"),
+                id_col="doc_id",
+                text_col="text",
+                k=args.minhash_k,
+                num_hashes=args.num_hashes,
+            ),
+        )
 
     lineage = pipe.lineage()
     by_stage = {}

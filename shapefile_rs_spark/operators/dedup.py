@@ -252,27 +252,59 @@ def lsh_band_keys_sql(sig_sql: str, bands: int, rows_per_band: int) -> str:
     return f"[{entries}]"
 
 
-def _persisted_sigs(
-    docs: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
 ) -> DataFrame:
-    """(_id, _sig) MinHash signature frame, widened when the source is
-    narrower than the core count (the one-row-group fixture trap) and
-    eagerly persisted — banding and pair scoring both read it, and an
-    unmaterialized cache races recompute across those consumers (measured
-    ~3×).  The cache releases when the caller's result frames become
-    unreachable (ContextCleaner), the bench's gc.collect() discipline.
-    ONE spelling shared by the self-join and asymmetric LSH operators."""
+    """(_id, _sig): the MinHash signature frame in its COMMITTABLE form —
+    the artifact a 100 TB pipeline writes ONCE per corpus snapshot (e.g.
+    via ``CheckpointedPipeline.run_stage``) so every later recrawl batch
+    can :func:`minhash_lsh_join` against the committed parquet
+    (``corpus_sigs=``) instead of re-reading and re-hashing the corpus
+    text.  Map-only: Arrow-batched shingle hashing + the numpy minhash
+    pass; widened when the source is narrower than the core count (the
+    one-row-group fixture trap).  Signatures are deterministic (seeded
+    universal-hash params), so a committed stage and a recompute are
+    bit-identical — consumers must reuse the SAME (k, num_hashes)."""
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
-    sigs = docs.select(
+    return docs.select(
         F.col(id_col).alias("_id"),
         shingle_token_hashes_pd(F.col(text_col), k).alias("_hs"),
     ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
-    sigs = sigs.persist()
+
+
+def _persisted_sigs(
+    docs: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
+) -> DataFrame:
+    """:func:`minhash_signatures`, eagerly persisted — banding and pair
+    scoring both read it, and an unmaterialized cache races recompute
+    across those consumers (measured ~3×).  The cache releases when the
+    caller's result frames become unreachable (ContextCleaner), the
+    bench's gc.collect() discipline; loop-style callers (repeated
+    incremental batches in one session) should call
+    :func:`release_sig_caches` on each scored result once it is
+    materialized, or caches accumulate until the cleaner runs.
+    ONE spelling shared by the self-join and asymmetric LSH operators."""
+    sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes).persist()
     sigs.count()
     return sigs
+
+
+def release_sig_caches(result: DataFrame) -> None:
+    """Unpersist the signature frames an LSH operator cached while
+    building ``result`` (recorded on the returned frame as
+    ``_sig_caches``).  Call AFTER materializing the result — the frames
+    back its plan, and unpersisting earlier forces a recompute.  No-op
+    for frames without caches (e.g. a committed-stage ``corpus_sigs``
+    path, which persists nothing)."""
+    for frame in getattr(result, "_sig_caches", ()):
+        frame.unpersist()
 
 
 def _cap_buckets(banded: DataFrame, bucket_cap: int | None, keys=("band", "band_key")) -> DataFrame:
@@ -420,7 +452,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _score_pairs(pairs, sigs, sigs, "id_a", "id_b", num_hashes)
+    out = _score_pairs(pairs, sigs, sigs, "id_a", "id_b", num_hashes)
+    out._sig_caches = [sigs]  # release hook: see release_sig_caches
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1189,22 +1223,27 @@ FROM toks t LEFT JOIN per_doc p USING ({id_col})
 
 def minhash_lsh_join(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
     bucket_cap: int | None = None,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, corpus_id, n_agree, est_jaccard): candidate near-duplicate
     pairs between a NEW batch and an EXISTING corpus — the incremental
     path a recrawl pipeline needs: re-pairing the merged corpus with the
     self-join costs O((N+M)²/buckets) and re-reads the whole lake, while
     the asymmetric join costs O(M·collisions) and reads the corpus once
-    (at scale: not at all, when its banded signature table is already a
-    committed stage — see ``jobs/run_curation.py``'s lineage stages and
-    ``append_delta``).
+    — or not at all: pass ``corpus_sigs`` (a committed ``(_id, _sig)``
+    stage written by :func:`minhash_signatures`, e.g. the ``sigs`` stage
+    of ``jobs/run_curation.py``) and the corpus TEXT is never touched;
+    only its signature parquet is scanned.  Exactly one of ``corpus`` /
+    ``corpus_sigs`` must be given; ``corpus_sigs`` must have been built
+    with the SAME ``(k, num_hashes)`` (signatures are deterministic, so
+    a committed stage and a recompute are bit-identical).
 
     Same signature/banding primitives as :func:`minhash_lsh_pairs` (so
     thresholds transfer), but the join is new×corpus instead of self:
@@ -1222,8 +1261,19 @@ def minhash_lsh_join(
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
+    if (corpus is None) == (corpus_sigs is None):
+        raise ValueError("pass exactly one of corpus= (raw text) or corpus_sigs= (committed signature stage)")
     sigs_new = _persisted_sigs(new_docs, id_col, text_col, k, num_hashes)
-    sigs_old = _persisted_sigs(corpus, id_col, text_col, k, num_hashes)
+    if corpus_sigs is not None:
+        # committed-stage fast path: consumers (banding + scoring) each
+        # scan the signature parquet — two cheap columnar reads, no
+        # persist to manage, and the corpus text is structurally
+        # unreachable from this plan
+        sigs_old = corpus_sigs.select("_id", "_sig")
+        caches = [sigs_new]
+    else:
+        sigs_old = _persisted_sigs(corpus, id_col, text_col, k, num_hashes)
+        caches = [sigs_new, sigs_old]
     banded_new = _band_rows(sigs_new, bands, rpb)
     banded_old = _cap_buckets(_band_rows(sigs_old, bands, rpb), bucket_cap)
     pairs = (
@@ -1236,4 +1286,6 @@ def minhash_lsh_join(
         .select("new_id", "corpus_id")
         .distinct()
     )
-    return _score_pairs(pairs, sigs_new, sigs_old, "new_id", "corpus_id", num_hashes)
+    out = _score_pairs(pairs, sigs_new, sigs_old, "new_id", "corpus_id", num_hashes)
+    out._sig_caches = caches  # release hook: see release_sig_caches
+    return out

@@ -164,6 +164,56 @@ def test_delta_postmove_crash_reconciles_manifest(spark, tmp_path, monkeypatch):
     assert pipe2._load()["stages"]["s"]["rows"] == 15
 
 
+def test_incr_neardup_reads_committed_sig_stage_without_corpus(spark, sf_dir, tmp_path):
+    """The recrawl contract end-to-end: (1) the corpus signature stage
+    commits once; (2) a resumed pipeline loads it WITHOUT invoking the
+    build (the no-recompute guarantee — the build fn here raises if
+    called); (3) minhash_lsh_join(corpus_sigs=...) scores a new batch
+    with the corpus TEXT structurally absent from the call, and its
+    output is row-identical to the recompute path (signatures are
+    deterministic)."""
+    from shapefile_rs_spark.operators.dedup import (
+        minhash_lsh_join,
+        minhash_signatures,
+        release_sig_caches,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 != 0)
+        .limit(200)
+    )
+    new = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.concat(F.col("text"), F.lit(" sfx")).alias("text"))
+        .filter(F.col("doc_id") % 5 != 0)
+        .limit(40)
+    )
+    pipe = CheckpointedPipeline(spark, str(tmp_path))
+    pipe.run_stage("sigs", lambda: minhash_signatures(docs, id_col="doc_id"))
+
+    def must_not_run():
+        raise AssertionError("corpus signatures were recomputed on resume")
+
+    # fresh pipeline object = fresh process; the committed stage loads,
+    # the builder is never called
+    sigs = CheckpointedPipeline(spark, str(tmp_path)).run_stage("sigs", must_not_run)
+
+    staged = minhash_lsh_join(new, corpus_sigs=sigs, id_col="doc_id")
+    direct = minhash_lsh_join(new, docs, id_col="doc_id")
+    got = sorted(tuple(r) for r in staged.collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want and len(got) > 0
+    release_sig_caches(staged)
+    release_sig_caches(direct)
+    # exactly one of corpus/corpus_sigs: both or neither is a usage bug
+    with pytest.raises(ValueError):
+        minhash_lsh_join(new, docs, corpus_sigs=sigs)
+    with pytest.raises(ValueError):
+        minhash_lsh_join(new)
+
+
 def test_multi_stage_pipeline_resume_midway(spark, tmp_path):
     root = str(tmp_path)
     pipe = CheckpointedPipeline(spark, root)

@@ -100,3 +100,38 @@ def test_curation_job_run_and_kill_resume(spark, sf_dir, tmp_path, monkeypatch):
     res2 = run(spark, args2)
     assert res2["resumed_stages"] == ["features", "dedup"]
     assert res2["docs_out"] == res["docs_out"]
+
+
+def test_curation_job_commits_signature_stage(spark, sf_dir, tmp_path):
+    """--sig-stage publishes the curated corpus's (_id, _sig) parquet, and
+    a recrawl batch LSH-joins against the committed stage with the corpus
+    text never re-read (corpus_sigs= path)."""
+    from pyspark.sql import functions as F
+
+    from run_curation import build_args, run
+    from shapefile_rs_spark.lineage import CheckpointedPipeline
+    from shapefile_rs_spark.operators.dedup import minhash_lsh_join
+
+    out = str(tmp_path / "cur_sigs")
+    args = build_args(
+        ["--sf-dir", sf_dir, "--out", out, "--cpus", "4", "--sig-stage"]
+    )
+    res = run(spark, args)
+    assert set(res["stages"]) == {"features", "dedup", "decontam", "curated", "sigs"}
+
+    pipe = CheckpointedPipeline(spark, out)
+    sigs = pipe.run_stage("sigs", lambda: (_ for _ in ()).throw(AssertionError))
+    assert sigs.columns == ["_id", "_sig"]
+    n_curated = spark.read.parquet(f"{out}/stages/curated/data").count()
+    assert sigs.count() == n_curated
+    # every signature has the full num_hashes components
+    assert sigs.filter(F.size("_sig") != 12).count() == 0
+
+    # a recrawl batch of variants finds its originals via the stage alone
+    batch = (
+        spark.read.parquet(f"{out}/stages/curated/data")
+        .select("doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"))
+        .limit(30)
+    )
+    hits = minhash_lsh_join(batch, corpus_sigs=sigs, id_col="doc_id")
+    assert hits.filter(F.col("new_id") == F.col("corpus_id")).count() > 0
