@@ -1214,6 +1214,21 @@ def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_prune(docs, frac=0.3)
 
 
+def q_quality_prune2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME pruning contract on the mega-strata plan:
+    mega_strata_threshold=1 forces the two-phase exact rank (broadcast
+    per-stratum counts + sample-sort range partitioning + offset-priced
+    Arrow-batched rank — no per-stratum window task).  Shares
+    quality_prune's oracle verbatim: the two plans must be
+    row-identical, and the driver gate proves it, not just pytest."""
+    from shapefile_rs_spark.operators.curation import quality_prune
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_chars").alias("quality")
+    )
+    return quality_prune(docs, frac=0.3, mega_strata_threshold=1)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs (multi-index: 4 blocks of a
     60-bit fingerprint, exact popcount refine at radius 2) over the planted
@@ -1353,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "host_cap": q_host_cap,
         "quality_prune": q_quality_prune,
+        "quality_prune2": q_quality_prune2,
         "dup_coverage": q_dup_coverage,
         "incr_neardup": q_incr_neardup,
     }
@@ -1802,6 +1818,7 @@ FROM stepped
         "simhash_pairs": _simhash_pairs_oracle(),
         "host_cap": _host_cap_oracle(),
         "quality_prune": _quality_prune_oracle(),
+        "quality_prune2": _quality_prune_oracle(),
         "dup_coverage": _dup_coverage_oracle(),
         "incr_neardup": _incr_neardup_oracle(),
         "decontaminate": _decontaminate_oracle(),

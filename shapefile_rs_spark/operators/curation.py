@@ -333,6 +333,7 @@ def quality_prune(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     order_col: str = "quality",
+    mega_strata_threshold: int | None = None,
 ) -> DataFrame:
     """Keep the best ``frac`` fraction of documents per stratum by score —
     the FineWeb-style move of thresholding a quality signal at a corpus
@@ -347,18 +348,46 @@ def quality_prune(
     stratum) and ``n_stratum`` so callers can re-threshold downstream
     without re-ranking.
 
-    Scale shape: ONE shuffle on the stratum key serves both windows (rank
-    and count share the partitioning); languages are few → each stratum is
-    huge, so at 100 TB swap the count window for a broadcast of the tiny
-    per-stratum count table computed by a map-side-combined groupBy, and
-    salt the rank window only if a single stratum exceeds a partition
-    (ranks within a stratum are order-stable under the same total order,
-    so a two-phase sample-sort assigns exact global ranks — the
-    pip_join_salted treatment)."""
+    Scale shape: the default (``mega_strata_threshold=None``) is ONE
+    shuffle on the stratum key serving both windows (rank and count share
+    the partitioning) — correct while every stratum fits a partition.
+    But languages are few → strata are huge: a single window partition
+    per stratum serializes the rank of a 10 TB 'en' stratum through one
+    task.  Set ``mega_strata_threshold`` to the per-partition row budget
+    and, when any stratum's count exceeds it, the operator switches to
+    the TWO-PHASE exact rank:
+
+    1. per-stratum counts by map-side-combined ``groupBy`` (tiny: one row
+       per language), rebuilt as a VALUES literal and **broadcast**-joined
+       back for ``n_stratum`` — no count window;
+    2. a range repartition on (stratum, score desc NULLS LAST, id) — the
+       sample-sort boundary pass; Spark samples split points, so a mega
+       stratum spreads over MANY partitions in global sort order;
+    3. one tiny collect of per-(partition, stratum) counts prices each
+       partition's rank offset exactly (the summed-area-table move from
+       knn_cells), and an Arrow-batched pass assigns
+       ``q_rank = offset + within-partition position`` — exact global
+       ranks, identical to the window spelling row-for-row, with no
+       single-task stratum anywhere.
+
+    Both paths produce identical output (pinned by pytest at a forced
+    threshold and by the driver oracle row); the threshold only picks the
+    plan."""
     from pyspark.sql import Window
 
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac {frac} outside [0, 1]")
+    if mega_strata_threshold is not None:
+        counts = {
+            r["s"]: r["n"]
+            for r in df.groupBy(F.col(strata_col).alias("s"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if counts and max(counts.values()) > mega_strata_threshold:
+            return _quality_prune_two_phase(
+                df, frac, strata_col, id_col, order_col, counts
+            )
     # explicit NULLS LAST for the same config-drift reason host_cap
     # documents (DuckDB's default_null_order is a session setting):
     # unscored docs must not outrank scored ones
@@ -369,6 +398,99 @@ def quality_prune(
     return (
         df.withColumn("q_rank", F.row_number().over(w))
         .withColumn("n_stratum", F.count(F.lit(1)).over(wc))
+        .filter(F.col("q_rank") <= F.ceil(F.col("n_stratum") * F.lit(frac)))
+    )
+
+
+def _quality_prune_two_phase(
+    df: DataFrame,
+    frac: float,
+    strata_col: str,
+    id_col: str,
+    order_col: str,
+    counts: Dict,
+) -> DataFrame:
+    """Exact per-stratum ranks without a per-stratum window partition —
+    see :func:`quality_prune` for the three-step shape.  ``counts`` is the
+    already-collected per-stratum row count (strata are few by the
+    operator's premise, so both the dict and the VALUES rebuild are
+    tiny)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from .knn import _values_df
+
+    spark = df.sparkSession
+    par = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    # sample-sort boundary pass: range partitioning samples split points,
+    # so one mega stratum spans many partitions in global (stratum, score
+    # desc, id) order — the exact order the window spelling ranks in
+    sort_keys = [
+        F.col(strata_col).asc(),
+        F.col(order_col).desc_nulls_last(),
+        F.col(id_col).asc(),
+    ]
+    ordered = (
+        df.repartitionByRange(par, *sort_keys)
+        .sortWithinPartitions(*sort_keys)
+        .persist()
+    )
+    ordered.count()  # materialize: the offset probe and the rank pass both read it
+    # tiny control frame: one row per (partition, stratum) — bounded by
+    # partitions + strata, never by data size
+    pid_counts = (
+        ordered.groupBy(
+            F.spark_partition_id().alias("_pid"), F.col(strata_col).alias("_s")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    offsets: dict = {}
+    running: dict = {}
+    for r in sorted(pid_counts, key=lambda r: r["_pid"]):
+        offsets[(r["_pid"], r["_s"])] = running.get(r["_s"], 0)
+        running[r["_s"]] = running.get(r["_s"], 0) + r["_n"]
+
+    schema = StructType(ordered.schema.fields + [StructField("q_rank", IntegerType(), False)])
+
+    def rank_gen(batches):
+        pid = TaskContext.get().partitionId()
+        carried: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes, uniques = pd.factorize(pdf[strata_col], use_na_sentinel=False)
+            keys = [None if pd.isna(u) else u for u in uniques]
+            base = np.asarray(
+                [offsets.get((pid, s), 0) + carried.get(s, 0) for s in keys],
+                dtype=np.int64,
+            )
+            within = pdf.groupby(codes, sort=False).cumcount().to_numpy()
+            out = pdf.copy()
+            out["q_rank"] = (base[codes] + within + 1).astype(np.int32)
+            per_key = np.bincount(codes, minlength=len(keys))
+            for s, n in zip(keys, per_key):
+                carried[s] = carried.get(s, 0) + int(n)
+            yield out
+
+    ranked = ordered.mapInPandas(rank_gen, schema=schema)
+    counts_df = _values_df(
+        spark,
+        sorted(counts.items(), key=lambda kv: (kv[0] is None, str(kv[0]))),
+        ["_cs", "n_stratum"],
+        casts=[df.schema[strata_col].dataType.simpleString(), "bigint"],
+    )
+    # eqNullSafe: a NULL stratum is a real group for the window spelling
+    # (partitionBy groups nulls), so the count join must not drop it
+    return (
+        ranked.join(
+            F.broadcast(counts_df),
+            F.col(strata_col).eqNullSafe(F.col("_cs")),
+            "inner",
+        )
+        .select(*df.columns, "q_rank", "n_stratum")
         .filter(F.col("q_rank") <= F.ceil(F.col("n_stratum") * F.lit(frac)))
     )
 

@@ -818,6 +818,38 @@ def test_dup_coverage_short_doc_clamps_at_doc_end(spark):
     assert all(r["dup_cov_frac"] <= 1.0 for r in got.values())
 
 
+def test_quality_prune_two_phase_matches_window_path(spark, sf_dir):
+    """mega_strata_threshold forces the sample-sort two-phase rank; its
+    (q_rank, n_stratum, keep-set) must be row-identical to the window
+    spelling — including score ties, NULL scores (rank last), and a NULL
+    stratum (its own group, not dropped by the count join)."""
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators.curation import quality_prune
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.col("n_chars").alias("quality")
+    )
+    # threshold=1: every stratum is "mega", the two-phase path runs
+    for frame in (
+        docs,
+        spark.createDataFrame(
+            [
+                (1, "en", 10), (2, "en", 10), (3, "en", None), (4, "en", 7),
+                (5, None, 9), (6, None, None), (7, "de", 1),
+            ],
+            "doc_id bigint, lang string, quality bigint",
+        ),
+    ):
+        two = {tuple(r) for r in quality_prune(frame, 0.5, mega_strata_threshold=1).collect()}
+        win = {tuple(r) for r in quality_prune(frame, 0.5).collect()}
+        assert two == win and len(win) > 0
+    # below-threshold strata stay on the window plan and still match
+    small = {tuple(r) for r in quality_prune(docs, 0.3, mega_strata_threshold=10**9).collect()}
+    base = {tuple(r) for r in quality_prune(docs, 0.3).collect()}
+    assert small == base
+
+
 def test_hashed_key_paths_match_string_key_paths(spark, sf_dir):
     """hash_keys=True (the int64-exchange default) must produce row-for-row
     identical output to the raw-string grouping — the collision-free case,

@@ -165,6 +165,23 @@ def test_simhash_pairs_joins_checkpointed_banded_frame(spark, sf_dir):
     assert "ExistingRDD" in plan
 
 
+def test_quality_prune_two_phase_broadcasts_counts(spark, sf_dir):
+    """The mega-strata path must attach n_stratum via a BROADCAST join of
+    the tiny per-stratum count table (no count window, whose exchange
+    would serialize each stratum through one partition) and rank over a
+    RANGE partitioning (the sample-sort boundary pass)."""
+    from shapefile_rs_spark.operators.curation import quality_prune
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.col("n_chars").alias("quality")
+    )
+    plan = _plan(quality_prune(docs, 0.3, mega_strata_threshold=1))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" in plan
+    # no per-stratum window anywhere in the two-phase plan
+    assert "Window" not in plan
+
+
 def test_span_dedup_exchange_carries_long_key(spark, sf_dir):
     """With hash_keys (the default) the corpus-count shuffle must carry an
     int64 xxhash64 key, never the raw span string — ~8× shuffle volume at
