@@ -818,6 +818,85 @@ def test_dup_coverage_short_doc_clamps_at_doc_end(spark):
     assert all(r["dup_cov_frac"] <= 1.0 for r in got.values())
 
 
+def test_simhash_width_ceiling_rejected_at_every_entry_point(spark):
+    """The 60-bit fingerprint ceiling is a CROSS-ENGINE invariant (token
+    hashes carry 60 informative bits; bit 63 wraps the int64 sign and
+    diverges Spark shiftright from DuckDB //).  A future widening attempt
+    must fail loudly at every entry point — Spark operators AND oracle
+    builders — not silently mismatch the gate."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "id bigint, text string")
+    hs = F.lit(None).cast("array<long>")
+    for bits, bands in ((61, 1), (64, 4)):
+        for attempt in (
+            lambda: D.simhash(docs, id_col="id", bits=bits),
+            lambda: D.simhash_banded(docs, id_col="id", bits=bits, bands=bands),
+            lambda: D.simhash_pairs(docs, id_col="id", bits=bits, bands=bands),
+            lambda: D.simhash_from_hashes(hs, bits=bits),
+            lambda: D.simhash_from_hashes_expr(hs, bits=bits),
+            lambda: D.simhash_sql("text", bits=bits),
+            lambda: D.simhash_pairs_sql("SELECT * FROM t", bits=bits, bands=bands),
+        ):
+            with _pytest.raises(AssertionError):
+                attempt()
+
+
+def test_dedup_clusters_threshold_boundary_job_counts(spark):
+    """Pin the driver/distributed switchover AT the threshold.  N ≤
+    threshold pairs: the limit(N+1) probe IS the fetch — every job in
+    the group must come from the probe's ONE collect call site, and the
+    total task count must not exceed the input's partition count (a
+    count()-then-collect() regression evaluates the frame twice: a
+    second call site and ≥2× the tasks; CollectLimitExec's incremental
+    partition scan-up legitimately splits the ONE action into more than
+    one job, so a bare job count would misfire).  N = threshold+1 falls
+    through to the distributed loop.  Both sides produce the identical
+    chain component."""
+    from shapefile_rs_spark.operators.dedup import dedup_clusters
+
+    sc = spark.sparkContext
+    thr = 10
+    chain = [(i, i + 1) for i in range(thr)]  # exactly thr pairs
+
+    def run_grouped(pairs_rows, group):
+        pairs = spark.createDataFrame(pairs_rows, "id_a bigint, id_b bigint")
+        n_parts = pairs.rdd.getNumPartitions()
+        sc.setJobGroup(group, group)
+        try:
+            out = dedup_clusters(pairs, driver_threshold=thr)
+        finally:
+            sc.setJobGroup("", "")
+        st = sc.statusTracker()
+        sites, tasks = set(), 0
+        for j in st.getJobIdsForGroup(group):
+            for s in st.getJobInfo(j).stageIds:
+                info = st.getStageInfo(s)
+                if info:
+                    sites.add(info.name)
+                    tasks += info.numTasks
+        sites = {s for s in sites if s}
+        return out, sites, tasks, n_parts
+
+    out_drv, sites, tasks, n_parts = run_grouped(chain, "uf-at-threshold")
+    # one distinct call site (the probe's collect), no partition read twice
+    call_lines = {s for s in sites if "collect at" in s}
+    assert len(call_lines) == 1, f"expected the single probe call site, saw {sites}"
+    assert tasks <= n_parts, f"{tasks} tasks over {n_parts} partitions: double evaluation"
+    rows = {tuple(r) for r in out_drv.collect()}
+    assert rows == {(i, 0) for i in range(thr + 1)}
+
+    out_dist, sites_d, _, _ = run_grouped(chain + [(thr, thr + 1)], "uf-over-threshold")
+    assert len({s for s in sites_d if "collect at" in s or "checkpoint" in s.lower()}) > 1, (
+        "threshold+1 pairs must take the distributed loop"
+    )
+    rows = {tuple(r) for r in out_dist.collect()}
+    assert rows == {(i, 0) for i in range(thr + 2)}
+
+
 def test_quality_prune_two_phase_matches_window_path(spark, sf_dir):
     """mega_strata_threshold forces the sample-sort two-phase rank; its
     (q_rank, n_stratum, keep-set) must be row-identical to the window
