@@ -209,7 +209,16 @@ class CheckpointedPipeline:
         """Incremental append: anti-join the new batch's keys against the
         committed stage (resume-delta = ``left_anti`` on lineage keys,
         SURVEY §2.2 set-ops row) and commit only the unseen rows as a new
-        snapshot of the same stage."""
+        snapshot of the same stage.
+
+        Crash safety (single-writer, like the manifest replace itself):
+        a retry after ANY kill — even with a DIFFERENT batch — never
+        publishes a torn append.  A delta staging dir whose write
+        completed (``_SUCCESS`` present) is ADOPTED whole during GC: its
+        unmoved files move into the data dir, so a kill mid-move leaves
+        the FULL anti-joined batch on disk for the reconcile commit
+        below, never half of it.  An incomplete write (no ``_SUCCESS``)
+        is deleted."""
         if not self.completed(stage):
             return self.run_stage(stage, lambda: new_df)
         # delta-orphan GC, the append-path twin of run_stage's staging GC:
@@ -221,7 +230,21 @@ class CheckpointedPipeline:
         base = os.path.basename(data_dir)
         for name in os.listdir(stage_dir):
             if name.startswith(base + ".delta."):
-                shutil.rmtree(os.path.join(stage_dir, name), ignore_errors=True)
+                orphan = os.path.join(stage_dir, name)
+                if os.path.exists(os.path.join(orphan, "_SUCCESS")):
+                    # completed write → the batch was a valid anti-joined
+                    # delta; finish its interrupted move so the reconcile
+                    # commit publishes the whole batch (deleting instead
+                    # would tear a half-moved append)
+                    for fname in os.listdir(orphan):
+                        if fname.endswith(".parquet"):
+                            os.replace(
+                                os.path.join(orphan, fname),
+                                os.path.join(
+                                    data_dir, f"delta-{uuid.uuid4().hex}-{fname}"
+                                ),
+                            )
+                shutil.rmtree(orphan, ignore_errors=True)
         # crash-RECONCILE for the post-move window: a kill AFTER the file
         # moves but BEFORE the commit leaves data files in the stage dir
         # that no snapshot lists — and the retry's empty-delta early
@@ -238,13 +261,16 @@ class CheckpointedPipeline:
         on_disk = set(self._stage_files(stage))
         if on_disk - listed:
             rows = self.spark.read.parquet(data_dir).count()
-            prev = manifest["stages"][stage]
             self._commit(
                 stage,
                 {
                     "path": data_dir,
                     "rows": rows,
-                    "partitions": prev["partitions"],
+                    # rows were recounted from disk but the writing job's
+                    # partitioning is gone — recording the PREVIOUS entry's
+                    # count here would be stale (the delta files were
+                    # added); unknown is the only honest value
+                    "partitions": None,
                     "wall_ms": 0,  # recovery commit, no compute of its own
                 },
                 files=sorted(on_disk),

@@ -299,6 +299,15 @@ def _assign_centroids_broadcast(
     sel = [F.col(vec_id), _as_double(F.col(vec_col)).alias("_v")]
     pairs = vectors.select(*sel).join(F.broadcast(c), how="cross")
     scored = pairs.withColumn("_cos", cosine_pd(F.col("_v"), F.col("_c")))
+    # undefined cosines (zero-norm vector or dead centroid) produce NO
+    # assignment — same contract as the closure path's -inf mask.  The
+    # pandas UDF's NaN arrives as NULL through Arrow (from_pandas maps
+    # float NaN to null), which desc would rank LAST rather than drop —
+    # and a genuine Spark-side NaN would rank FIRST (NaN sorts as the
+    # largest double).  Exclude both spellings explicitly.
+    scored = scored.filter(
+        F.col("_cos").isNotNull() & ~F.isnan(F.col("_cos"))
+    )
     w = Window.partitionBy(vec_id).orderBy(
         F.col("_cos").desc(), F.col(centroid_id).asc()
     )
@@ -388,27 +397,32 @@ def assign_centroids(
             # candidates (n_assign>1).
             chunk = max(1, _chunk_elems // max(B, 1))
             # NaN scores (zero-norm vector OR zero-norm centroid — an empty
-            # k-means cluster) demote to -inf so they rank LAST everywhere:
-            # a raw np.argmax treats NaN as maximal, which would let one
-            # dead centroid in a chunk swallow that chunk's real best and
-            # diverge from the lexsort and broadcast paths (which already
-            # rank NaN last).
+            # k-means cluster) demote to -inf so they rank LAST everywhere
+            # (a raw np.argmax treats NaN as maximal, which would let one
+            # dead centroid in a chunk swallow that chunk's real best), and
+            # any assignment whose final score is still -inf is DROPPED:
+            # an undefined cosine produces no assignment, the same contract
+            # the broadcast path enforces with its isnan filter.  The
+            # targeted isnan write (not nan_to_num) leaves genuine ±inf
+            # scores alone — impossible for cosines of finite input, but a
+            # latent rewrite trap if upstream ever ships inf components.
             if n_assign == 1:
                 best_s = np.full(B, -np.inf)
                 best = np.zeros((B, 1), dtype=np.int64)
                 for lo in range(0, len(cid_arr), chunk):
                     S = Vn @ Cn[lo : lo + chunk].T
-                    np.nan_to_num(S, copy=False, nan=-np.inf)
+                    S[np.isnan(S)] = -np.inf
                     loc = np.argmax(S, axis=1)  # first max = lowest cid
                     s = S[np.arange(B), loc]
                     upd = s > best_s  # strict: earlier (lower) cid wins ties
                     best_s[upd] = s[upd]
                     best[upd, 0] = loc[upd] + lo
+                valid = best_s[:, None] > -np.inf
             else:
                 cand_s, cand_i = [], []
                 for lo in range(0, len(cid_arr), chunk):
                     S = Vn @ Cn[lo : lo + chunk].T
-                    np.nan_to_num(S, copy=False, nan=-np.inf)
+                    S[np.isnan(S)] = -np.inf
                     # stable (cos desc, cid asc) order per row within chunk
                     order = np.lexsort(
                         (np.broadcast_to(np.arange(S.shape[1]), S.shape), -S),
@@ -420,14 +434,17 @@ def assign_centroids(
                 Ic = np.concatenate(cand_i, axis=1)
                 order = np.lexsort((Ic, -Sc), axis=1)[:, :n_assign]
                 best = np.take_along_axis(Ic, order, axis=1)
+                valid = np.take_along_axis(Sc, order, axis=1) > -np.inf
             reps = best.shape[1]
+            mask = valid.ravel()
             out = {
-                vec_id: np.repeat(pdf[vec_id].to_numpy(), reps),
-                centroid_id: cid_arr[best].ravel(),
+                vec_id: np.repeat(pdf[vec_id].to_numpy(), reps)[mask],
+                centroid_id: cid_arr[best].ravel()[mask],
             }
             if carry_vec:
                 vs = [r.astype(np.float64) for r in V]
-                out["_v"] = [v for v in vs for _ in range(reps)]
+                flat = [v for v in vs for _ in range(reps)]
+                out["_v"] = [v for v, ok in zip(flat, mask) if ok]
             yield pd.DataFrame(out)
 
     return vectors.select(vec_id, vec_col).mapInPandas(assign, schema=out_schema)

@@ -133,6 +133,35 @@ def test_delta_orphan_cleaned_on_append(spark, tmp_path):
         assert all(".delta." not in os.path.basename(os.path.dirname(f)) for f in s["files"])
 
 
+def test_delta_midmove_crash_adopts_completed_staging(spark, tmp_path):
+    """A kill MID file-move leaves a COMPLETED staging dir (_SUCCESS
+    present) with half its files moved.  A retry — even with a DIFFERENT
+    batch — must publish the WHOLE interrupted batch, not delete the
+    unmoved half (which would silently commit a torn append)."""
+    import glob
+    import shutil as _sh
+
+    root = str(tmp_path)
+    pipe = CheckpointedPipeline(spark, root)
+    pipe.run_stage("s", lambda: spark.range(10))
+    data_dir = pipe.stage_path("s")
+
+    # a real completed delta write (ids 10..14, two files), then simulate
+    # the crash: one file moved in, one left behind in staging
+    orphan = data_dir + ".delta.deadbeef"
+    spark.range(10, 15).repartition(2).write.parquet(orphan)
+    parts = sorted(glob.glob(os.path.join(orphan, "*.parquet")))
+    assert len(parts) >= 2 and os.path.exists(os.path.join(orphan, "_SUCCESS"))
+    _sh.move(parts[0], os.path.join(data_dir, "delta-moved-" + os.path.basename(parts[0])))
+
+    # retry with a DIFFERENT batch from a fresh process
+    out = CheckpointedPipeline(spark, root).append_delta("s", spark.range(15, 20), ["id"])
+    assert not os.path.exists(orphan)
+    assert out.count() == 20
+    assert {r["id"] for r in out.collect()} == set(range(20))  # no torn 10..14
+    assert CheckpointedPipeline(spark, root).read_snapshot("s").count() == 20
+
+
 def test_delta_postmove_crash_reconciles_manifest(spark, tmp_path, monkeypatch):
     """The OTHER append_delta crash window: killed AFTER the delta files
     moved into the data dir but BEFORE the commit.  The retry's anti-join

@@ -640,6 +640,32 @@ def test_assign_centroids_dead_centroid_ranks_last(spark):
     assert not any(cid == 0 for _, cid in whole)
 
 
+def test_assign_centroids_zero_norm_vector_gets_no_assignment(spark):
+    """A zero-norm VECTOR has no defined cosine to anything — it must
+    produce NO assignment row on every path (advice finding: the closure
+    path's zero-initialized best index silently assigned it to the lowest
+    centroid id; the broadcast path's NULL score ranked it arbitrarily).
+    Live vectors are unaffected, n_assign 1 and 2, all three paths."""
+    from shapefile_rs_spark.operators.similarity import assign_centroids
+
+    rng = np.random.default_rng(37)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    vecs.append((99, [0.0] * 8))  # the zero-norm vector
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+    for n_assign in (1, 2):
+        for kw in ({}, {"_chunk_elems": 1}, {"closure_max_centroids": 0}):
+            rows = assign_centroids(emb, centroids, n_assign=n_assign, **kw).collect()
+            by_vec = {}
+            for r in rows:
+                by_vec.setdefault(r["vec_id"], []).append(r["centroid_id"])
+            assert 99 not in by_vec, f"zero-norm vector assigned via {kw}"
+            assert all(len(v) == n_assign for k, v in by_vec.items())
+            assert len(by_vec) == 20
+
+
 def test_ivf_topk_broadcast_assignment_unchanged(spark):
     """ivf_topk results are identical whichever assignment path runs."""
     from shapefile_rs_spark.operators.similarity import ivf_topk
