@@ -780,6 +780,38 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_topk_ppt(corpus_rows: int) -> int:
+    """Planes per table for the LSH top-k query: two fewer than the
+    near-dup rule (≈4 in-bucket candidates per table instead of ~1), so
+    the 4-table OR union offers each query a real candidate pool.  The
+    DuckDB oracle computes the SAME expression in SQL."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(corpus_rows, 2))) - 2)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the third similarity-search mode:
+    brute-force scans all, IVF probes learned cells, LSH needs no
+    training — candidates are vectors sharing a hyperplane bucket with
+    the query in any of 4 OR-amplified tables; exact cosine ranks only
+    the candidates).  Rank-only output, the ann convention."""
+    from shapefile_rs_spark.operators.similarity import ann_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    ppt = _lsh_topk_ppt(_emb_rows(spark, sf_dir))
+    planes = emb.filter(F.col("vec_id") < _NEARDUP_TABLES * ppt).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
+    )
+    return ann_lsh_topk(
+        emb,
+        _emb_queries(spark, sf_dir),
+        planes,
+        k=5,
+        n_tables=_NEARDUP_TABLES,
+    )
+
+
 _EMB_ROWS: dict = {}
 
 
@@ -1351,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf2": q_ann_ivf2,
         "embed_neardup": q_embed_neardup,
+        "ann_lsh": q_ann_lsh,
         "text_quality": q_text_quality,
         "winnow_fp": q_winnow_fp,
         "char_minhash": q_char_minhash,
@@ -1715,6 +1748,39 @@ SELECT query_id, vec_id, rnk FROM (
   FROM q JOIN qa USING (query_id)
          JOIN va ON va.centroid_id = qa.centroid_id
          JOIN v ON v.vec_id = va.vec_id
+) WHERE rnk <= 5
+""",
+        "ann_lsh": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+params AS (
+  -- same max(4, ceil(log2 N) - 2) rule as _lsh_topk_ppt
+  SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INTEGER) - 2) AS ppt
+  FROM embeddings
+),
+planes AS (
+  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id < 4 * (SELECT ppt FROM params)
+),
+vb AS (
+  -- 4 OR-amplified tables: table = pid // ppt, bit = pid % ppt
+  SELECT v.vec_id AS id,
+         CAST(p.pid AS INTEGER) // (SELECT ppt FROM params) AS tbl,
+         SUM(CASE WHEN list_dot_product(v.ve, p.pe) > 0
+                  THEN (1 << (CAST(p.pid AS INTEGER) % (SELECT ppt FROM params)))
+                  ELSE 0 END) AS bucket
+  FROM v CROSS JOIN planes p GROUP BY v.vec_id, tbl
+),
+q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 4),
+qb AS (SELECT id AS query_id, tbl, bucket FROM vb WHERE id < 4),
+cands AS (
+  SELECT DISTINCT qb.query_id, vb.id AS vec_id
+  FROM vb JOIN qb ON vb.tbl = qb.tbl AND vb.bucket = qb.bucket
+)
+SELECT query_id, vec_id, rnk FROM (
+  SELECT c.query_id, c.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(v.ve, q.qe) DESC, c.vec_id ASC) AS rnk
+  FROM cands c JOIN v ON v.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
 ) WHERE rnk <= 5
 """,
         "embed_neardup": """

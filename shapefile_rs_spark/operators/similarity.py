@@ -216,6 +216,76 @@ def hyperplane_buckets(
     return vectors.select(vec_id, vec_col).mapInPandas(bucket, schema=b_schema)
 
 
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    planes: DataFrame,
+    k: int,
+    n_tables: int = 1,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "q_embedding",
+    plane_id: str = "plane_id",
+    plane_col: str = "p_embedding",
+) -> DataFrame:
+    """(query_id, vec_id, rnk): approximate cosine top-k over the LSH
+    candidate set — vectors sharing ≥1 hyperplane bucket with the query
+    in ANY of the ``n_tables`` OR-amplified tables.  The third
+    similarity-search mode beside :func:`cosine_topk` (exact, scans
+    everything) and :func:`ivf_topk` (probes learned cells): bucketing
+    needs no training pass, recall dials with L·p exactly as in
+    :func:`embedding_neardup_pairs` (same bucket construction, same
+    math), and may return FEWER than k rows when a query's buckets hold
+    fewer candidates — the standard ANN recall trade.
+
+    Scale shape: the 100 TB side is ONE map-only bucket scan (L int64
+    rows per vector); the query side (tiny by contract) buckets the same
+    way and BROADCASTS, so no corpus-side shuffle exists before the
+    candidate distinct — whose input is only O(q · bucket population).
+    Exact cosine then scores candidates only; undefined cosines
+    (zero-norm) are dropped, the :func:`cosine_topk` convention."""
+    vb = hyperplane_buckets(
+        vectors, planes, n_tables=n_tables,
+        vec_id=vec_id, vec_col=vec_col, plane_id=plane_id, plane_col=plane_col,
+    )
+    qb = hyperplane_buckets(
+        queries, planes, n_tables=n_tables,
+        vec_id=query_id, vec_col=query_col, plane_id=plane_id, plane_col=plane_col,
+    )
+    cands = (
+        vb.select(F.col("_id").alias(vec_id), "_tbl", "_bucket")
+        .join(
+            F.broadcast(qb.select(F.col("_id").alias(query_id), "_tbl", "_bucket")),
+            ["_tbl", "_bucket"],
+        )
+        .select(query_id, vec_id)
+        .distinct()
+    )
+    ve = vectors.select(F.col(vec_id), _as_double(F.col(vec_col)).alias("_e"))
+    qe = queries.select(F.col(query_id), _as_double(F.col(query_col)).alias("_q"))
+    # candidates are O(q · bucket population) — broadcast them so the
+    # corpus embedding fetch is a broadcast probe, not a corpus shuffle
+    scored = (
+        ve.join(F.broadcast(cands), vec_id)
+        .join(F.broadcast(qe), query_id)
+        .withColumn("_cos", cosine_pd(F.col("_e"), F.col("_q")))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("_cos").desc(), F.col(vec_id).asc()
+    )
+    # undefined cosines (zero-norm): the pandas UDF's NaN arrives as NULL
+    # through Arrow, and desc is NULLS LAST — so dropping them AFTER the
+    # window leaves valid ranks untouched while keeping the scoring UDF
+    # evaluated ONCE (a pre-window filter on the UDF column makes
+    # Catalyst evaluate it twice: once in the filter, once projected)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= k) & F.col("_cos").isNotNull())
+        .select(query_id, vec_id, "rnk")
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     planes: DataFrame,
@@ -299,22 +369,20 @@ def _assign_centroids_broadcast(
     sel = [F.col(vec_id), _as_double(F.col(vec_col)).alias("_v")]
     pairs = vectors.select(*sel).join(F.broadcast(c), how="cross")
     scored = pairs.withColumn("_cos", cosine_pd(F.col("_v"), F.col("_c")))
-    # undefined cosines (zero-norm vector or dead centroid) produce NO
-    # assignment — same contract as the closure path's -inf mask.  The
-    # pandas UDF's NaN arrives as NULL through Arrow (from_pandas maps
-    # float NaN to null), which desc would rank LAST rather than drop —
-    # and a genuine Spark-side NaN would rank FIRST (NaN sorts as the
-    # largest double).  Exclude both spellings explicitly.
-    scored = scored.filter(
-        F.col("_cos").isNotNull() & ~F.isnan(F.col("_cos"))
-    )
     w = Window.partitionBy(vec_id).orderBy(
         F.col("_cos").desc(), F.col(centroid_id).asc()
     )
     out = [vec_id, centroid_id] + (["_v"] if carry_vec else [])
+    # undefined cosines (zero-norm vector or dead centroid) produce NO
+    # assignment — same contract as the closure path's -inf mask.  The
+    # pandas UDF's NaN arrives as NULL through Arrow (from_pandas maps
+    # float NaN to null) and desc is NULLS LAST, so dropping AFTER the
+    # window leaves valid ranks untouched AND keeps the cosine UDF
+    # evaluated once (a pre-window filter on the UDF column makes
+    # Catalyst evaluate it in the filter and again in the projection).
     return (
         scored.withColumn("_rnk", F.row_number().over(w))
-        .filter(F.col("_rnk") <= n_assign)
+        .filter((F.col("_rnk") <= n_assign) & F.col("_cos").isNotNull())
         .select(*out)
     )
 

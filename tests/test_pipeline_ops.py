@@ -666,6 +666,68 @@ def test_assign_centroids_zero_norm_vector_gets_no_assignment(spark):
             assert len(by_vec) == 20
 
 
+def test_ann_lsh_topk_candidates_and_order(spark):
+    """LSH top-k: every returned row is a true bucket-mate of its query;
+    a query present in the corpus returns itself at rank 1 (it shares all
+    its own buckets); ranks within the result agree with the EXACT cosine
+    order restricted to the candidate set (verified against a brute-force
+    rescore); queries with thin buckets legitimately return < k rows."""
+    from shapefile_rs_spark.operators.similarity import ann_lsh_topk
+
+    rng = np.random.default_rng(41)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(80):
+        v = base[i % 4] + rng.normal(scale=0.05, size=16)  # 4 tight clusters
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    planes = emb.filter(F.col("vec_id") >= 60).select(
+        (F.col("vec_id") - 60).alias("plane_id"), F.col("embedding").alias("p_embedding")
+    )  # 20 planes → 4 tables × 5 planes
+    got = ann_lsh_topk(emb, queries, planes, k=5, n_tables=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"]))
+    assert set(by_q) == {0, 1, 2}
+    vecs = {i: np.asarray(v) for i, v in rows}
+    for qid, hits in by_q.items():
+        hits.sort()
+        assert hits[0] == (1, qid)  # self shares every bucket → rank 1
+        assert len(hits) <= 5
+        # exact-cosine order over the returned ids matches the ranks
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        scored = sorted(
+            ((-cos(vecs[qid], vecs[vid]), vid) for _, vid in hits)
+        )
+        assert [vid for _, vid in scored] == [vid for _, vid in hits]
+
+
+def test_ann_lsh_topk_broadcasts_query_buckets(spark):
+    """The candidate join must broadcast the tiny query-side bucket frame
+    — the corpus side is never shuffled before the candidate distinct."""
+    from shapefile_rs_spark.operators.similarity import ann_lsh_topk
+
+    rng = np.random.default_rng(43)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
+    )
+    plan = ann_lsh_topk(emb, queries, planes, k=3, n_tables=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the cosine rescore runs ONCE (a pre-window null filter on the UDF
+    # column made Catalyst evaluate the scoring UDF twice)
+    assert plan.count("ArrowEvalPython") == 1
+
+
 def test_ivf_topk_broadcast_assignment_unchanged(spark):
     """ivf_topk results are identical whichever assignment path runs."""
     from shapefile_rs_spark.operators.similarity import ivf_topk
