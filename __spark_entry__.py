@@ -799,7 +799,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.similarity import ann_lsh_topk
 
     emb = _emb(spark, sf_dir)
-    ppt = _lsh_topk_ppt(_emb_rows(spark, sf_dir))
+    n = _emb_rows(spark, sf_dir)
+    ppt = _lsh_topk_ppt(n)
+    if n < _NEARDUP_TABLES * ppt:
+        # a short table would yield FEWER planes than the filter implies:
+        # Spark would re-split them into 4 tables of n/4 planes while the
+        # oracle still computes tbl = pid // ppt — silently different
+        # candidate sets.  Fail loudly instead (cannot happen on the
+        # driver fixtures: ppt ≈ log2(n) - 2 ≪ n/4 for n ≥ 64).
+        raise ValueError(
+            f"embeddings table too small for ann_lsh: {n} rows < "
+            f"{_NEARDUP_TABLES} tables × {ppt} planes"
+        )
     planes = emb.filter(F.col("vec_id") < _NEARDUP_TABLES * ppt).select(
         F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
     )
@@ -1193,14 +1204,20 @@ def q_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.select(
         "doc_id", F.concat(F.col("text"), F.lit(" near dup suffix")).alias("text")
     )
-    # stage root keyed by (corpus file identity, signature params): a new
-    # corpus snapshot or a param change gets a fresh stage; same-corpus
-    # reruns resume from the committed parquet.  Single-writer, the
-    # lineage contract (a mid-commit kill leaves only GC-able staging).
+    # stage root keyed by (corpus file identity, signature params, AND the
+    # signature ALGORITHM's code fingerprint): a new corpus snapshot, a
+    # param change, or ANY edit to the shingle/minhash spelling gets a
+    # fresh stage — a stage written by old code can never be silently
+    # joined against new-batch signatures.  Single-writer, the lineage
+    # contract (a mid-commit kill leaves only GC-able staging; do not run
+    # two processes against the same corpus key concurrently).
+    from shapefile_rs_spark.operators.dedup import minhash_algo_fingerprint
+
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
         f"{os.path.realpath(src)}|{os.path.getmtime(src)}|{os.path.getsize(src)}"
-        f"|k={_MINHASH_K}|h={_MINHASH_HASHES}".encode()
+        f"|k={_MINHASH_K}|h={_MINHASH_HASHES}"
+        f"|algo={minhash_algo_fingerprint(_MINHASH_K, _MINHASH_HASHES)}".encode()
     ).hexdigest()[:16]
     pipe = CheckpointedPipeline(
         spark, os.path.join(tempfile.gettempdir(), "spark_graft_sigs", key)
@@ -1781,6 +1798,10 @@ SELECT query_id, vec_id, rnk FROM (
          ROW_NUMBER() OVER (PARTITION BY c.query_id
            ORDER BY list_cosine_similarity(v.ve, q.qe) DESC, c.vec_id ASC) AS rnk
   FROM cands c JOIN v ON v.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+  -- undefined cosines (zero-norm vectors) produce NO result row — the
+  -- operator's contract; without this DuckDB would rank NaN FIRST
+  -- (NaN orders greatest) while Spark drops the NULL-cos candidate
+  WHERE NOT isnan(list_cosine_similarity(v.ve, q.qe))
 ) WHERE rnk <= 5
 """,
         "embed_neardup": """

@@ -365,10 +365,12 @@ def quality_prune(
        stratum spreads over MANY partitions in global sort order;
     3. one tiny collect of per-(partition, stratum) counts prices each
        partition's rank offset exactly (the summed-area-table move from
-       knn_cells), and an Arrow-batched pass assigns
-       ``q_rank = offset + within-partition position`` — exact global
-       ranks, identical to the window spelling row-for-row, with no
-       single-task stratum anywhere.
+       knn_cells); an Arrow-batched pass over ONLY (id, stratum) assigns
+       ``q_rank = offset + within-partition position`` and the ranks
+       join back on the unique non-null id — exact global ranks,
+       identical to the window spelling row-for-row, with no single-task
+       stratum anywhere and no pandas round-trip of payload columns
+       (a nullable int64 over 2^53 would corrupt through float64).
 
     Both paths produce identical output (pinned by pytest at a forced
     threshold and by the driver oracle row); the threshold only picks the
@@ -388,6 +390,17 @@ def quality_prune(
             return _quality_prune_two_phase(
                 df, frac, strata_col, id_col, order_col, counts
             )
+        if counts:
+            # the routing scan already computed the per-stratum counts —
+            # reuse them as a broadcast join instead of discarding the
+            # pass and recomputing the identical counts as a window
+            w = Window.partitionBy(strata_col).orderBy(
+                F.col(order_col).desc_nulls_last(), F.col(id_col).asc()
+            )
+            return _attach_counts_and_filter(
+                df.withColumn("q_rank", F.row_number().over(w)),
+                df, frac, strata_col, counts,
+            )
     # explicit NULLS LAST for the same config-drift reason host_cap
     # documents (DuckDB's default_null_order is a session setting):
     # unscored docs must not outrank scored ones
@@ -398,6 +411,33 @@ def quality_prune(
     return (
         df.withColumn("q_rank", F.row_number().over(w))
         .withColumn("n_stratum", F.count(F.lit(1)).over(wc))
+        .filter(F.col("q_rank") <= F.ceil(F.col("n_stratum") * F.lit(frac)))
+    )
+
+
+def _attach_counts_and_filter(
+    ranked: DataFrame, df: DataFrame, frac: float, strata_col: str, counts: Dict
+) -> DataFrame:
+    """Broadcast the tiny collected per-stratum counts back as
+    ``n_stratum`` (eqNullSafe: a NULL stratum is a real group for the
+    window spelling, so the join must not drop it) and apply the exact
+    ceil threshold — shared by the reuse-counts window route and the
+    two-phase route."""
+    from .knn import _values_df
+
+    counts_df = _values_df(
+        df.sparkSession,
+        sorted(counts.items(), key=lambda kv: (kv[0] is None, str(kv[0]))),
+        ["_cs", "n_stratum"],
+        casts=[df.schema[strata_col].dataType.simpleString(), "bigint"],
+    )
+    return (
+        ranked.join(
+            F.broadcast(counts_df),
+            F.col(strata_col).eqNullSafe(F.col("_cs")),
+            "inner",
+        )
+        .select(*df.columns, "q_rank", "n_stratum")
         .filter(F.col("q_rank") <= F.ceil(F.col("n_stratum") * F.lit(frac)))
     )
 
@@ -413,15 +453,27 @@ def _quality_prune_two_phase(
     """Exact per-stratum ranks without a per-stratum window partition —
     see :func:`quality_prune` for the three-step shape.  ``counts`` is the
     already-collected per-stratum row count (strata are few by the
-    operator's premise, so both the dict and the VALUES rebuild are
-    tiny)."""
+    operator's premise, so both the dict and the VALUES rebuild are tiny).
+
+    Contracts: ``id_col`` must be UNIQUE and NON-NULL (the window
+    spelling's tie-break assumes it too; the rank pass here carries only
+    (id, stratum) through Arrow and joins ranks back on id — a duplicate
+    id would fan the join out).  Ranks are IntegerType on BOTH paths
+    (Spark's row_number is int-typed), so a stratum beyond 2³¹−1 rows is
+    rejected loudly rather than wrapped.  The result frame records the
+    internal cache under ``_sig_caches`` — loop-style callers release it
+    with :func:`..dedup.release_sig_caches` after materializing."""
     import numpy as np
     import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    from .knn import _values_df
-
+    if max(counts.values()) > 2**31 - 1:
+        raise ValueError(
+            "a stratum exceeds 2^31-1 rows: q_rank is IntegerType on both "
+            "the window and two-phase paths (Spark row_number is int) — "
+            "split the stratum or widen the rank contract first"
+        )
     spark = df.sparkSession
     par = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
     # sample-sort boundary pass: range partitioning samples split points,
@@ -453,7 +505,15 @@ def _quality_prune_two_phase(
         offsets[(r["_pid"], r["_s"])] = running.get(r["_s"], 0)
         running[r["_s"]] = running.get(r["_s"], 0) + r["_n"]
 
-    schema = StructType(ordered.schema.fields + [StructField("q_rank", IntegerType(), False)])
+    # the rank pass carries ONLY (id, stratum) through Arrow: a full-row
+    # pass would round-trip every column through pandas, where a nullable
+    # int64 column with any null becomes float64 and silently corrupts
+    # values above 2^53 — only on this path, breaking the row-identical
+    # contract with the window spelling.  A narrow projection of the
+    # cached frame preserves its partitioning and in-partition order.
+    schema = StructType(
+        [ordered.schema[id_col], StructField("q_rank", IntegerType(), False)]
+    )
 
     def rank_gen(batches):
         pid = TaskContext.get().partitionId()
@@ -468,31 +528,17 @@ def _quality_prune_two_phase(
                 dtype=np.int64,
             )
             within = pdf.groupby(codes, sort=False).cumcount().to_numpy()
-            out = pdf.copy()
-            out["q_rank"] = (base[codes] + within + 1).astype(np.int32)
+            ranks = (base[codes] + within + 1).astype(np.int32)
             per_key = np.bincount(codes, minlength=len(keys))
             for s, n in zip(keys, per_key):
                 carried[s] = carried.get(s, 0) + int(n)
-            yield out
+            yield pd.DataFrame({id_col: pdf[id_col], "q_rank": ranks})
 
-    ranked = ordered.mapInPandas(rank_gen, schema=schema)
-    counts_df = _values_df(
-        spark,
-        sorted(counts.items(), key=lambda kv: (kv[0] is None, str(kv[0]))),
-        ["_cs", "n_stratum"],
-        casts=[df.schema[strata_col].dataType.simpleString(), "bigint"],
-    )
-    # eqNullSafe: a NULL stratum is a real group for the window spelling
-    # (partitionBy groups nulls), so the count join must not drop it
-    return (
-        ranked.join(
-            F.broadcast(counts_df),
-            F.col(strata_col).eqNullSafe(F.col("_cs")),
-            "inner",
-        )
-        .select(*df.columns, "q_rank", "n_stratum")
-        .filter(F.col("q_rank") <= F.ceil(F.col("n_stratum") * F.lit(frac)))
-    )
+    ranks = ordered.select(id_col, strata_col).mapInPandas(rank_gen, schema=schema)
+    ranked = ordered.join(ranks, id_col, "inner")
+    out = _attach_counts_and_filter(ranked, df, frac, strata_col, counts)
+    out._sig_caches = [ordered]  # release hook: dedup.release_sig_caches
+    return out
 
 
 def quality_prune_sql(

@@ -279,6 +279,32 @@ def minhash_signatures(
     ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
 
 
+def minhash_algo_fingerprint(k: int, num_hashes: int) -> str:
+    """Cache-invalidation key for COMMITTED signature stages: a hash of
+    the signature algorithm's own source (shingle hashing + minhash
+    reduction), the derived universal-hash parameters, and the (k,
+    num_hashes) config.  Any edit to the signature spelling — a seed
+    change, a hash-width change like the simhash 60-bit widening — moves
+    the fingerprint, so a stage written by OLD code can never be silently
+    joined against new-batch signatures (the staged and recomputed paths
+    must stay bit-identical).  Include this in any on-disk stage path or
+    cache key that outlives the process."""
+    import hashlib
+    import inspect
+
+    blob = "|".join(
+        [
+            inspect.getsource(shingle_token_hashes_pd),
+            inspect.getsource(minhash_from_hashes),
+            str(_mh_params(num_hashes)),
+            f"k={k}",
+            f"h={num_hashes}",
+            f"m={_MERSENNE31}",
+        ]
+    )
+    return hashlib.md5(blob.encode()).hexdigest()[:16]
+
+
 def _persisted_sigs(
     docs: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
 ) -> DataFrame:
@@ -377,12 +403,11 @@ def minhash_banded(
     """(_id, band, band_key): the band frame :func:`minhash_lsh_pairs`
     self-joins on, rebuilt standalone for bucket-population telemetry
     (single consumer — no persist; the operator keeps its own persisted
-    signature frame because banding AND scoring both read it)."""
+    signature frame because banding AND scoring both read it).  Built on
+    :func:`minhash_signatures` — the ONE signature spelling — so the
+    audited buckets cannot drift from the joined (or committed) ones."""
     assert num_hashes % bands == 0
-    sigs = docs.select(
-        F.col(id_col).alias("_id"),
-        shingle_token_hashes_pd(F.col(text_col), k).alias("_hs"),
-    ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
+    sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes)
     return _band_rows(sigs, bands, num_hashes // bands)
 
 

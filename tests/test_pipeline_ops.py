@@ -997,24 +997,39 @@ def test_quality_prune_two_phase_matches_window_path(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", F.col("n_chars").alias("quality")
     )
-    # threshold=1: every stratum is "mega", the two-phase path runs
+    # threshold=1: every stratum is "mega", the two-phase path runs.
+    # The second frame plants a nullable int64 PAYLOAD column holding a
+    # value above 2^53 next to a null: a full-row pandas round-trip would
+    # coerce it to float64 and corrupt it on the two-phase path only
+    # (review finding) — the slim (id, stratum) rank pass must not.
+    big = (1 << 60) + 7
     for frame in (
         docs,
         spark.createDataFrame(
             [
-                (1, "en", 10), (2, "en", 10), (3, "en", None), (4, "en", 7),
-                (5, None, 9), (6, None, None), (7, "de", 1),
+                (1, "en", 10, big), (2, "en", 10, None), (3, "en", None, big + 1),
+                (4, "en", 7, 0), (5, None, 9, big + 2), (6, None, None, None),
+                (7, "de", 1, -big),
             ],
-            "doc_id bigint, lang string, quality bigint",
+            "doc_id bigint, lang string, quality bigint, payload bigint",
         ),
     ):
         two = {tuple(r) for r in quality_prune(frame, 0.5, mega_strata_threshold=1).collect()}
         win = {tuple(r) for r in quality_prune(frame, 0.5).collect()}
         assert two == win and len(win) > 0
-    # below-threshold strata stay on the window plan and still match
+    assert any(r[3] == big for r in two)  # the 2^60 payload survived bit-exact
+    # below-threshold strata stay on the window plan (reusing the routing
+    # scan's counts as the broadcast n_stratum) and still match
     small = {tuple(r) for r in quality_prune(docs, 0.3, mega_strata_threshold=10**9).collect()}
     base = {tuple(r) for r in quality_prune(docs, 0.3).collect()}
     assert small == base
+    # a stratum beyond the int32 rank space is rejected loudly, not wrapped
+    import pytest as _pytest
+
+    from shapefile_rs_spark.operators.curation import _quality_prune_two_phase
+
+    with _pytest.raises(ValueError, match="2\\^31"):
+        _quality_prune_two_phase(docs, 0.5, "lang", "doc_id", "quality", {"en": 2**31})
 
 
 def test_hashed_key_paths_match_string_key_paths(spark, sf_dir):
