@@ -1032,6 +1032,34 @@ def test_quality_prune_two_phase_matches_window_path(spark, sf_dir):
         _quality_prune_two_phase(docs, 0.5, "lang", "doc_id", "quality", {"en": 2**31})
 
 
+def test_quality_prune_two_phase_randomized_equivalence(spark):
+    """Randomized distributions (heavy ties, NULL scores, NULL strata,
+    skewed stratum sizes) × frac ∈ {0, 1/3, 1}: the two-phase rank must
+    equal the window spelling on every draw.  Deterministic seeds — a
+    failure reproduces exactly."""
+    import random
+
+    from shapefile_rs_spark.operators.curation import quality_prune
+
+    for seed in (7, 19, 311):
+        rng = random.Random(seed)
+        langs = ["en", "de", None, "zh", "fr"]
+        rows = [
+            (
+                i,
+                # skew: most rows land in the first stratum
+                langs[min(rng.randrange(len(langs)), rng.randrange(len(langs)))],
+                rng.choice([None] + [rng.randrange(5) for _ in range(3)]),  # many ties
+            )
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string, quality bigint")
+        for frac in (0.0, 1.0 / 3.0, 1.0):
+            two = {tuple(r) for r in quality_prune(df, frac, mega_strata_threshold=1).collect()}
+            win = {tuple(r) for r in quality_prune(df, frac).collect()}
+            assert two == win, f"seed={seed} frac={frac}"
+
+
 def test_hashed_key_paths_match_string_key_paths(spark, sf_dir):
     """hash_keys=True (the int64-exchange default) must produce row-for-row
     identical output to the raw-string grouping — the collision-free case,
