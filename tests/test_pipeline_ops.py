@@ -933,6 +933,18 @@ def test_simhash_width_ceiling_rejected_at_every_entry_point(spark):
                 attempt()
 
 
+def test_minhash_algo_fingerprint_moves_with_params():
+    """The committed-sig-stage cache key must move when the signature
+    config changes (and stay stable across calls) — a stage written under
+    one algorithm can never be silently reused by another."""
+    from shapefile_rs_spark.operators.dedup import minhash_algo_fingerprint
+
+    base = minhash_algo_fingerprint(3, 12)
+    assert base == minhash_algo_fingerprint(3, 12)
+    assert base != minhash_algo_fingerprint(4, 12)
+    assert base != minhash_algo_fingerprint(3, 8)
+
+
 def test_dedup_clusters_threshold_boundary_job_counts(spark):
     """Pin the driver/distributed switchover AT the threshold.  N ≤
     threshold pairs: the limit(N+1) probe IS the fetch — every job in
