@@ -41,3 +41,61 @@ def dedup_stream(
             .drop("_text_md5")
         )
     return hashed.dropDuplicates(["_text_md5"]).drop("_text_md5")
+
+
+def maintain_signature_stage(
+    docs_stream: DataFrame,
+    pipeline_root: str,
+    checkpoint_dir: str,
+    stage: str = "sigs",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    query_name: str = "sig_stage_maintenance",
+):
+    """Keep the COMMITTED corpus MinHash signature stage fresh as recrawl
+    batches land: each micro-batch computes its docs' signatures
+    (:func:`..operators.dedup.minhash_signatures`) and appends only the
+    UNSEEN ids to the lineage stage via ``append_delta``'s keyed
+    anti-join.  The stage the incremental near-dup join reads
+    (``minhash_lsh_join(corpus_sigs=...)``) therefore tracks ingestion —
+    no periodic full re-hash of the corpus ever runs.
+
+    Exactly-once EFFECT under at-least-once delivery: a replayed batch's
+    ids already exist in the stage, so the anti-join appends nothing
+    (the same property the batch jobs rely on for kill/resume), and each
+    append is an atomic manifest commit — a kill mid-append leaves either
+    the old snapshot or the complete new one (``_SUCCESS``-complete
+    staging dirs are adopted whole on retry).  Single-writer: one
+    maintenance query per stage root, the lineage contract.
+
+    Runs with ``trigger(availableNow=True)`` and BLOCKS until the
+    backlog drains — the bounded-replay regime every streaming surface
+    in this module is tested under; a production deployment would swap
+    the trigger for a processing-time one.  Returns the committed stage
+    frame."""
+    from ..lineage import CheckpointedPipeline
+    from ..operators.dedup import minhash_signatures
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipe = CheckpointedPipeline(batch_df.sparkSession, pipeline_root)
+        sigs = minhash_signatures(
+            batch_df.select(id_col, text_col), id_col, text_col, k, num_hashes
+        )
+        pipe.append_delta(stage, sigs, ["_id"])
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_append)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pipe = CheckpointedPipeline(docs_stream.sparkSession, pipeline_root)
+    if not pipe.completed(stage):
+        return None  # zero non-empty batches and no prior stage
+    return pipe.spark.read.parquet(pipe.stage_path(stage))

@@ -135,3 +135,54 @@ def test_dedup_stream_drops_recrawled_copies(spark, sf_dir, tmp_path):
         dedup_stream(stream2, ts_col="ts"), "dedup_stream_wm", str(tmp_path / "ck2")
     )
     assert got2.count() == want
+
+
+def test_maintain_signature_stage_tracks_ingestion(spark, sf_dir, tmp_path):
+    """The committed corpus signature stage follows recrawl ingestion:
+    wave 1 commits signatures for the first docs; wave 2 (new docs PLUS a
+    byte-identical replay of wave 1) appends ONLY the unseen ids; and the
+    incremental near-dup join reads the maintained stage with the corpus
+    text structurally absent — the full streaming recrawl story."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators.dedup import minhash_lsh_join
+    from shapefile_rs_spark.streaming.dedup import maintain_signature_stage
+
+    src = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(src).select("doc_id", "text")
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0).limit(100)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+    land = tmp_path / "landing"
+    land.mkdir()
+    root = str(tmp_path / "pipe")
+    ck = tmp_path / "ck"
+    schema = wave1.schema
+
+    wave1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for f in (tmp_path / "w1").glob("*.parquet"):
+        shutil.copy(f, land / "batch_a.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    sigs = maintain_signature_stage(stream, root, str(ck / "1"))
+    n1 = wave1.count()
+    assert sigs.count() == n1 and sigs.columns == ["_id", "_sig"]
+
+    # wave 2 lands alongside a byte-identical REPLAY of wave 1
+    wave2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for f in (tmp_path / "w2").glob("*.parquet"):
+        shutil.copy(f, land / "batch_b.parquet")
+    shutil.copy(land / "batch_a.parquet", land / "batch_a_replay.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    sigs = maintain_signature_stage(stream, root, str(ck / "2"))
+    assert sigs.count() == n1 + wave2.count()  # replay appended NOTHING
+    assert sigs.select("_id").distinct().count() == n1 + wave2.count()
+
+    # a recrawl batch joins against the maintained stage — no corpus text
+    batch = wave1.limit(20).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    hits = minhash_lsh_join(batch, corpus_sigs=sigs, id_col="doc_id")
+    assert hits.filter(F.col("new_id") == F.col("corpus_id")).count() > 0
