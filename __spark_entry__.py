@@ -749,6 +749,25 @@ def q_ann_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEARDUP_TABLES = 4
 
 
+def _lsh_planes(spark: SparkSession, sf_dir: str, ppt: int) -> DataFrame:
+    """The first ``_NEARDUP_TABLES × ppt`` embeddings as hyperplanes — the
+    ONE guarded spelling for every hyperplane-LSH query: a table with
+    fewer rows than the plane budget would silently yield fewer planes,
+    which hyperplane_buckets re-splits into DIFFERENT tables than the
+    oracle's ``tbl = pid // ppt`` rule assumes (or rejects on
+    divisibility) — candidate sets would diverge with no error."""
+    emb = _emb(spark, sf_dir)
+    n = _emb_rows(spark, sf_dir)
+    if n < _NEARDUP_TABLES * ppt:
+        raise ValueError(
+            f"embeddings table too small for hyperplane LSH: {n} rows < "
+            f"{_NEARDUP_TABLES} tables × {ppt} planes"
+        )
+    return emb.filter(F.col("vec_id") < _NEARDUP_TABLES * ppt).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
+    )
+
+
 def _neardup_inputs(spark: SparkSession, sf_dir: str) -> tuple:
     """(corpus, planes) for the embed_neardup query AND its bucket
     telemetry — one construction so the audited buckets are the query's."""
@@ -762,10 +781,7 @@ def _neardup_inputs(spark: SparkSession, sf_dir: str) -> tuple:
     # one table at ~log2 N planes finds a cos-0.99 pair only ~25 % of the
     # time at N=2^30 — with L=4 tables P(found) = 1-(1-q^p)^4 (r2 verdict)
     ppt = _neardup_planes_per_table(_emb_rows(spark, sf_dir) * 2)
-    planes = emb.filter(F.col("vec_id") < _NEARDUP_TABLES * ppt).select(
-        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
-    )
-    return corpus, planes
+    return corpus, _lsh_planes(spark, sf_dir, ppt)
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,21 +815,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.similarity import ann_lsh_topk
 
     emb = _emb(spark, sf_dir)
-    n = _emb_rows(spark, sf_dir)
-    ppt = _lsh_topk_ppt(n)
-    if n < _NEARDUP_TABLES * ppt:
-        # a short table would yield FEWER planes than the filter implies:
-        # Spark would re-split them into 4 tables of n/4 planes while the
-        # oracle still computes tbl = pid // ppt — silently different
-        # candidate sets.  Fail loudly instead (cannot happen on the
-        # driver fixtures: ppt ≈ log2(n) - 2 ≪ n/4 for n ≥ 64).
-        raise ValueError(
-            f"embeddings table too small for ann_lsh: {n} rows < "
-            f"{_NEARDUP_TABLES} tables × {ppt} planes"
-        )
-    planes = emb.filter(F.col("vec_id") < _NEARDUP_TABLES * ppt).select(
-        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_embedding")
-    )
+    planes = _lsh_planes(spark, sf_dir, _lsh_topk_ppt(_emb_rows(spark, sf_dir)))
     return ann_lsh_topk(
         emb,
         _emb_queries(spark, sf_dir),

@@ -490,6 +490,26 @@ def _quality_prune_two_phase(
         .persist()
     )
     ordered.count()  # materialize: the offset probe and the rank pass both read it
+    # LOUD id-contract check (one cheap agg over the cached frame): the
+    # rank join-back silently DROPS null-id rows (null keys never match)
+    # and FANS OUT duplicate ids into wrong (row, rank) pairings — inputs
+    # the window spelling tolerates — so reject them here like the 2^31
+    # rank bound above rather than diverge quietly.
+    chk = ordered.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(id_col).alias("_nn"),
+        F.count_distinct(id_col).alias("_nd"),
+    ).collect()[0]
+    if chk["_nn"] != chk["_n"]:
+        raise ValueError(
+            f"{id_col} has {chk['_n'] - chk['_nn']} null(s): the two-phase "
+            "rank joins back on the id, which must be non-null"
+        )
+    if chk["_nd"] != chk["_n"]:
+        raise ValueError(
+            f"{id_col} has duplicates ({chk['_nd']} distinct of {chk['_n']}): "
+            "the two-phase rank joins back on the id, which must be unique"
+        )
     # tiny control frame: one row per (partition, stratum) — bounded by
     # partitions + strata, never by data size
     pid_counts = (

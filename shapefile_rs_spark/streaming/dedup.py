@@ -78,6 +78,14 @@ def maintain_signature_stage(
     from ..lineage import CheckpointedPipeline
     from ..operators.dedup import minhash_signatures
 
+    from ..operators.dedup import minhash_algo_fingerprint
+
+    # the stage name carries the algorithm fingerprint + params — the
+    # committed-stage cache-key rule (see minhash_algo_fingerprint): a
+    # param change or signature-spelling edit starts a FRESH stage
+    # instead of silently mixing incompatible signatures in one stage
+    stage = f"{stage}-k{k}h{num_hashes}-{minhash_algo_fingerprint(k, num_hashes)}"
+
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -85,7 +93,11 @@ def maintain_signature_stage(
         sigs = minhash_signatures(
             batch_df.select(id_col, text_col), id_col, text_col, k, num_hashes
         )
-        pipe.append_delta(stage, sigs, ["_id"])
+        # intra-batch dedup: append_delta's anti-join filters only against
+        # the COMMITTED stage, so the same id landing twice in ONE
+        # micro-batch (two mirrors in the same drain) would commit twice
+        # without this; for identical replays any copy is the same row
+        pipe.append_delta(stage, sigs.dropDuplicates(["_id"]), ["_id"])
 
     q = (
         docs_stream.writeStream.foreachBatch(_append)

@@ -1042,6 +1042,18 @@ def test_quality_prune_two_phase_matches_window_path(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="2\\^31"):
         _quality_prune_two_phase(docs, 0.5, "lang", "doc_id", "quality", {"en": 2**31})
+    # the join-back id contract is enforced loudly: null ids would be
+    # silently dropped, duplicate ids fanned out — both must raise
+    null_id = spark.createDataFrame(
+        [(1, "en", 5), (None, "en", 4)], "doc_id bigint, lang string, quality bigint"
+    )
+    with _pytest.raises(ValueError, match="null"):
+        quality_prune(null_id, 0.5, mega_strata_threshold=1).collect()
+    dup_id = spark.createDataFrame(
+        [(1, "en", 5), (1, "en", 4)], "doc_id bigint, lang string, quality bigint"
+    )
+    with _pytest.raises(ValueError, match="duplicates"):
+        quality_prune(dup_id, 0.5, mega_strata_threshold=1).collect()
 
 
 def test_quality_prune_two_phase_randomized_equivalence(spark):

@@ -163,6 +163,10 @@ def test_maintain_signature_stage_tracks_ingestion(spark, sf_dir, tmp_path):
     wave1.coalesce(1).write.parquet(str(tmp_path / "w1"))
     for f in (tmp_path / "w1").glob("*.parquet"):
         shutil.copy(f, land / "batch_a.parquet")
+        # INTRA-batch duplicate: the same ids twice within one drain (two
+        # mirrors) — append_delta's anti-join only filters against the
+        # committed stage, so the operator must dedup inside the batch
+        shutil.copy(f, land / "batch_a_mirror.parquet")
 
     stream = spark.readStream.schema(schema).parquet(str(land))
     sigs = maintain_signature_stage(stream, root, str(ck / "1"))
