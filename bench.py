@@ -283,7 +283,14 @@ def main():
 
     spark.range(0, CPUS * 4, 1, CPUS).mapInPandas(_noop, "id long").count()
 
+    # canary at THREE points: the host flips between healthy (≈0.1) and
+    # ~3×-degraded phases on a seconds-to-minutes timescale (r5 measured
+    # 0.09 → 2.9 between consecutive readings), so a single end reading
+    # cannot certify a run — a healthy pre+mid+end triple can, and a bad
+    # mid reading explains an inflated flagship without tail surgery.
+    control_pre = _host_control()
     flagship_s = min(time_flagship(spark, SF_DIR)[0] for _ in range(2))
+    control_mid = _host_control()
     # SPARK_GRAFT_SCALE_ONLY=1 skips the per-query suite so a scaling run
     # fits a short wall-clock budget (the scaling block below still runs)
     qtimes = {} if scale_only else run_queries(spark, SF_DIR, only)
@@ -307,7 +314,11 @@ def main():
         "lsh_buckets": None if scale_only else _lsh_buckets(spark),
         # single-thread numpy control: the host's effective speed varies
         # >3x between runs (documented in BASELINE.md) — divide suite
-        # numbers by (host_control_sec / 0.1) to normalize across phases
+        # numbers by (host_control_sec / 0.1) to normalize across phases.
+        # pre = before the flagship, mid = after it, host_control_sec =
+        # run end; a run certifies only when ALL THREE are healthy.
+        "host_control_pre": control_pre,
+        "host_control_mid": control_mid,
         "host_control_sec": _host_control(),
     }
     spark.stop()
@@ -398,6 +409,8 @@ def main():
         "n_queries": len(result["queries"]),
         "sf": result["sf"],
         "pages_per_sec": result["pages_per_sec"],
+        "host_control_pre": result["host_control_pre"],
+        "host_control_mid": result["host_control_mid"],
         "host_control_sec": result["host_control_sec"],
     }
     if "scaling" in result:
