@@ -374,7 +374,11 @@ def quality_prune(
 
     Both paths produce identical output (pinned by pytest at a forced
     threshold and by the driver oracle row); the threshold only picks the
-    plan."""
+    plan.  One precondition is STRICTER on the two-phase path: ``id_col``
+    must be unique and non-null there (its rank join-back requires it —
+    enforced loudly with a ValueError), while the window spelling merely
+    ranks such rows adjacently.  Pipelines carrying null/duplicate ids
+    should clean them before enabling ``mega_strata_threshold``."""
     from pyspark.sql import Window
 
     if not 0.0 <= frac <= 1.0:
@@ -489,23 +493,26 @@ def _quality_prune_two_phase(
         .sortWithinPartitions(*sort_keys)
         .persist()
     )
-    ordered.count()  # materialize: the offset probe and the rank pass both read it
-    # LOUD id-contract check (one cheap agg over the cached frame): the
-    # rank join-back silently DROPS null-id rows (null keys never match)
-    # and FANS OUT duplicate ids into wrong (row, rank) pairings — inputs
-    # the window spelling tolerates — so reject them here like the 2^31
-    # rank bound above rather than diverge quietly.
+    # ONE action doubles as the eager materializer (the offset probe and
+    # the rank pass both read the cache — a separate count() here would be
+    # a second full scan, the CLAUDE.md probe-merge rule) AND the LOUD
+    # id-contract check: the rank join-back silently DROPS null-id rows
+    # (null keys never match) and FANS OUT duplicate ids into wrong
+    # (row, rank) pairings — inputs the window spelling tolerates — so
+    # reject them here like the 2^31 rank bound above, releasing the
+    # cache on the error path (loop-style callers catch per batch).
     chk = ordered.agg(
         F.count(F.lit(1)).alias("_n"),
         F.count(id_col).alias("_nn"),
         F.count_distinct(id_col).alias("_nd"),
     ).collect()[0]
-    if chk["_nn"] != chk["_n"]:
-        raise ValueError(
-            f"{id_col} has {chk['_n'] - chk['_nn']} null(s): the two-phase "
-            "rank joins back on the id, which must be non-null"
-        )
-    if chk["_nd"] != chk["_n"]:
+    if chk["_nn"] != chk["_n"] or chk["_nd"] != chk["_n"]:
+        ordered.unpersist()
+        if chk["_nn"] != chk["_n"]:
+            raise ValueError(
+                f"{id_col} has {chk['_n'] - chk['_nn']} null(s): the two-phase "
+                "rank joins back on the id, which must be non-null"
+            )
         raise ValueError(
             f"{id_col} has duplicates ({chk['_nd']} distinct of {chk['_n']}): "
             "the two-phase rank joins back on the id, which must be unique"

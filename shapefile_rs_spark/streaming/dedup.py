@@ -76,9 +76,7 @@ def maintain_signature_stage(
     the trigger for a processing-time one.  Returns the committed stage
     frame."""
     from ..lineage import CheckpointedPipeline
-    from ..operators.dedup import minhash_signatures
-
-    from ..operators.dedup import minhash_algo_fingerprint
+    from ..operators.dedup import minhash_algo_fingerprint, minhash_signatures
 
     # the stage name carries the algorithm fingerprint + params — the
     # committed-stage cache-key rule (see minhash_algo_fingerprint): a

@@ -10,9 +10,11 @@ reports:
 
 * ``certified``  — first pass with pre/mid/end all ≤ THRESHOLD (stops),
 * ``best``       — lowest suite total over all passes (degradation only
-  inflates wall time, so the minimum lower-bounds the healthy number),
-* ``flagship_best`` — best pages/sec whose MID canary was healthy (the
-  flagship's own phase is what certifies it).
+  inflates wall time, so every observation ≥ the true healthy number
+  and the minimum is the tightest UPPER bound on it),
+* ``flagship_best`` — best pages/sec whose PRE **and** MID canaries were
+  healthy (the flagship runs between those two samples; a healthy mid
+  alone can follow a flip that happened after a degraded flagship).
 
 Usage: python tools/certify_bench.py [attempts] [threshold]
 Prints one JSON line; exits 0 on certification, 3 otherwise.
@@ -42,9 +44,23 @@ def main() -> int:
         )
         lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
         if proc.returncode != 0 or not lines:
-            passes.append({"attempt": i, "error": proc.returncode})
+            # keep enough stderr to diagnose a burned attempt; "no output
+            # with exit 0" is its own named failure, not a fake success
+            passes.append({
+                "attempt": i,
+                "error": "empty_stdout" if proc.returncode == 0 else proc.returncode,
+                "stderr_tail": proc.stderr[-400:],
+            })
             continue
-        summary = json.loads(lines[-1])
+        try:
+            summary = json.loads(lines[-1])
+        except json.JSONDecodeError:
+            # a stray trailing line (JVM shutdown chatter) must cost one
+            # attempt, not the whole sweep's completed passes
+            passes.append({
+                "attempt": i, "error": "unparseable_tail", "tail": lines[-1][:200],
+            })
+            continue
         summary["attempt"] = i
         summary["wall_sec"] = round(time.time() - t0, 1)
         passes.append(summary)
@@ -55,7 +71,11 @@ def main() -> int:
             break
     ok = [p for p in passes if "value" in p]
     best = min(ok, key=lambda p: p["value"]) if ok else None
-    flag_ok = [p for p in ok if p.get("host_control_mid", 9) <= THRESHOLD]
+    flag_ok = [
+        p for p in ok
+        if p.get("host_control_pre", 9) <= THRESHOLD
+        and p.get("host_control_mid", 9) <= THRESHOLD
+    ]
     flagship_best = (
         max(flag_ok, key=lambda p: p["pages_per_sec"]) if flag_ok else None
     )
