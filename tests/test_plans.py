@@ -235,3 +235,41 @@ def test_host_cap_single_host_exchange(spark, sf_dir):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(exchanges) == 1 and "host" in exchanges[0]
+
+
+def test_registry_rotation_guard():
+    """Driver-gate rotation discipline (VERDICT r5 items 1+6).
+
+    The driver snapshot samples the first DRIVER_GATE_WINDOW (=50) registry
+    entries; anything past that gets no CORRECTNESS row.  This guard makes
+    the rotation self-enforcing:
+      * the parked tail must exactly match the ROTATION ledger,
+      * no parked query may go >=2 rounds without a driver row,
+      * appending a new query past the window without a ROTATION entry fails.
+    """
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    parked = names[e.DRIVER_GATE_WINDOW:]
+    assert set(parked) == set(e.ROTATION), (
+        "registry tail drifted from ROTATION ledger: "
+        f"tail={sorted(parked)} ledger={sorted(e.ROTATION)}"
+    )
+    stale = {
+        q: stamp
+        for q, stamp in e.ROTATION.items()
+        if e.CURRENT_ROUND - stamp >= 2
+    }
+    assert not stale, (
+        f"parked queries {stale} have gone >=2 rounds without a driver row "
+        "- rotate them back into positions 1-50"
+    )
+    # The 9 queries that had never been driver-gated before round 6 must sit
+    # inside the snapshot window until CORRECTNESS records them green.
+    never_gated = [
+        "doc_sample", "token_count", "span_dedup", "simhash_pairs",
+        "host_cap", "quality_prune", "quality_prune2", "dup_coverage",
+        "incr_neardup",
+    ]
+    window = set(names[: e.DRIVER_GATE_WINDOW])
+    assert all(q in window for q in never_gated)
