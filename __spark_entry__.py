@@ -1170,7 +1170,13 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs per synthesized host, best n_chars first, doc_id tie-break.
     Host = deterministic doc_id hash into 37 'site<k>' domains (the
     documents table carries no url; the same spelling lives in the
-    oracle)."""
+    oracle).
+
+    ``mega_host_threshold=12`` deliberately TRIGGERS the salted two-phase
+    top-k here (hosts hold ~13 docs at sf0.01, ~135 at sf0.1), so the
+    driver gate pins the skew path — the scale plan for mega-hosts —
+    against the same window-spelled oracle; both paths are row-identical
+    by construction (see host_cap)."""
     from shapefile_rs_spark.operators.curation import host_cap
 
     docs = _docs(spark, sf_dir).select(
@@ -1178,7 +1184,7 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("site"), F.pmod(F.col("doc_id") * 131, F.lit(37))).alias("host"),
         F.col("n_chars").alias("quality"),
     )
-    return host_cap(docs, cap=8)
+    return host_cap(docs, cap=8, mega_host_threshold=12)
 
 
 def q_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

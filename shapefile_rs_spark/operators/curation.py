@@ -259,6 +259,8 @@ def host_cap(
     host_col: str = "host",
     id_col: str = "doc_id",
     order_col: str = "quality",
+    mega_host_threshold: int | None = None,
+    max_salts: int = 256,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per host — the C4/RefinedWeb-style
     per-domain quota that stops template-heavy or SEO-spam hosts from
@@ -273,17 +275,51 @@ def host_cap(
     zero/negative cap keeps, so such a call could only be a bug (a silent
     empty corpus) — rejected loudly instead.
 
-    Scale shape: ONE shuffle on the host key (the window's partitionBy);
-    rank + filter are in-partition.  Host keys are high-cardinality
-    (millions of registrable domains in a crawl) so the exchange is
-    uniform by construction; a mega-host (the boilerplate analog of a hot
-    LSH bucket) bounds its partition at the host's own document count —
-    at web scale pre-aggregate a per-host count and salt only hosts above
-    ~10M docs before ranking, the pip_join_salted two-phase treatment."""
+    Scale shape: with ``mega_host_threshold=None``, ONE shuffle on the
+    host key (the window's partitionBy); rank + filter are in-partition.
+    Host keys are high-cardinality (millions of registrable domains in a
+    crawl) so the exchange is uniform by construction — but a mega-host
+    (site-hosting domains: the boilerplate analog of a hot LSH bucket, and
+    the exact skew this operator exists to police) serializes its whole
+    document set through ONE window task.  Set ``mega_host_threshold`` to
+    the per-partition row budget and the operator pre-aggregates per-host
+    counts (map-side combine; the post-agg frame is one row per host and
+    only hosts ABOVE the threshold are collected — a tiny set by
+    construction); if any exist it switches to the SALTED two-phase top-k
+    (the pip_join_salted / W1 skew treatment):
+
+    1. broadcast-join the hot-host set and salt ONLY those hosts' rows
+       into ``ceil(count/threshold)`` (≤ ``max_salts``) buckets by id
+       hash — cold hosts keep salt 0, so their plan is unperturbed;
+    2. rank within (host, salt) and keep rank ≤ cap — every partition of
+       this window is bounded by the threshold, and a host's global
+       top-cap is necessarily contained in the union of its per-salt
+       top-caps;
+    3. re-rank the surviving ≤ cap·salts candidates per host in a second
+       window — its partitions are bounded by cap·max_salts rows, and the
+       candidate ranks equal the unsalted global ranks row-for-row.
+
+    Both paths emit identical rows (driver oracle + pytest pin at a forced
+    threshold); the threshold only picks the plan."""
     from pyspark.sql import Window
 
     if cap < 1:
         raise ValueError(f"cap {cap} < 1 would keep nothing; that's a bug, not a quota")
+    if mega_host_threshold is not None:
+        if mega_host_threshold < 1:
+            raise ValueError(f"mega_host_threshold {mega_host_threshold} < 1")
+        hot = (
+            df.groupBy(F.col(host_col).alias("_hh"))
+            .agg(F.count(F.lit(1)).alias("_hn"))
+            .filter(F.col("_hn") > mega_host_threshold)
+            .collect()
+        )
+        if hot:
+            return _host_cap_salted(
+                df, cap, host_col, id_col, order_col,
+                {r["_hh"]: r["_hn"] for r in hot},
+                mega_host_threshold, max_salts,
+            )
     # explicit null placement: Spark's bare desc() is NULLS LAST, and so
     # is DuckDB 1.0's bare DESC — but DuckDB's default is the SESSION
     # SETTING `default_null_order` (PostgreSQL-style installs flip it to
@@ -297,6 +333,76 @@ def host_cap(
     return (
         df.withColumn("host_rank", F.row_number().over(w))
         .filter(F.col("host_rank") <= cap)
+    )
+
+
+def _host_cap_salted(
+    df: DataFrame,
+    cap: int,
+    host_col: str,
+    id_col: str,
+    order_col: str,
+    hot_counts: Dict,
+    threshold: int,
+    max_salts: int,
+) -> DataFrame:
+    """Two-phase top-k for mega-host skew — see :func:`host_cap` for the
+    three-step shape.  ``hot_counts`` maps each host above the threshold to
+    its row count (tiny by construction: hot hosts are the exception the
+    operator polices).
+
+    Exactness: phase 1 keeps each (host, salt)'s local top-``cap`` under
+    the SAME order as the unsalted window ((order desc NULLS LAST, id
+    asc)), and any row in a host's global top-cap is by definition in the
+    top-cap of whichever salt bucket holds it — so the phase-2 candidate
+    set contains the global top-cap, and ranking candidates in that order
+    reproduces the global ranks 1..cap exactly.  Salt values only route
+    rows; they never affect which rows survive or their ranks."""
+    import math
+
+    from pyspark.sql import Window
+
+    from .knn import _values_df
+
+    nsalts = _values_df(
+        df.sparkSession,
+        sorted(
+            (
+                (h, min(math.ceil(n / threshold), max_salts))
+                for h, n in hot_counts.items()
+            ),
+            key=lambda kv: (kv[0] is None, str(kv[0])),
+        ),
+        ["_hh", "_nsalt"],
+        casts=[df.schema[host_col].dataType.simpleString(), "int"],
+    )
+    # cold hosts (no match) keep salt 0; hot hosts spread over _nsalt
+    # buckets by id hash — routing only, order-irrelevant
+    salted = (
+        df.join(
+            F.broadcast(nsalts), F.col(host_col).eqNullSafe(F.col("_hh")), "left"
+        )
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_nsalt").isNotNull(),
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsalt")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hh", "_nsalt")
+    )
+    order = [F.col(order_col).desc_nulls_last(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
+    candidates = (
+        salted.withColumn("_lrank", F.row_number().over(w1))
+        .filter(F.col("_lrank") <= cap)
+        .drop("_salt", "_lrank")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        candidates.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= cap)
+        .select(*df.columns, "host_rank")
     )
 
 

@@ -273,3 +273,48 @@ def test_registry_rotation_guard():
     ]
     window = set(names[: e.DRIVER_GATE_WINDOW])
     assert all(q in window for q in never_gated)
+
+
+def test_host_cap_salted_plan_no_mega_partition(spark, sf_dir):
+    """With mega_host_threshold set and a planted mega-host, the FIRST
+    (full-data) window exchange must hash on (host, _salt) — the mega-host
+    spreads over salt buckets instead of serializing through one task; the
+    host-only exchange that remains feeds the phase-2 window over the
+    cap-bounded candidate set only."""
+    import re
+
+    from shapefile_rs_spark.operators.curation import host_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        # planted mega-host owning 1/3 of all docs among 37 normal hosts
+        # (a literal-only host would be constant-folded out of the
+        # partitioning keys entirely)
+        F.when(F.col("doc_id") % 3 == 0, F.lit("megahost"))
+        .otherwise(
+            F.concat(F.lit("s"), F.pmod(F.col("doc_id") * 131, F.lit(37)))
+        )
+        .alias("host"),
+        F.col("n_chars").alias("quality"),
+    )
+    plan = _plan(host_cap(docs, cap=5, mega_host_threshold=10))
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # phase 1 keys the full-data exchange by (host, _salt)
+    assert any(
+        re.search(r"hashpartitioning\(host#\d+, _salt#\d+", ln) for ln in exchanges
+    ), exchanges
+    # the host-only exchange exists only downstream of the per-salt prune
+    # (phase 2 over candidates) — never as the sole full-data exchange
+    salted_idx = next(
+        i for i, ln in enumerate(plan.splitlines())
+        if re.search(r"hashpartitioning\(host#\d+, _salt#\d+", ln)
+    )
+    host_only = [
+        i for i, ln in enumerate(plan.splitlines())
+        if re.search(r"hashpartitioning\(host#\d+, \d+\)", ln)
+    ]
+    # physical plans print downstream-first: phase-2's host-only exchange
+    # appears ABOVE phase-1's (host, _salt) exchange
+    assert host_only and all(i < salted_idx for i in host_only)
