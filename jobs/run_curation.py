@@ -24,11 +24,15 @@ checkpoints sit on the critical path, not as dead side writes):
 3. ``decontam``  — benchmark 8-gram overlap via the broadcast hash join
    (the held-out set here: every 50th doc, the documents-table stand-in
    for an eval suite).
-4. ``curated``   — apply keep = keeper ∧ ¬contaminated ∧ stratified
-   per-language sample ∧ (optional) per-source quota (``--host-cap``:
-   at most N docs per source, best n_chars first — the C4/RefinedWeb
-   per-domain cap with the ``source`` column as the host key); write the
-   final corpus with redacted text.
+4. ``curated``   — apply keep = keeper ∧ ¬contaminated ∧ (optional)
+   per-source quota (``--host-cap``: at most N docs per source, best
+   n_chars first — the C4/RefinedWeb per-domain cap with the ``source``
+   column as the host key) ∧ per-language quality prune
+   (``--quality-frac``, default 0.9: keep the best fraction by n_chars;
+   ``mega_strata_threshold='auto'`` routes mega strata through the
+   two-phase sample-sort exact rank — the scale-safe default plan) ∧
+   stratified per-language sample; write the final corpus with redacted
+   text.
 5. ``sigs``      — (``--sig-stage``) the curated corpus's MinHash
    signature parquet, the published artifact future recrawl batches
    LSH-join against (``minhash_lsh_join(corpus_sigs=...)``) without
@@ -83,6 +87,18 @@ def build_args(argv=None):
         default=0,
         help="keep at most N docs per source (host analog), ranked by "
         "n_chars desc then doc_id; 0 disables the quota",
+    )
+    p.add_argument(
+        "--quality-frac",
+        type=float,
+        default=0.9,
+        help="keep the best FRAC of quota/flag survivors per language by "
+        "n_chars (FineWeb-style percentile prune). Runs the scale-safe "
+        "plan by default: mega_strata_threshold='auto' routes any "
+        "stratum above a partition's fair share through the two-phase "
+        "sample-sort exact rank, so a 10 TB 'en' stratum never "
+        "serializes through one window task. 1.0 disables the prune "
+        "(every rank passes the ceil(n*1.0) threshold)",
     )
     p.add_argument(
         "--sig-stage",
@@ -173,6 +189,8 @@ def run(spark, args) -> dict:
 
     rates = _parse_rates(args.sample)
 
+    quality_caches = []
+
     def stage_curated():
         survivors = flagged.filter(F.col("is_keeper") & F.col("is_clean"))
         if args.host_cap:
@@ -188,6 +206,26 @@ def run(spark, args) -> dict:
                 id_col="doc_id",
                 order_col="n_chars",
             ).drop("host_rank")
+        if args.quality_frac < 1.0:
+            from shapefile_rs_spark.operators.curation import quality_prune
+
+            # percentile prune AFTER the quota (rank only quota survivors),
+            # BEFORE sampling (same uniform-rate reasoning as host_cap).
+            # 'auto' takes the two-phase exact rank whenever a language
+            # stratum exceeds a partition's fair share — the default plan
+            # a 100 TB run needs, exercised here at every scale
+            survivors = quality_prune(
+                survivors,
+                frac=args.quality_frac,
+                strata_col="lang",
+                id_col="doc_id",
+                order_col="n_chars",
+                mega_strata_threshold="auto",
+            )
+            # the two-phase path persists its sample-sorted frame; release
+            # it after run_stage materializes this stage's parquet
+            quality_caches.extend(getattr(survivors, "_sig_caches", ()))
+            survivors = survivors.drop("q_rank", "n_stratum")
         sampled = stratified_sample(
             survivors, rates, strata_col="lang", id_col="doc_id",
             default_rate=args.sample_default,
@@ -198,6 +236,8 @@ def run(spark, args) -> dict:
         )
 
     curated = pipe.run_stage("curated", stage_curated)
+    for frame in quality_caches:
+        frame.unpersist()
 
     if args.sig_stage:
         # published artifact, not an input to this run's stages: the NEXT

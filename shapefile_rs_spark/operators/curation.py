@@ -439,7 +439,7 @@ def quality_prune(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     order_col: str = "quality",
-    mega_strata_threshold: int | None = None,
+    mega_strata_threshold: int | str | None = None,
 ) -> DataFrame:
     """Keep the best ``frac`` fraction of documents per stratum by score —
     the FineWeb-style move of thresholding a quality signal at a corpus
@@ -484,7 +484,15 @@ def quality_prune(
     must be unique and non-null there (its rank join-back requires it —
     enforced loudly with a ValueError), while the window spelling merely
     ranks such rows adjacently.  Pipelines carrying null/duplicate ids
-    should clean them before enabling ``mega_strata_threshold``."""
+    should clean them before enabling ``mega_strata_threshold``.
+
+    ``mega_strata_threshold="auto"`` derives the per-partition row budget
+    from the data itself: total rows ÷ ``spark.sql.shuffle.partitions``
+    (a stratum above the average partition's fair share would serialize
+    through one window task).  At 100 TB any real language stratum dwarfs
+    that budget, so "auto" is the scale-safe default for pipelines; at
+    toy scale it still flips to two-phase whenever one stratum dominates,
+    which is what makes the plan testable locally."""
     from pyspark.sql import Window
 
     if not 0.0 <= frac <= 1.0:
@@ -496,6 +504,14 @@ def quality_prune(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        if mega_strata_threshold == "auto":
+            shuffle_par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            mega_strata_threshold = max(1, sum(counts.values()) // max(shuffle_par, 1))
+        elif isinstance(mega_strata_threshold, str):
+            raise ValueError(
+                f"mega_strata_threshold {mega_strata_threshold!r}: "
+                "expected an int row budget, 'auto', or None"
+            )
         if counts and max(counts.values()) > mega_strata_threshold:
             return _quality_prune_two_phase(
                 df, frac, strata_col, id_col, order_col, counts

@@ -135,3 +135,60 @@ def test_curation_job_commits_signature_stage(spark, sf_dir, tmp_path):
     )
     hits = minhash_lsh_join(batch, corpus_sigs=sigs, id_col="doc_id")
     assert hits.filter(F.col("new_id") == F.col("corpus_id")).count() > 0
+
+
+def test_curation_job_quality_prune_two_phase_default(spark, sf_dir, tmp_path, monkeypatch):
+    """The checkpointed pipeline — not just the quality_prune2 query —
+    takes the scale-safe two-phase rank by DEFAULT (VERDICT r5 item 3):
+    --quality-frac 0.9 with mega_strata_threshold='auto' must route the
+    dominant language stratum through the sample-sort exact rank (range
+    partition exchange in the pipeline's own plan), and the shipped corpus
+    must equal the window-path spelling row-for-row."""
+    from pyspark.sql import functions as F
+
+    import shapefile_rs_spark.operators.curation as cur
+    from run_curation import _parse_rates, build_args, run
+
+    seen = {}
+    orig = cur._quality_prune_two_phase
+
+    def spy(df, frac, strata_col, id_col, order_col, counts):
+        out = orig(df, frac, strata_col, id_col, order_col, counts)
+        seen["n"] = seen.get("n", 0) + 1
+        seen["plan"] = out._jdf.queryExecution().executedPlan().toString()
+        return out
+
+    monkeypatch.setattr(cur, "_quality_prune_two_phase", spy)
+    out = str(tmp_path / "cur_q")
+    args = build_args(
+        ["--sf-dir", sf_dir, "--out", out, "--cpus", "4", "--host-cap", "20"]
+    )
+    res = run(spark, args)
+    # the job ran the two-phase plan (auto threshold fired on the dominant
+    # stratum) and its plan carries the sample-sort range exchange
+    assert seen.get("n", 0) >= 1
+    assert "rangepartitioning" in seen["plan"].lower()
+    assert res["docs_out"] > 0
+
+    # identical rows: rebuild the curated keep-set with the WINDOW-path
+    # quality_prune over the same committed stages
+    flagged = spark.read.parquet(f"{out}/stages/decontam/data")
+    survivors = cur.host_cap(
+        flagged.filter(F.col("is_keeper") & F.col("is_clean")),
+        cap=20, host_col="source", id_col="doc_id", order_col="n_chars",
+    ).drop("host_rank")
+    pruned = cur.quality_prune(
+        survivors, frac=0.9, strata_col="lang", id_col="doc_id",
+        order_col="n_chars",
+    ).drop("q_rank", "n_stratum")
+    expected = cur.stratified_sample(
+        pruned, _parse_rates(args.sample), strata_col="lang",
+        id_col="doc_id", default_rate=args.sample_default,
+    )
+    exp_ids = {r.doc_id for r in expected.select("doc_id").collect()}
+    got_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/stages/curated/data")
+        .select("doc_id").collect()
+    }
+    assert got_ids == exp_ids and len(got_ids) == res["docs_out"]

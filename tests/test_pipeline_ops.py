@@ -1098,6 +1098,12 @@ def test_quality_prune_two_phase_matches_window_path(spark, sf_dir):
     )
     with _pytest.raises(ValueError, match="duplicates"):
         quality_prune(dup_id, 0.5, mega_strata_threshold=1).collect()
+    # 'auto' derives the budget (total rows / shuffle partitions) and must
+    # match both spellings row-for-row; any other string is rejected loudly
+    auto = {tuple(r) for r in quality_prune(docs, 0.5, mega_strata_threshold="auto").collect()}
+    assert auto == {tuple(r) for r in quality_prune(docs, 0.5).collect()}
+    with _pytest.raises(ValueError, match="auto"):
+        quality_prune(docs, 0.5, mega_strata_threshold="AUTO-ish")
 
 
 def test_quality_prune_two_phase_randomized_equivalence(spark):
