@@ -1187,6 +1187,30 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_cap(docs, cap=8, mega_host_threshold=12)
 
 
+def _prune_stale_dirs(root: str, keep: str, max_age_sec: float) -> None:
+    """GC for the keyed signature-stage cache: remove sibling key dirs
+    not touched within ``max_age_sec`` (dead corpus snapshots / old
+    algorithm fingerprints).  Never touches ``keep`` (the live key) and
+    swallows races — a concurrently-deleted sibling is already gone."""
+    import shutil
+    import time as _time
+
+    try:
+        entries = os.listdir(root)
+    except FileNotFoundError:
+        return
+    cutoff = _time.time() - max_age_sec
+    for name in entries:
+        if name == keep:
+            continue
+        path = os.path.join(root, name)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def q_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection (the recrawl path): a NEW batch of
     suffixed variants LSH-joins against the EXISTING corpus's COMMITTED
@@ -1217,19 +1241,31 @@ def q_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # param change, or ANY edit to the shingle/minhash spelling gets a
     # fresh stage — a stage written by old code can never be silently
     # joined against new-batch signatures.  Single-writer, the lineage
-    # contract (a mid-commit kill leaves only GC-able staging; do not run
-    # two processes against the same corpus key concurrently).
-    from shapefile_rs_spark.operators.dedup import minhash_algo_fingerprint
+    # contract (a mid-commit kill leaves only GC-able staging): the root
+    # is PER-PROCESS by default (pid suffix) so concurrent bench/pytest/
+    # gate runs on the same corpus never share a stage root; a pipeline
+    # that WANTS cross-process stage reuse sets SPARK_GRAFT_SIG_ROOT to a
+    # fixed directory and accepts the one-writer-at-a-time contract.
+    # Stale sibling keys (older than ~1 day) are pruned on entry so the
+    # cache dir doesn't accumulate dead corpus snapshots.
+    from shapefile_rs_spark.operators.dedup import (
+        minhash_algo_fingerprint,
+        minhash_band_rows,
+    )
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
         f"{os.path.realpath(src)}|{os.path.getmtime(src)}|{os.path.getsize(src)}"
         f"|k={_MINHASH_K}|h={_MINHASH_HASHES}"
-        f"|algo={minhash_algo_fingerprint(_MINHASH_K, _MINHASH_HASHES)}".encode()
+        f"|algo={minhash_algo_fingerprint(_MINHASH_K, _MINHASH_HASHES)}"
+        f"|bands={minhash_algo_fingerprint(_MINHASH_K, _MINHASH_HASHES, _MINHASH_BANDS)}".encode()
     ).hexdigest()[:16]
-    pipe = CheckpointedPipeline(
-        spark, os.path.join(tempfile.gettempdir(), "spark_graft_sigs", key)
+    root = os.environ.get(
+        "SPARK_GRAFT_SIG_ROOT",
+        os.path.join(tempfile.gettempdir(), f"spark_graft_sigs_{os.getpid()}"),
     )
+    _prune_stale_dirs(root, keep=key, max_age_sec=86400)
+    pipe = CheckpointedPipeline(spark, os.path.join(root, key))
     sigs = pipe.run_stage(
         "corpus_sigs",
         lambda: minhash_signatures(
@@ -1237,9 +1273,20 @@ def q_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_MINHASH_K, num_hashes=_MINHASH_HASHES,
         ),
     )
+    # the committed BAND stage: built from the committed signature stage
+    # (never from text), so a recrawl batch's plan holds NO corpus-side
+    # banding compute — just the pre-banded parquet scan
+    # (tests/test_lineage.py pins both the bit-identity and the plan)
+    bands = pipe.run_stage(
+        "corpus_bands",
+        lambda: minhash_band_rows(
+            sigs, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS
+        ),
+    )
     return minhash_lsh_join(
         new,
         corpus_sigs=sigs,
+        corpus_bands=bands,
         id_col="doc_id",
         text_col="text",
         k=_MINHASH_K,

@@ -33,10 +33,11 @@ checkpoints sit on the critical path, not as dead side writes):
    two-phase sample-sort exact rank — the scale-safe default plan) ∧
    stratified per-language sample; write the final corpus with redacted
    text.
-5. ``sigs``      — (``--sig-stage``) the curated corpus's MinHash
-   signature parquet, the published artifact future recrawl batches
-   LSH-join against (``minhash_lsh_join(corpus_sigs=...)``) without
-   re-reading this corpus's text.
+5. ``sigs`` + ``bands`` — (``--sig-stage``) the curated corpus's MinHash
+   signature parquet and its pre-banded ``(_id, band, band_key)`` twin,
+   the published artifacts future recrawl batches LSH-join against
+   (``minhash_lsh_join(corpus_sigs=..., corpus_bands=...)``) without
+   re-reading — or re-banding — this corpus's text.
 
 Prints one JSON line: per-stage rows/wall-times, kept/dropped breakdown.
 """
@@ -110,6 +111,14 @@ def build_args(argv=None):
     )
     p.add_argument("--minhash-k", type=int, default=3)
     p.add_argument("--num-hashes", type=int, default=12)
+    p.add_argument(
+        "--bands",
+        type=int,
+        default=4,
+        help="LSH band count for the committed 'bands' stage (written "
+        "alongside 'sigs' when --sig-stage is set; recrawl joins pass it "
+        "as corpus_bands= and never re-band the corpus)",
+    )
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     return p.parse_args(argv)
 
@@ -126,7 +135,7 @@ def run(spark, args) -> dict:
     pipe = CheckpointedPipeline(spark, args.out)
     t_all = time.time()
     stage_names = ("features", "dedup", "decontam", "curated") + (
-        ("sigs",) if args.sig_stage else ()
+        ("sigs", "bands") if args.sig_stage else ()
     )
     already_done = [s for s in stage_names if pipe.completed(s)]
 
@@ -240,13 +249,17 @@ def run(spark, args) -> dict:
         frame.unpersist()
 
     if args.sig_stage:
-        # published artifact, not an input to this run's stages: the NEXT
+        # published artifacts, not inputs to this run's stages: the NEXT
         # run's recrawl batches join their signatures against this
-        # committed parquet (minhash_lsh_join(corpus_sigs=...)) instead of
-        # re-hashing the curated corpus text
-        from shapefile_rs_spark.operators.dedup import minhash_signatures
+        # committed parquet (minhash_lsh_join(corpus_sigs=..., optionally
+        # corpus_bands=...)) instead of re-hashing — or re-banding — the
+        # curated corpus text
+        from shapefile_rs_spark.operators.dedup import (
+            minhash_band_rows,
+            minhash_signatures,
+        )
 
-        pipe.run_stage(
+        sigs = pipe.run_stage(
             "sigs",
             lambda: minhash_signatures(
                 curated.select("doc_id", "text"),
@@ -255,6 +268,12 @@ def run(spark, args) -> dict:
                 k=args.minhash_k,
                 num_hashes=args.num_hashes,
             ),
+        )
+        # derived from the committed sigs parquet, never from text: a
+        # resumed run re-bands only if this stage itself is missing
+        pipe.run_stage(
+            "bands",
+            lambda: minhash_band_rows(sigs, args.num_hashes, args.bands),
         )
 
     lineage = pipe.lineage()

@@ -279,7 +279,7 @@ def minhash_signatures(
     ).select("_id", minhash_from_hashes(F.col("_hs"), num_hashes).alias("_sig"))
 
 
-def minhash_algo_fingerprint(k: int, num_hashes: int) -> str:
+def minhash_algo_fingerprint(k: int, num_hashes: int, bands: int | None = None) -> str:
     """Cache-invalidation key for COMMITTED signature stages: a hash of
     the signature algorithm's own source (shingle hashing + minhash
     reduction), the derived universal-hash parameters, and the (k,
@@ -288,7 +288,13 @@ def minhash_algo_fingerprint(k: int, num_hashes: int) -> str:
     the fingerprint, so a stage written by OLD code can never be silently
     joined against new-batch signatures (the staged and recomputed paths
     must stay bit-identical).  Include this in any on-disk stage path or
-    cache key that outlives the process."""
+    cache key that outlives the process.
+
+    Pass ``bands`` when keying a committed BAND stage
+    (:func:`minhash_band_rows`): the banding spelling
+    (:func:`lsh_band_keys`) and the band count then join the blob, so a
+    band-key edit or a ``bands`` change invalidates the band stage
+    without touching the signature stage's key."""
     import hashlib
     import inspect
 
@@ -301,8 +307,26 @@ def minhash_algo_fingerprint(k: int, num_hashes: int) -> str:
             f"h={num_hashes}",
             f"m={_MERSENNE31}",
         ]
+        + ([inspect.getsource(lsh_band_keys), f"b={bands}"] if bands is not None else [])
     )
     return hashlib.md5(blob.encode()).hexdigest()[:16]
+
+
+def minhash_band_rows(
+    sigs: DataFrame, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """(_id, band, band_key) in its COMMITTABLE form — the second artifact
+    an incremental pipeline publishes next to the ``(_id, _sig)`` stage:
+    with only the signature stage committed, EVERY recrawl batch re-bands
+    the full corpus (O(N) map work per batch, dedup.py's one remaining
+    per-batch corpus-sized compute); with this stage committed too,
+    :func:`minhash_lsh_join` (``corpus_bands=``) scans pre-banded parquet
+    and the per-batch corpus-side work drops to the join's own shuffle.
+    Same ``_band_rows`` spelling as the join itself, so the committed and
+    recomputed band keys are bit-identical; key any on-disk stage by
+    ``minhash_algo_fingerprint(k, num_hashes, bands)``."""
+    assert num_hashes % bands == 0
+    return _band_rows(sigs, bands, num_hashes // bands)
 
 
 def _persisted_sigs(
@@ -1256,6 +1280,7 @@ def minhash_lsh_join(
     bands: int = 4,
     bucket_cap: int | None = None,
     corpus_sigs: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, corpus_id, n_agree, est_jaccard): candidate near-duplicate
     pairs between a NEW batch and an EXISTING corpus — the incremental
@@ -1283,11 +1308,27 @@ def minhash_lsh_join(
     banding and scoring both read them), one shuffle on (band, band_key)
     for the asymmetric join, distinct pair set, then the signature
     re-join to score.
+
+    ``corpus_bands`` (requires ``corpus_sigs``) goes one step further: a
+    committed ``(_id, band, band_key)`` stage (:func:`minhash_band_rows`,
+    maintained by the same ``append_delta`` path as the signature stage)
+    replaces the per-batch re-banding of the corpus — the ONLY remaining
+    corpus-sized map work on the committed path — so a recrawl batch's
+    corpus-side cost is just the pre-banded parquet scan feeding the
+    join.  Must be built with the SAME ``(k, num_hashes, bands)``
+    (banding is deterministic: staged and recomputed keys are
+    bit-identical, keyed on disk by ``minhash_algo_fingerprint(k,
+    num_hashes, bands)``).
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
     if (corpus is None) == (corpus_sigs is None):
         raise ValueError("pass exactly one of corpus= (raw text) or corpus_sigs= (committed signature stage)")
+    if corpus_bands is not None and corpus_sigs is None:
+        raise ValueError(
+            "corpus_bands= requires corpus_sigs= (pair scoring reads the "
+            "signature stage; the band stage only feeds the bucket join)"
+        )
     sigs_new = _persisted_sigs(new_docs, id_col, text_col, k, num_hashes)
     if corpus_sigs is not None:
         # committed-stage fast path: consumers (banding + scoring) each
@@ -1300,7 +1341,12 @@ def minhash_lsh_join(
         sigs_old = _persisted_sigs(corpus, id_col, text_col, k, num_hashes)
         caches = [sigs_new, sigs_old]
     banded_new = _band_rows(sigs_new, bands, rpb)
-    banded_old = _cap_buckets(_band_rows(sigs_old, bands, rpb), bucket_cap)
+    if corpus_bands is not None:
+        banded_old = _cap_buckets(
+            corpus_bands.select("_id", "band", "band_key"), bucket_cap
+        )
+    else:
+        banded_old = _cap_buckets(_band_rows(sigs_old, bands, rpb), bucket_cap)
     pairs = (
         banded_new.select("band", "band_key", F.col("_id").alias("new_id"))
         .join(

@@ -52,6 +52,7 @@ def maintain_signature_stage(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 12,
+    bands: int | None = None,
     query_name: str = "sig_stage_maintenance",
 ):
     """Keep the COMMITTED corpus MinHash signature stage fresh as recrawl
@@ -74,14 +75,35 @@ def maintain_signature_stage(
     backlog drains — the bounded-replay regime every streaming surface
     in this module is tested under; a production deployment would swap
     the trigger for a processing-time one.  Returns the committed stage
-    frame."""
+    frame.
+
+    ``bands`` (optional) additionally maintains the committed BAND stage
+    next to the signature stage: each batch's ``(_id, band, band_key)``
+    rows append through the same keyed anti-join, so
+    ``minhash_lsh_join(corpus_sigs=..., corpus_bands=...)`` never
+    re-bands the corpus (its one remaining per-batch O(N) map work).
+    Both stages advance in the SAME foreachBatch call, so a replayed
+    batch is idempotent on both; the band stage's name carries the
+    band-aware fingerprint (a banding edit or ``bands`` change restarts
+    it without touching the signature stage).  With ``bands`` set the
+    return value is the PAIR ``(sig_frame, band_frame)``."""
     from ..lineage import CheckpointedPipeline
-    from ..operators.dedup import minhash_algo_fingerprint, minhash_signatures
+    from ..operators.dedup import (
+        minhash_algo_fingerprint,
+        minhash_band_rows,
+        minhash_signatures,
+    )
 
     # the stage name carries the algorithm fingerprint + params — the
     # committed-stage cache-key rule (see minhash_algo_fingerprint): a
     # param change or signature-spelling edit starts a FRESH stage
     # instead of silently mixing incompatible signatures in one stage
+    band_stage = (
+        f"{stage}-bands-k{k}h{num_hashes}b{bands}-"
+        f"{minhash_algo_fingerprint(k, num_hashes, bands)}"
+        if bands is not None
+        else None
+    )
     stage = f"{stage}-k{k}h{num_hashes}-{minhash_algo_fingerprint(k, num_hashes)}"
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
@@ -90,12 +112,26 @@ def maintain_signature_stage(
         pipe = CheckpointedPipeline(batch_df.sparkSession, pipeline_root)
         sigs = minhash_signatures(
             batch_df.select(id_col, text_col), id_col, text_col, k, num_hashes
+        ).localCheckpoint(eager=True) if band_stage else minhash_signatures(
+            batch_df.select(id_col, text_col), id_col, text_col, k, num_hashes
         )
         # intra-batch dedup: append_delta's anti-join filters only against
         # the COMMITTED stage, so the same id landing twice in ONE
         # micro-batch (two mirrors in the same drain) would commit twice
         # without this; for identical replays any copy is the same row
         pipe.append_delta(stage, sigs.dropDuplicates(["_id"]), ["_id"])
+        if band_stage:
+            # banded rows derive from the SAME materialized signatures
+            # (localCheckpoint above: two consumers, one signature compute
+            # — the self-join re-run rule from CLAUDE.md), keyed per
+            # (_id, band) so replays append nothing
+            pipe.append_delta(
+                band_stage,
+                minhash_band_rows(
+                    sigs.dropDuplicates(["_id"]), num_hashes, bands
+                ),
+                ["_id", "band"],
+            )
 
     q = (
         docs_stream.writeStream.foreachBatch(_append)
@@ -108,4 +144,7 @@ def maintain_signature_stage(
     pipe = CheckpointedPipeline(docs_stream.sparkSession, pipeline_root)
     if not pipe.completed(stage):
         return None  # zero non-empty batches and no prior stage
-    return pipe.spark.read.parquet(pipe.stage_path(stage))
+    sig_frame = pipe.spark.read.parquet(pipe.stage_path(stage))
+    if band_stage:
+        return sig_frame, pipe.spark.read.parquet(pipe.stage_path(band_stage))
+    return sig_frame

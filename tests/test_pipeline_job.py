@@ -117,7 +117,9 @@ def test_curation_job_commits_signature_stage(spark, sf_dir, tmp_path):
         ["--sf-dir", sf_dir, "--out", out, "--cpus", "4", "--sig-stage"]
     )
     res = run(spark, args)
-    assert set(res["stages"]) == {"features", "dedup", "decontam", "curated", "sigs"}
+    assert set(res["stages"]) == {
+        "features", "dedup", "decontam", "curated", "sigs", "bands"
+    }
 
     pipe = CheckpointedPipeline(spark, out)
     sigs = pipe.run_stage("sigs", lambda: (_ for _ in ()).throw(AssertionError))
@@ -126,14 +128,20 @@ def test_curation_job_commits_signature_stage(spark, sf_dir, tmp_path):
     assert sigs.count() == n_curated
     # every signature has the full num_hashes components
     assert sigs.filter(F.size("_sig") != 12).count() == 0
+    # the pre-banded twin commits alongside: 4 band rows per doc
+    bands = pipe.run_stage("bands", lambda: (_ for _ in ()).throw(AssertionError))
+    assert bands.columns == ["_id", "band", "band_key"]
+    assert bands.count() == 4 * n_curated
 
-    # a recrawl batch of variants finds its originals via the stage alone
+    # a recrawl batch of variants finds its originals via the stages alone
     batch = (
         spark.read.parquet(f"{out}/stages/curated/data")
         .select("doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"))
         .limit(30)
     )
-    hits = minhash_lsh_join(batch, corpus_sigs=sigs, id_col="doc_id")
+    hits = minhash_lsh_join(
+        batch, corpus_sigs=sigs, corpus_bands=bands, id_col="doc_id"
+    )
     assert hits.filter(F.col("new_id") == F.col("corpus_id")).count() > 0
 
 

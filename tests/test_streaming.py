@@ -190,3 +190,56 @@ def test_maintain_signature_stage_tracks_ingestion(spark, sf_dir, tmp_path):
     )
     hits = minhash_lsh_join(batch, corpus_sigs=sigs, id_col="doc_id")
     assert hits.filter(F.col("new_id") == F.col("corpus_id")).count() > 0
+
+
+def test_maintain_signature_stage_with_bands(spark, sf_dir, tmp_path):
+    """bands= maintains the committed BAND stage in the same foreachBatch:
+    replays append nothing to either stage, the maintained band rows are
+    bit-identical to re-banding the signature stage, and the incremental
+    join consumes them with no corpus-side banding in its plan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_lsh_join,
+    )
+    from shapefile_rs_spark.streaming.dedup import maintain_signature_stage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0).limit(80)
+    land = tmp_path / "landing"
+    land.mkdir()
+    root = str(tmp_path / "pipe")
+    ck = tmp_path / "ck"
+    schema = wave1.schema
+    wave1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for f in (tmp_path / "w1").glob("*.parquet"):
+        shutil.copy(f, land / "batch_a.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    sigs, bands = maintain_signature_stage(stream, root, str(ck / "1"), bands=4)
+    n1 = wave1.count()
+    assert sigs.count() == n1
+    assert bands.columns == ["_id", "band", "band_key"] and bands.count() == 4 * n1
+
+    # a replay drains through BOTH stages without appending
+    shutil.copy(land / "batch_a.parquet", land / "batch_a_replay.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    sigs, bands = maintain_signature_stage(stream, root, str(ck / "2"), bands=4)
+    assert sigs.count() == n1 and bands.count() == 4 * n1
+
+    # maintained band rows == re-banding the committed signature stage
+    want = sorted(tuple(r) for r in minhash_band_rows(sigs, 12, 4).collect())
+    got = sorted(tuple(r) for r in bands.collect())
+    assert got == want
+
+    # the recrawl join over BOTH stages: corpus banding absent from the plan
+    batch = wave1.limit(15).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    hits = minhash_lsh_join(batch, corpus_sigs=sigs, corpus_bands=bands, id_col="doc_id")
+    assert hits.filter(F.col("new_id") == F.col("corpus_id")).count() > 0
+    logical = hits._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("Generate explode") == 1
