@@ -830,9 +830,33 @@ _EMB_ROWS: dict = {}
 
 def _emb_rows(spark: SparkSession, sf_dir: str) -> int:
     """Row count of the read-only embeddings table, cached per sf_dir —
-    deriving n_planes cost a full count job on every invocation."""
+    deriving n_planes cost a full count job on every invocation.  The
+    same single probe also asserts vec_id CONTIGUITY (0..n-1): the
+    hyperplane selections (``vec_id < tables × ppt``) and the oracles'
+    ``pid // ppt`` table-split rule both assume it, and a gapped id space
+    would pass a bare row-count guard while silently yielding fewer
+    planes (advice finding)."""
     if sf_dir not in _EMB_ROWS:
-        _EMB_ROWS[sf_dir] = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        probe = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("vec_id").alias("nd"),
+                F.min("vec_id").alias("lo"),
+                F.max("vec_id").alias("hi"),
+            )
+            .collect()[0]
+        )
+        if probe["n"] and not (
+            probe["nd"] == probe["n"] and probe["lo"] == 0 and probe["hi"] == probe["n"] - 1
+        ):
+            raise ValueError(
+                f"embeddings vec_id not contiguous 0..n-1 (n={probe['n']}, "
+                f"distinct={probe['nd']}, min={probe['lo']}, max={probe['hi']}): "
+                "the hyperplane selections and the oracle's pid // ppt table "
+                "split assume a dense id space"
+            )
+        _EMB_ROWS[sf_dir] = probe["n"]
     return _EMB_ROWS[sf_dir]
 
 
@@ -1874,7 +1898,7 @@ vb AS (
   SELECT v.vec_id AS id,
          CAST(p.pid AS INTEGER) // (SELECT ppt FROM params) AS tbl,
          SUM(CASE WHEN list_dot_product(v.ve, p.pe) > 0
-                  THEN (1 << (CAST(p.pid AS INTEGER) % (SELECT ppt FROM params)))
+                  THEN (CAST(1 AS BIGINT) << (CAST(p.pid AS INTEGER) % (SELECT ppt FROM params)))
                   ELSE 0 END) AS bucket
   FROM v CROSS JOIN planes p GROUP BY v.vec_id, tbl
 ),
@@ -1914,7 +1938,7 @@ WITH corpus AS (
   SELECT c.id,
          CAST(p.pid AS INTEGER) // (SELECT ppt FROM params) AS tbl,
          SUM(CASE WHEN list_dot_product(c.e, p.pe) > 0
-                  THEN (1 << (CAST(p.pid AS INTEGER) % (SELECT ppt FROM params)))
+                  THEN (CAST(1 AS BIGINT) << (CAST(p.pid AS INTEGER) % (SELECT ppt FROM params)))
                   ELSE 0 END) AS bucket
   FROM corpus c CROSS JOIN planes p GROUP BY c.id, tbl
 ), pairs AS (

@@ -498,12 +498,27 @@ def quality_prune(
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac {frac} outside [0, 1]")
     if mega_strata_threshold is not None:
+        import math as _math
+
         counts = {
             r["s"]: r["n"]
             for r in df.groupBy(F.col(strata_col).alias("s"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        # NaN strata are unusable on the counted paths: a float NaN key
+        # never matches itself in the offsets dict (nan != nan) and a
+        # Spark NULL and NaN double both arrive as pandas NaN through
+        # Arrow, so the rank pass cannot keep them as the two distinct
+        # window partitions the plain spelling uses — reject loudly (the
+        # advice-sanctioned treatment, like the null/duplicate id guards)
+        if any(isinstance(s, float) and _math.isnan(s) for s in counts):
+            raise ValueError(
+                f"{strata_col} contains NaN strata: indistinguishable from "
+                "NULL through the Arrow rank pass — filter or normalize NaN "
+                "before setting mega_strata_threshold (the default window "
+                "path ranks NaN as its own stratum)"
+            )
         if mega_strata_threshold == "auto":
             shuffle_par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
             mega_strata_threshold = max(1, sum(counts.values()) // max(shuffle_par, 1))

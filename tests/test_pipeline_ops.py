@@ -1104,6 +1104,22 @@ def test_quality_prune_two_phase_matches_window_path(spark, sf_dir):
     assert auto == {tuple(r) for r in quality_prune(docs, 0.5).collect()}
     with _pytest.raises(ValueError, match="auto"):
         quality_prune(docs, 0.5, mega_strata_threshold="AUTO-ish")
+    # float strata: a NaN stratum is indistinguishable from NULL through
+    # Arrow (both arrive as pandas NaN) and nan != nan breaks the offset
+    # keys — rejected loudly on the counted paths (advice finding); the
+    # plain window path still ranks NaN as its own stratum, and NULL-only
+    # float strata stay exact on both paths
+    nan_strata = spark.createDataFrame(
+        [(1, float("nan"), 5), (2, float("nan"), 4), (3, 1.0, 3), (4, None, 2)],
+        "doc_id bigint, grp double, quality bigint",
+    )
+    assert quality_prune(nan_strata, 0.5, strata_col="grp").count() > 0
+    with _pytest.raises(ValueError, match="NaN"):
+        quality_prune(nan_strata, 0.5, strata_col="grp", mega_strata_threshold=1)
+    null_strata = nan_strata.filter(~F.isnan("grp") | F.col("grp").isNull())
+    two_f = {tuple(r) for r in quality_prune(null_strata, 0.5, strata_col="grp", mega_strata_threshold=1).collect()}
+    win_f = {tuple(r) for r in quality_prune(null_strata, 0.5, strata_col="grp").collect()}
+    assert two_f == win_f and len(win_f) > 0
 
 
 def test_quality_prune_two_phase_randomized_equivalence(spark):
