@@ -825,6 +825,28 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (nprobe=2): each query probes its own bucket
+    PLUS the one-bit-flipped neighbor whose hyperplane margin is smallest
+    (|dot| asc, bit-index tie-break) in each of the 4 tables — the recall
+    dial that needs NO corpus re-bucketing (the query side alone probes
+    wider), per multi-probe LSH (Lv et al.).  Rank-only output, the ann
+    convention; the oracle mirrors the full probe arithmetic incl. the
+    margin ordering and the xor bit flip."""
+    from shapefile_rs_spark.operators.similarity import ann_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    planes = _lsh_planes(spark, sf_dir, _lsh_topk_ppt(_emb_rows(spark, sf_dir)))
+    return ann_lsh_topk(
+        emb,
+        _emb_queries(spark, sf_dir),
+        planes,
+        k=5,
+        n_tables=_NEARDUP_TABLES,
+        nprobe=2,
+    )
+
+
 _EMB_ROWS: dict = {}
 
 
@@ -1466,6 +1488,7 @@ ROTATION = {
     "video_frames": 5,
     "lang_set_ops": 5,
     "events_hourly": 5,
+    "user_sessions": 5,
 }
 
 
@@ -1506,7 +1529,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
-        "user_sessions": q_user_sessions,
         "tile_rollup": q_tile_rollup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -1517,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf2": q_ann_ivf2,
         "embed_neardup": q_embed_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_mp": q_ann_lsh_mp,
         "text_quality": q_text_quality,
         "winnow_fp": q_winnow_fp,
         "char_minhash": q_char_minhash,
@@ -1536,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "lang_set_ops": q_lang_set_ops,
         "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -1916,6 +1940,58 @@ SELECT query_id, vec_id, rnk FROM (
   -- undefined cosines (zero-norm vectors) produce NO result row — the
   -- operator's contract; without this DuckDB would rank NaN FIRST
   -- (NaN orders greatest) while Spark drops the NULL-cos candidate
+  WHERE NOT isnan(list_cosine_similarity(v.ve, q.qe))
+) WHERE rnk <= 5
+""",
+        "ann_lsh_mp": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+params AS (
+  -- same max(4, ceil(log2 N) - 2) rule as _lsh_topk_ppt
+  SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INTEGER) - 2) AS ppt
+  FROM embeddings
+),
+planes AS (
+  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id < 4 * (SELECT ppt FROM params)
+),
+dots AS (
+  -- per (vector, plane) margin; table = pid // ppt, bit = pid % ppt
+  SELECT v.vec_id AS id,
+         CAST(p.pid AS INTEGER) // (SELECT ppt FROM params) AS tbl,
+         CAST(p.pid AS INTEGER) % (SELECT ppt FROM params) AS bit,
+         list_dot_product(v.ve, p.pe) AS d
+  FROM v CROSS JOIN planes p
+),
+vb AS (
+  SELECT id, tbl,
+         SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS bucket
+  FROM dots GROUP BY id, tbl
+),
+q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 4),
+qflip AS (
+  -- multi-probe nprobe=2: per (query, table) the least-|margin| bit,
+  -- ties broken by bit index — the operator's stable argsort order
+  SELECT id AS query_id, tbl, bit FROM (
+    SELECT id, tbl, bit,
+           ROW_NUMBER() OVER (PARTITION BY id, tbl ORDER BY ABS(d) ASC, bit ASC) AS r
+    FROM dots WHERE id < 4
+  ) WHERE r = 1
+),
+qb AS (
+  SELECT id AS query_id, tbl, bucket FROM vb WHERE id < 4
+  UNION ALL
+  SELECT f.query_id, vb.tbl, xor(vb.bucket, CAST(1 AS BIGINT) << f.bit)
+  FROM vb JOIN qflip f ON vb.id = f.query_id AND vb.tbl = f.tbl
+),
+cands AS (
+  SELECT DISTINCT qb.query_id, vb.id AS vec_id
+  FROM vb JOIN qb ON vb.tbl = qb.tbl AND vb.bucket = qb.bucket
+)
+SELECT query_id, vec_id, rnk FROM (
+  SELECT c.query_id, c.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(v.ve, q.qe) DESC, c.vec_id ASC) AS rnk
+  FROM cands c JOIN v ON v.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
   WHERE NOT isnan(list_cosine_similarity(v.ve, q.qe))
 ) WHERE rnk <= 5
 """,

@@ -171,19 +171,35 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     plane_id: str = "plane_id",
     plane_col: str = "p_embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """(_id, _tbl, _bucket): the hyperplane-LSH table/bucket frame
     :func:`embedding_neardup_pairs` self-joins on — the ONE spelling of
     that shuffle key, exposed so bucket-population telemetry (bench.py)
     audits the exact buckets the operator joins, not a reimplementation.
     Un-checkpointed: the pairing operator adds its own localCheckpoint for
-    the two-sided consumption; telemetry reads it once."""
+    the two-sided consumption; telemetry reads it once.
+
+    ``nprobe`` > 1 emits MULTI-PROBE rows: per table, the own bucket plus
+    ``nprobe-1`` neighbor buckets, each flipping ONE sign bit in
+    ascending |dot| (margin) order — the hyperplane the vector sits
+    closest to is the most likely single misclassification, the
+    margin-guided move of multi-probe LSH (Lv et al., VLDB'07,
+    simplified to single-bit perturbations).  Ties in |dot| break by bit
+    index, so the probe sequence is deterministic and oracle-expressible.
+    Meant for the QUERY side of an asymmetric search: probing there
+    raises recall with zero change to the corpus bucketing."""
     pids, P = _collect_matrix(planes, plane_id, plane_col, normalize=False)
     if n_tables < 1 or len(pids) % n_tables:
         raise ValueError(
             f"plane count {len(pids)} must divide evenly into n_tables={n_tables}"
         )
     p = len(pids) // n_tables
+    if not 1 <= nprobe <= p + 1:
+        raise ValueError(
+            f"nprobe {nprobe} outside [1, planes_per_table+1={p + 1}]: each "
+            "probe past the first flips one DISTINCT bit of the p-bit key"
+        )
     weights = (1 << np.arange(p, dtype=np.int64))  # in-table plane i → bit i
     b_schema = StructType(
         [
@@ -198,20 +214,30 @@ def hyperplane_buckets(
             if not len(pdf):
                 continue
             V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
-            signs = (V @ P.T) > 0  # B×(L·p)
+            M = V @ P.T  # B×(L·p) margins; sign bit = M > 0
             ids = pdf[vec_id].to_numpy()
-            yield pd.concat(
-                [
-                    pd.DataFrame(
-                        {
-                            "_id": ids,
-                            "_tbl": np.int32(t),
-                            "_bucket": signs[:, t * p : (t + 1) * p] @ weights,
-                        }
-                    )
-                    for t in range(n_tables)
-                ]
-            )
+            frames = []
+            for t in range(n_tables):
+                Mt = M[:, t * p : (t + 1) * p]
+                base = (Mt > 0) @ weights
+                frames.append(
+                    pd.DataFrame({"_id": ids, "_tbl": np.int32(t), "_bucket": base})
+                )
+                if nprobe > 1:
+                    # stable argsort on |margin|: ties break by bit index,
+                    # matching the oracle's (ABS(dot), bit) ordering
+                    order = np.argsort(np.abs(Mt), axis=1, kind="stable")
+                    for j in range(nprobe - 1):
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "_id": ids,
+                                    "_tbl": np.int32(t),
+                                    "_bucket": base ^ weights[order[:, j]],
+                                }
+                            )
+                        )
+            yield pd.concat(frames)
 
     return vectors.select(vec_id, vec_col).mapInPandas(bucket, schema=b_schema)
 
@@ -228,10 +254,19 @@ def ann_lsh_topk(
     query_col: str = "q_embedding",
     plane_id: str = "plane_id",
     plane_col: str = "p_embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """(query_id, vec_id, rnk): approximate cosine top-k over the LSH
     candidate set — vectors sharing ≥1 hyperplane bucket with the query
-    in ANY of the ``n_tables`` OR-amplified tables.  The third
+    in ANY of the ``n_tables`` OR-amplified tables.
+
+    ``nprobe`` is the second recall dial beside ``n_tables``: each query
+    additionally probes ``nprobe-1`` neighbor buckets per table (one
+    flipped sign bit, least-|margin| first — see
+    :func:`hyperplane_buckets`).  Probing happens on the QUERY side only,
+    so recall rises with NO change to the corpus bucket scan — the dial a
+    100 TB deployment can turn per-request, while raising ``n_tables``
+    means re-bucketing the corpus.  The third
     similarity-search mode beside :func:`cosine_topk` (exact, scans
     everything) and :func:`ivf_topk` (probes learned cells): bucketing
     needs no training pass, recall dials with L·p exactly as in
@@ -252,6 +287,7 @@ def ann_lsh_topk(
     qb = hyperplane_buckets(
         queries, planes, n_tables=n_tables,
         vec_id=query_id, vec_col=query_col, plane_id=plane_id, plane_col=plane_col,
+        nprobe=nprobe,
     )
     cands = (
         vb.select(F.col("_id").alias(vec_id), "_tbl", "_bucket")

