@@ -414,6 +414,12 @@ def q_shapes_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(shp)
         with open(os.path.join(tmp, f"{name}.shx"), "wb") as fh:
             fh.write(shx)
+        # .prj passthrough: an opaque sidecar the reference stores but never
+        # parses (examples/geotype-example/tests/data/points.prj) — carried
+        # verbatim as crs_wkt.  Two families deliberately lack one (NULL).
+        if name not in ("multipatch", "polygon_hole"):
+            with open(os.path.join(tmp, f"{name}.prj"), "w") as fh:
+                fh.write(f'GEOGCS["graft_{name}",DATUM["WGS_1984"]]')
     headers = read_shapefile_headers(spark, tmp)
     return headers.select(
         F.element_at(F.split("source_file", "/"), -1).alias("family"),
@@ -427,6 +433,7 @@ def q_shapes_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zmax",
         "mmin",
         "mmax",
+        "crs_wkt",
     )
 
 
@@ -1714,7 +1721,10 @@ SELECT family, shape_type, file_length_words,
        CAST(xmin AS DOUBLE) AS xmin, CAST(ymin AS DOUBLE) AS ymin,
        CAST(xmax AS DOUBLE) AS xmax, CAST(ymax AS DOUBLE) AS ymax,
        CAST(zmin AS DOUBLE) AS zmin, CAST(zmax AS DOUBLE) AS zmax,
-       CAST(mmin AS DOUBLE) AS mmin, CAST(mmax AS DOUBLE) AS mmax
+       CAST(mmin AS DOUBLE) AS mmin, CAST(mmax AS DOUBLE) AS mmax,
+       CASE WHEN family IN ('multipatch', 'polygon_hole') THEN NULL
+            ELSE 'GEOGCS["graft_' || family || '",DATUM["WGS_1984"]]'
+       END AS crs_wkt
 FROM (VALUES
   ('line', 3, 136, 1.0, 1.0, 5.0, 6.0, 0.0, 0.0, 0.0, 0.0),
   ('linem', 23, 172, 1.0, 1.0, 5.0, 6.0, 0.0, 0.0, -1e+39, 3.0),

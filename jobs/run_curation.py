@@ -198,7 +198,7 @@ def run(spark, args) -> dict:
 
     rates = _parse_rates(args.sample)
 
-    quality_caches = []
+    cache_bearers = []
 
     def stage_curated():
         survivors = flagged.filter(F.col("is_keeper") & F.col("is_clean"))
@@ -232,8 +232,11 @@ def run(spark, args) -> dict:
                 mega_strata_threshold="auto",
             )
             # the two-phase path persists its sample-sorted frame; release
-            # it after run_stage materializes this stage's parquet
-            quality_caches.extend(getattr(survivors, "_sig_caches", ()))
+            # it after run_stage materializes this stage's parquet via the
+            # operator-provided hook (dedup.release_sig_caches) — the
+            # loop-style-caller discipline that keeps caches from
+            # accumulating across repeated runs in one session
+            cache_bearers.append(survivors)
             survivors = survivors.drop("q_rank", "n_stratum")
         sampled = stratified_sample(
             survivors, rates, strata_col="lang", id_col="doc_id",
@@ -245,8 +248,10 @@ def run(spark, args) -> dict:
         )
 
     curated = pipe.run_stage("curated", stage_curated)
-    for frame in quality_caches:
-        frame.unpersist()
+    from shapefile_rs_spark.operators.dedup import release_sig_caches
+
+    for frame in cache_bearers:
+        release_sig_caches(frame)
 
     if args.sig_stage:
         # published artifacts, not inputs to this run's stages: the NEXT
