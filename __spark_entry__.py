@@ -1464,6 +1464,28 @@ def lsh_bucket_report(spark: SparkSession, sf_dir: str) -> dict:
         hyperplane_buckets(e_corpus, planes, n_tables=_NEARDUP_TABLES),
         ["_tbl", "_bucket"],
     )
+    # ann_lsh probe dial: corpus bucket exposure for the top-k tables plus
+    # the CANDIDATE fan-out per probe width — nprobe2/nprobe1 is the exact
+    # rescore-cost multiplier the recall dial buys its recall with (the
+    # corpus-side frame is identical for every nprobe; only the broadcast
+    # query probes widen)
+    emb = _emb(spark, sf_dir)
+    topk_planes = _lsh_planes(spark, sf_dir, _lsh_topk_ppt(_emb_rows(spark, sf_dir)))
+    vb = hyperplane_buckets(emb, topk_planes, n_tables=_NEARDUP_TABLES).persist()
+    out["ann_lsh"] = bucket_population_stats(vb, ["_tbl", "_bucket"])
+    qdf = _emb_queries(spark, sf_dir)
+    for nprobe in (1, 2):
+        qb = hyperplane_buckets(
+            qdf, topk_planes, n_tables=_NEARDUP_TABLES,
+            vec_id="query_id", vec_col="q_embedding", nprobe=nprobe,
+        ).select(F.col("_id").alias("_qid"), "_tbl", "_bucket")
+        out["ann_lsh"][f"nprobe{nprobe}_candidates"] = (
+            vb.join(F.broadcast(qb), ["_tbl", "_bucket"])
+            .select("_qid", "_id")
+            .distinct()
+            .count()
+        )
+    vb.unpersist()
     out["bucket_cap"] = _LSH_BUCKET_CAP
     return out
 
