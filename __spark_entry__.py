@@ -1129,14 +1129,10 @@ _EVAL_PHRASE = " held out eval phrase alpha beta gamma delta"  # 8 words
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125, "zh": 0.0625}
 
 
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: every-50th doc (plus a planted 8-word
-    eval phrase) is the held-out benchmark; corpus docs sharing any 8-gram
-    with it are flagged.  Docs with doc_id%7==3 carry the planted phrase,
-    so contamination is guaranteed non-trivial.  Broadcast hash join on
-    the tiny benchmark n-gram set — the corpus side never shuffles."""
-    from shapefile_rs_spark.operators.curation import decontaminate
-
+def _decon_frames(spark: SparkSession, sf_dir: str) -> tuple:
+    """(corpus, bench) planted-contamination frames shared by the exact
+    and Bloom-prefiltered decontamination queries (identical inputs →
+    identical oracle row)."""
     docs = _docs(spark, sf_dir, split=True).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 50 == 0).select(
         "doc_id", F.concat(F.col("text"), F.lit(_EVAL_PHRASE)).alias("text")
@@ -1149,7 +1145,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    return corpus, bench
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every-50th doc (plus a planted 8-word
+    eval phrase) is the held-out benchmark; corpus docs sharing any 8-gram
+    with it are flagged.  Docs with doc_id%7==3 carry the planted phrase,
+    so contamination is guaranteed non-trivial.  Broadcast hash join on
+    the tiny benchmark n-gram set — the corpus side never shuffles."""
+    from shapefile_rs_spark.operators.curation import decontaminate
+
+    corpus, bench = _decon_frames(spark, sf_dir)
     return decontaminate(corpus, bench, k=8)
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination behind a Bloom prefilter — SAME planted frames and
+    the SAME oracle row as q_decontaminate, so the driver gate proves the
+    bitset-probe + exact-confirm plan row-identical to the broadcast-join
+    plan (the quality_prune2 shared-oracle convention).  The 100 TB story:
+    a benchmark n-gram set too big to broadcast as a hash relation still
+    fits as a ~10-bits/key bitset; false positives cost confirm-join bytes,
+    never rows.  m_bits=1<<16 keeps real collision pressure at fixture
+    scale (a few thousand benchmark grams in 64 Ki bits) so the confirm
+    join provably does its job on every gate run."""
+    from shapefile_rs_spark.operators.curation import decontaminate_bloom
+
+    corpus, bench = _decon_frames(spark, sf_dir)
+    return decontaminate_bloom(corpus, bench, k=8, m_bits=1 << 16)
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,6 +1410,67 @@ def q_quality_prune2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_prune(docs, frac=0.3, mega_strata_threshold=1)
 
 
+# per-language token budget for q_budget_sample — keeps ~15-40% per lang at
+# sf0.01 and ~2-4% at sf0.1 (the same constant lives in the oracle SQL, so
+# any scale works; these fractions just keep the keep-set non-trivial)
+_BUDGET_TOKENS = 1500
+
+
+def _budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens) under the BPE-ish pretokenizer — shared by
+    both budget_sample plans (identical input → identical oracle row)."""
+    from shapefile_rs_spark.operators.curation import bpe_token_count
+
+    return _docs(spark, sf_dir, split=True).select(
+        "doc_id", "lang", bpe_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget prefix sampling (the data-mixture cut:
+    'keep _BUDGET_TOKENS of each language'): docs order by the md5(id)
+    deterministic hash, a doc survives iff the tokens before it in that
+    order stay under budget — monotone in the budget, identical keep-set
+    at any partitioning.  Window running-sum plan (one stratum-key
+    shuffle)."""
+    from shapefile_rs_spark.operators.curation import budget_sample
+
+    return budget_sample(_budget_docs(spark, sf_dir), budget=_BUDGET_TOKENS)
+
+
+def q_budget_sample2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME budget cut on the mega-strata plan: mega_strata_threshold=1
+    forces the two-phase exact prefix sum (sample-sort range partitioning +
+    offset-priced Arrow scan — the distributed-scan primitive, no
+    per-stratum window task).  Shares q_budget_sample's oracle verbatim:
+    the driver gate proves both plans row-identical, the quality_prune2
+    convention."""
+    from shapefile_rs_spark.operators.curation import budget_sample
+
+    return budget_sample(
+        _budget_docs(spark, sf_dir), budget=_BUDGET_TOKENS, mega_strata_threshold=1
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup with best-representative selection: connected components
+    over the SAME planted chain-pair graph as q_dedup_clusters, then keep
+    the highest-n_chars doc per cluster (id tie-break) — the real pipeline
+    semantic (min-id keeps an arbitrary crawl artifact; keep-best retains
+    the best copy at identical dedup rate).  Docs outside the pair graph
+    are singleton clusters, always kept."""
+    from shapefile_rs_spark.operators.dedup import dedup_keep_best
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("n_chars").alias("quality"))
+    ids = _docs(spark, sf_dir).select("doc_id")
+    pairs = (
+        ids.filter(F.col("doc_id") % 5 != 4)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    return dedup_keep_best(docs, pairs, id_col="doc_id", score_col="quality")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs (multi-index: 4 blocks of a
     60-bit fingerprint, exact popcount refine at radius 2) over the planted
@@ -1518,6 +1603,12 @@ ROTATION = {
     "lang_set_ops": 5,
     "events_hourly": 5,
     "user_sessions": 5,
+    # parked in round 6 to make window room for the 4 new queries (all
+    # green r1-r5; the widest green history in the registry):
+    "wkt_export": 5,
+    "knn_haversine": 5,
+    "tile_pyramid": 5,
+    "bbox_agg": 5,
 }
 
 
@@ -1534,6 +1625,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_prune2": q_quality_prune2,
         "dup_coverage": q_dup_coverage,
         "incr_neardup": q_incr_neardup,
+        # --- new in round 6: must enter the gate window on their first
+        # round (the rotation discipline — new queries never start parked).
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "budget_sample": q_budget_sample,
+        "budget_sample2": q_budget_sample2,
+        "dedup_keep_best": q_dedup_keep_best,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -1546,10 +1643,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,
         "simplify": q_simplify,
         "convex_hull": q_convex_hull,
-        "wkt_export": q_wkt_export,
-        "knn_haversine": q_knn_haversine,
-        "tile_pyramid": q_tile_pyramid,
-        "bbox_agg": q_bbox_agg,
         "cell_census": q_cell_census,
         "shapes_decode": q_shapes_decode,
         "shapes_roundtrip": q_shapes_roundtrip,
@@ -1589,6 +1682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_set_ops": q_lang_set_ops,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
+        "wkt_export": q_wkt_export,
+        "knn_haversine": q_knn_haversine,
+        "tile_pyramid": q_tile_pyramid,
+        "bbox_agg": q_bbox_agg,
     }
 
 
@@ -2132,6 +2229,14 @@ FROM stepped
         "dup_coverage": _dup_coverage_oracle(),
         "incr_neardup": _incr_neardup_oracle(),
         "decontaminate": _decontaminate_oracle(),
+        # Bloom prefilter + exact confirm must be row-identical to the
+        # broadcast-join plan — shares the oracle verbatim, so the driver
+        # gate proves it (the quality_prune2 convention)
+        "decontaminate_bloom": _decontaminate_oracle(),
+        "budget_sample": _budget_sample_oracle(),
+        # two-phase prefix sum shares the window oracle verbatim
+        "budget_sample2": _budget_sample_oracle(),
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
         "token_count": _token_count_oracle(),
@@ -2174,6 +2279,52 @@ def _quality_prune_oracle() -> str:
 
     docs = "SELECT doc_id, lang, n_chars AS quality FROM documents"
     return quality_prune_sql(docs, frac=0.3)
+
+
+def _budget_sample_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import (
+        bpe_token_count_sql,
+        budget_sample_sql,
+    )
+
+    docs = (
+        "SELECT doc_id, lang, "
+        f"CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_tokens "
+        "FROM documents"
+    )
+    return budget_sample_sql(docs, budget=_BUDGET_TOKENS)
+
+
+# keep-best over the SAME planted chain-pair graph as dedup_clusters: the
+# recursive-CTE component labels feed a per-cluster (n_chars desc, doc_id
+# asc) representative window; docs outside the graph are their own
+# singleton clusters (COALESCE to the doc's id, matching the min-id label
+# a real singleton component would carry)
+_DEDUP_KEEP_BEST_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT d.doc_id AS a, d.doc_id + 1 AS b
+  FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 5 <> 4
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT e.b AS id, w.comp FROM walk w JOIN edges e ON e.a = w.id
+),
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id)
+SELECT doc_id, cluster_id, cluster_size, kept FROM (
+  SELECT d.doc_id AS doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         COUNT(*) OVER (
+           PARTITION BY COALESCE(c.cluster_id, d.doc_id)) AS cluster_size,
+         (ROW_NUMBER() OVER (
+            PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+            ORDER BY d.n_chars DESC NULLS LAST, d.doc_id ASC) = 1) AS kept
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+"""
 
 
 def _span_dedup_oracle() -> str:

@@ -143,6 +143,158 @@ FROM ({docs_sql}) d LEFT JOIN hits h USING ({id_col})
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+# Kirsch–Mitzenmacher double hashing off one md5 per gram: position_i =
+# (h1 + i·h2) mod m, h1/h2 the two 64-bit halves of the digest, h2 forced
+# odd so the probe sequence never cycles early on power-of-two m.
+_BLOOM_HASHES = 4
+
+
+def _bloom_positions_fn(m_bits: int, n_hashes: int):
+    """Closure (not a module-level lambda with default args — the
+    CLAUDE.md binding hazard) mapping a gram string to its bit positions."""
+    import hashlib
+
+    def positions(g: str):
+        d = hashlib.md5(g.encode()).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:16], "big") | 1
+        return [(h1 + i * h2) % m_bits for i in range(n_hashes)]
+
+    return positions
+
+
+def bloom_build(
+    grams: DataFrame, m_bits: int, n_hashes: int = _BLOOM_HASHES, gram_col: str = "_g"
+) -> bytes:
+    """Distributed Bloom-bitset build over a gram column: each partition
+    folds its grams into a local ``m_bits``-bit set (numpy uint8), the
+    driver ORs the per-partition rows — collect volume is
+    ``partitions × m_bits/8`` bytes, never data-sized.  ``m_bits`` must be
+    a positive multiple of 8 (byte-addressed bitset)."""
+    import numpy as np
+    import pandas as pd
+
+    if m_bits <= 0 or m_bits % 8:
+        raise ValueError(f"m_bits {m_bits}: need a positive multiple of 8")
+    pos_fn = _bloom_positions_fn(m_bits, n_hashes)
+
+    def fold(batches):
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        touched = False
+        for pdf in batches:
+            for g in pdf[gram_col]:
+                if g is None:
+                    continue
+                touched = True
+                for p in pos_fn(g):
+                    bits[p >> 3] |= np.uint8(1 << (p & 7))
+        if touched:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    rows = grams.select(gram_col).mapInPandas(fold, schema="bits binary").collect()
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in rows:
+        np.bitwise_or(acc, np.frombuffer(r["bits"], dtype=np.uint8), out=acc)
+    return acc.tobytes()
+
+
+def bloom_prefilter(
+    grams: DataFrame,
+    bits: bytes,
+    m_bits: int,
+    n_hashes: int = _BLOOM_HASHES,
+    gram_col: str = "_g",
+) -> DataFrame:
+    """Rows whose gram tests positive in the Bloom bitset (NULL grams drop:
+    a null never matches the exact confirm join either).  The bitset ships
+    once per executor as a broadcast variable; the probe is an
+    Arrow-batched pass with per-payload md5 granularity — the sanctioned
+    cost class of the shingle generator it filters."""
+    import numpy as np
+
+    if len(bits) * 8 != m_bits:
+        raise ValueError(f"bitset is {len(bits) * 8} bits, expected {m_bits}")
+    bc = grams.sparkSession.sparkContext.broadcast(bits)
+    pos_fn = _bloom_positions_fn(m_bits, n_hashes)
+
+    def probe(batches):
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            keep = np.fromiter(
+                (
+                    g is not None
+                    and all(arr[p >> 3] >> (p & 7) & 1 for p in pos_fn(g))
+                    for g in pdf[gram_col]
+                ),
+                dtype=bool,
+                count=len(pdf),
+            )
+            yield pdf[keep]
+
+    return grams.mapInPandas(probe, schema=grams.schema)
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    n_hashes: int = _BLOOM_HASHES,
+) -> DataFrame:
+    """:func:`decontaminate` behind a Bloom prefilter — row-identical
+    output (the driver gate runs both against the SAME oracle), different
+    100 TB plan: ``decontaminate`` broadcasts the benchmark n-gram set as
+    a join hash table, which dies when the eval suite union reaches ~1e9
+    n-grams (a ~12 GB hash relation per executor).  Here the benchmark
+    compresses to an ``m_bits`` Bloom bitset (~10 bits/key — 1.2 GB where
+    the hash table needs 12) built distributed and OR-merged on the
+    driver; the corpus's exploded gram stream probes the broadcast bitset
+    Arrow-batch-at-a-time and only the surviving ~FP+hit fraction enters
+    the exact confirm join, which therefore no longer needs a
+    broadcast-sized right side.  False positives cannot leak: the confirm
+    join is exact, so a colliding gram costs shuffle bytes, never a wrong
+    row (pinned by pytest at a deliberately saturated 64-bit bloom).
+    False negatives cannot exist: every benchmark gram was folded into
+    the bitset it probes.
+
+    The benchmark gram set is scanned by both the build and the confirm
+    join — persist + the build's collect as the eager materializer (the
+    CLAUDE.md double-consumption rule); the result frame records the
+    cache under ``_sig_caches`` for :func:`..dedup.release_sig_caches`."""
+    if m_bits <= 0 or m_bits % 8:
+        # validate BEFORE the persist below: bloom_build would catch this
+        # too, but only after the gram cache exists — and the error path
+        # must not leak a persisted frame
+        raise ValueError(f"m_bits {m_bits}: need a positive multiple of 8")
+    bench_grams = (
+        _exploded_distinct_shingles(benchmark, id_col, text_col, k)
+        .select("_g")
+        .distinct()
+        .persist()
+    )
+    bits = bloom_build(bench_grams, m_bits, n_hashes)
+    doc_grams = _exploded_distinct_shingles(docs, id_col, text_col, k)
+    survivors = bloom_prefilter(doc_grams, bits, m_bits, n_hashes)
+    counts = (
+        survivors.join(bench_grams, "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    out = docs.select(id_col).join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+    )
+    out._sig_caches = [bench_grams]  # release hook: dedup.release_sig_caches
+    return out
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 
@@ -725,4 +877,224 @@ FROM (
   FROM ({docs_sql}) d
 )
 WHERE q_rank <= CAST(ceil(n_stratum * CAST({frac} AS DOUBLE)) AS BIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget sampling
+# ---------------------------------------------------------------------------
+
+
+def budget_sample(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    mega_strata_threshold: int | str | None = None,
+) -> DataFrame:
+    """Keep, per stratum, the deterministic-hash-ordered prefix of
+    documents whose cumulative token count stays under ``budget`` — the
+    data-mixture move ("300 B tokens of en, 50 B of fr, ...") that turns a
+    per-language token budget into a concrete keep-set.  Documents order
+    by (md5(id) asc, id asc) — the same engine-portable hash
+    :func:`stratified_sample` thresholds — so the keep-set is a uniform
+    random-looking sample, identical at any partitioning or cluster size,
+    and GROWS MONOTONICALLY with the budget: raising the budget only adds
+    documents, never swaps them, which is what makes mixture re-weights
+    cheap to re-cut.  A document is kept iff the tokens BEFORE it in that
+    order total under the budget (``cum_before < budget``): the document
+    crossing the boundary is the last kept, so every non-empty stratum
+    with a positive budget keeps at least one document.  Output adds
+    ``cum_before`` (bigint) so callers can re-cut tighter budgets without
+    re-summing.  NULL token counts contribute 0 on both paths (window SUM
+    skips nulls).
+
+    Scale shape: the default is ONE shuffle on the stratum key and a
+    running-sum window — correct while each stratum fits one partition,
+    but a language stratum at 100 TB does not (the quality_prune
+    mega-strata problem, prefix-sum flavored).  ``mega_strata_threshold``
+    (row budget, or "auto" = total rows ÷ shuffle partitions) switches to
+    the TWO-PHASE exact prefix sum: range-partition on (stratum, hash, id)
+    so the sample-sort spreads a mega stratum over many partitions in
+    global order, price each partition's starting offset from a tiny
+    per-(partition, stratum) token-sum collect, then an Arrow-batched pass
+    over ONLY (id, stratum, tokens) assigns ``cum_before = offset +
+    within-partition exclusive prefix sum`` and joins back on the unique
+    non-null id — the distributed-scan primitive, no single-task stratum.
+    Both paths are row-identical (pinned by pytest at a forced threshold
+    and by the shared driver oracle row)."""
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError(f"budget {budget} is negative: the keep-set is empty "
+                         "by construction — reject loudly instead")
+    key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    if mega_strata_threshold is not None:
+        import math as _math
+
+        counts = {
+            r["s"]: r["n"]
+            for r in df.groupBy(F.col(strata_col).alias("s"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if any(isinstance(s, float) and _math.isnan(s) for s in counts):
+            raise ValueError(
+                f"{strata_col} contains NaN strata: indistinguishable from "
+                "NULL through the Arrow prefix-sum pass — filter or "
+                "normalize NaN before setting mega_strata_threshold (the "
+                "default window path sums NaN as its own stratum)"
+            )
+        if mega_strata_threshold == "auto":
+            shuffle_par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            mega_strata_threshold = max(1, sum(counts.values()) // max(shuffle_par, 1))
+        elif isinstance(mega_strata_threshold, str):
+            raise ValueError(
+                f"mega_strata_threshold {mega_strata_threshold!r}: "
+                "expected an int row budget, 'auto', or None"
+            )
+        if counts and max(counts.values()) > mega_strata_threshold:
+            return _budget_sample_two_phase(
+                df, budget, strata_col, id_col, tokens_col
+            )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(
+        F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0).cast("long")
+    )
+    return df.withColumn("cum_before", cum).filter(F.col("cum_before") < budget)
+
+
+def _budget_sample_two_phase(
+    df: DataFrame,
+    budget: int,
+    strata_col: str,
+    id_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """Exact per-stratum exclusive prefix sums without a per-stratum
+    window partition — see :func:`budget_sample` for the three-step shape
+    (the :func:`_quality_prune_two_phase` pattern with token sums in place
+    of row counts).
+
+    Contracts (all enforced loudly): ``id_col`` unique and non-null (the
+    prefix sums join back on it); token values must stay exact through a
+    pandas round-trip — the narrow (id, stratum, tokens) projection means
+    a nullable token column arrives as float64, exact only below 2^53,
+    which per-document token counts are by ~vocabulary-sized margins."""
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    par = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    with_key = df.withColumn(
+        "_k", F.md5(F.col(id_col).cast("string").cast("binary"))
+    )
+    sort_keys = [F.col(strata_col).asc(), F.col("_k").asc(), F.col(id_col).asc()]
+    ordered = (
+        with_key.repartitionByRange(par, *sort_keys)
+        .sortWithinPartitions(*sort_keys)
+        .persist()
+    )
+    # one action = eager materializer + loud id contract (join-back drops
+    # null ids and fans out duplicates — reject, releasing the cache)
+    chk = ordered.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(id_col).alias("_nn"),
+        F.count_distinct(id_col).alias("_nd"),
+    ).collect()[0]
+    if chk["_nn"] != chk["_n"] or chk["_nd"] != chk["_n"]:
+        ordered.unpersist()
+        if chk["_nn"] != chk["_n"]:
+            raise ValueError(
+                f"{id_col} has {chk['_n'] - chk['_nn']} null(s): the two-phase "
+                "prefix sum joins back on the id, which must be non-null"
+            )
+        raise ValueError(
+            f"{id_col} has duplicates ({chk['_nd']} distinct of {chk['_n']}): "
+            "the two-phase prefix sum joins back on the id, which must be unique"
+        )
+    # tiny control frame: per-(partition, stratum) token sums price each
+    # partition's starting offset — bounded by partitions × strata
+    pid_sums = (
+        ordered.groupBy(
+            F.spark_partition_id().alias("_pid"), F.col(strata_col).alias("_s")
+        )
+        .agg(F.sum(F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))).alias("_t"))
+        .collect()
+    )
+    offsets: dict = {}
+    running: dict = {}
+    for r in sorted(pid_sums, key=lambda r: r["_pid"]):
+        offsets[(r["_pid"], r["_s"])] = running.get(r["_s"], 0)
+        running[r["_s"]] = running.get(r["_s"], 0) + (r["_t"] or 0)
+
+    schema = StructType(
+        [ordered.schema[id_col], StructField("cum_before", LongType(), False)]
+    )
+
+    def cum_gen(batches):
+        pid = TaskContext.get().partitionId()
+        carried: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok = (
+                pd.to_numeric(pdf[tokens_col]).fillna(0).to_numpy(np.int64)
+            )
+            codes, uniques = pd.factorize(pdf[strata_col], use_na_sentinel=False)
+            keys = [None if pd.isna(u) else u for u in uniques]
+            base = np.asarray(
+                [offsets.get((pid, s), 0) + carried.get(s, 0) for s in keys],
+                dtype=np.int64,
+            )
+            incl = pd.Series(tok).groupby(codes, sort=False).cumsum().to_numpy()
+            cum = base[codes] + incl - tok
+            sums = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(sums, codes, tok)
+            for s, t in zip(keys, sums):
+                carried[s] = carried.get(s, 0) + int(t)
+            yield pd.DataFrame({id_col: pdf[id_col], "cum_before": cum})
+
+    cums = ordered.select(id_col, strata_col, tokens_col).mapInPandas(
+        cum_gen, schema=schema
+    )
+    out = (
+        ordered.drop("_k")
+        .join(cums, id_col, "inner")
+        .select(*df.columns, "cum_before")
+        .filter(F.col("cum_before") < budget)
+    )
+    out._sig_caches = [ordered]  # release hook: dedup.release_sig_caches
+    return out
+
+
+def budget_sample_sql(
+    docs_sql: str,
+    budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> str:
+    """DuckDB twin of :func:`budget_sample` (identical hash order and
+    exclusive-window arithmetic; SUM over BIGINT is HUGEINT in DuckDB —
+    cast back)."""
+    return f"""
+SELECT *
+FROM (
+  SELECT d.*,
+         CAST(COALESCE(SUM({tokens_col}) OVER (
+           PARTITION BY {strata_col}
+           ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC, {id_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM ({docs_sql}) d
+)
+WHERE cum_before < {budget}
 """

@@ -1360,3 +1360,60 @@ def minhash_lsh_join(
     out = _score_pairs(pairs, sigs_new, sigs_old, "new_id", "corpus_id", num_hashes)
     out._sig_caches = caches  # release hook: see release_sig_caches
     return out
+
+
+# ---------------------------------------------------------------------------
+# cluster representative selection
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """(id, cluster_id, cluster_size, kept): cluster the near-dup ``pairs``
+    into connected components (:func:`dedup_clusters`) and keep the
+    BEST-scoring document per cluster — (``score_col`` desc NULLS LAST,
+    ``id_col`` asc), so ties and unscored docs resolve deterministically.
+    This is the real pipeline semantic: naive fuzzy dedup keeps the
+    min-id document, which for a page family is an arbitrary crawl
+    artifact; keeping the highest-quality copy measurably improves the
+    retained corpus at identical dedup rate.
+
+    Documents absent from ``pairs`` are singleton clusters (cluster_id =
+    their own id — consistent with the min-id labels of real components)
+    and are always kept.  Output preserves one row per input document
+    with ``kept`` marking survivors, so downstream stages can either
+    filter kept or audit removal reasons.
+
+    Scale shape: components come from the adaptive union-find /
+    pointer-jumping strategy (see :func:`dedup_clusters`); the label frame
+    is (V, 2) — broadcast-joined back to the corpus (near-dup vertices
+    are a small fraction of a deduped crawl; at worst it falls back to a
+    shuffle-hash join on the unique id).  The representative window
+    partitions by cluster_id: near-dup clusters are page families —
+    bounded fan-in by construction (the LSH bucket_cap upstream caps
+    candidate generation), never a language-sized mega partition.
+    """
+    from pyspark.sql import Window
+
+    comp = dedup_clusters(
+        pairs, id_a=id_a, id_b=id_b, driver_threshold=driver_threshold
+    ).withColumnRenamed("id", id_col)
+    labeled = docs.join(F.broadcast(comp), id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("kept", F.row_number().over(w) == F.lit(1))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .select(id_col, "cluster_id", "cluster_size", "kept")
+    )

@@ -1594,3 +1594,185 @@ def test_minhash_lsh_join_incremental_recall(spark):
     # the boilerplate bucket (60 docs > cap 50) is dropped corpus-side:
     # the boilerplate-derived new doc finds NO corpus partner
     assert not any(n == 2001 for n, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# round 6: Bloom decontamination, token-budget sampling, keep-best dedup
+# ---------------------------------------------------------------------------
+
+
+def _decon_tiny(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+            (3, None),
+            (4, "alpha beta gamma delta extra words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    return docs, bench
+
+
+def test_bloom_no_false_negatives_and_prefilter_drops(spark):
+    """The two Bloom contracts: every built gram probes positive (no false
+    negatives — correctness), and at a roomy bitset unrelated grams drop
+    (the prefilter actually filters — the scale property)."""
+    from shapefile_rs_spark.operators.curation import (
+        _exploded_distinct_shingles,
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    docs, bench = _decon_tiny(spark)
+    bg = (
+        _exploded_distinct_shingles(bench, "doc_id", "text", 3)
+        .select("_g")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bits = bloom_build(bg, m_bits=1 << 16)
+    assert bloom_prefilter(bg, bits, 1 << 16).count() == bg.count()
+    dg = _exploded_distinct_shingles(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=True
+    )
+    surv = bloom_prefilter(dg, bits, 1 << 16)
+    assert surv.count() < dg.count()  # non-bench grams dropped
+    # survivors contain every true hit (prefilter is a superset filter)
+    assert surv.join(bg, "_g").count() == dg.join(bg, "_g").count()
+    with pytest.raises(ValueError):
+        bloom_build(bg, m_bits=100)  # not byte-addressed
+    with pytest.raises(ValueError):
+        bloom_prefilter(dg, bits, 1 << 8)  # bitset/m mismatch
+
+
+def test_decontaminate_bloom_equals_exact_even_saturated(spark):
+    """m_bits=64 saturates the bitset (dozens of grams × 4 hashes into 64
+    bits) → nearly every gram is a false positive; the exact confirm join
+    must erase them all, leaving output row-identical to decontaminate."""
+    from shapefile_rs_spark.operators.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from shapefile_rs_spark.operators.dedup import release_sig_caches
+
+    docs, bench = _decon_tiny(spark)
+    exact = {tuple(r) for r in decontaminate(docs, bench, k=3).collect()}
+    assert any(r[2] for r in exact) and any(not r[2] for r in exact)
+    for m in (64, 1 << 16):
+        out = decontaminate_bloom(docs, bench, k=3, m_bits=m)
+        got = {tuple(r) for r in out.collect()}
+        release_sig_caches(out)
+        assert got == exact, f"m_bits={m}"
+    with pytest.raises(ValueError):
+        decontaminate_bloom(docs, bench, k=3, m_bits=100)
+
+
+def _budget_frame(spark):
+    """120 docs over 3 strata (one NULL), null token counts sprinkled in,
+    equal-token ties everywhere — the edge surface both budget_sample
+    plans must agree on."""
+    rows = []
+    for i in range(120):
+        lang = [None, "en", "fr"][i % 3]
+        tok = None if i % 17 == 5 else (i * 7) % 23 + 1
+        rows.append((i, lang, tok))
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens bigint")
+
+
+def test_budget_sample_two_phase_matches_window(spark):
+    from shapefile_rs_spark.operators.curation import budget_sample
+    from shapefile_rs_spark.operators.dedup import release_sig_caches
+
+    frame = _budget_frame(spark)
+    for budget in (0, 1, 37, 150, 10**6):
+        window = {tuple(r) for r in budget_sample(frame, budget).collect()}
+        two = budget_sample(frame, budget, mega_strata_threshold=1)
+        got = {tuple(r) for r in two.collect()}
+        release_sig_caches(two)
+        assert got == window, f"budget={budget}"
+    # threshold above every stratum stays on the window plan — same rows
+    big = {
+        tuple(r)
+        for r in budget_sample(frame, 37, mega_strata_threshold=10**9).collect()
+    }
+    assert big == {tuple(r) for r in budget_sample(frame, 37).collect()}
+    auto = budget_sample(frame, 37, mega_strata_threshold="auto")
+    got = {tuple(r) for r in auto.collect()}
+    release_sig_caches(auto)
+    assert got == big
+
+
+def test_budget_sample_semantics(spark):
+    from shapefile_rs_spark.operators.curation import budget_sample
+
+    frame = _budget_frame(spark)
+    assert budget_sample(frame, 0).count() == 0
+    with pytest.raises(ValueError):
+        budget_sample(frame, -1)
+    small = {r["doc_id"] for r in budget_sample(frame, 30).collect()}
+    large = {r["doc_id"] for r in budget_sample(frame, 90).collect()}
+    assert small < large  # monotone: raising the budget only adds docs
+    # a positive budget keeps at least one doc per non-empty stratum,
+    # and per-stratum kept tokens minus the boundary doc stay under budget
+    kept = budget_sample(frame, 30).collect()
+    strata = {r["lang"] for r in frame.collect()}
+    assert {r["lang"] for r in kept} == strata
+    for s in strata:
+        s_rows = [r for r in kept if r["lang"] == s]
+        assert all(r["cum_before"] < 30 for r in s_rows)
+
+
+def test_budget_sample_two_phase_guards(spark):
+    from shapefile_rs_spark.operators.curation import budget_sample
+
+    dup = spark.createDataFrame(
+        [(1, "en", 5), (1, "en", 6), (2, "en", 7)],
+        "doc_id bigint, lang string, n_tokens bigint",
+    )
+    with pytest.raises(ValueError, match="duplicates"):
+        budget_sample(dup, 100, mega_strata_threshold=1).collect()
+    nul = spark.createDataFrame(
+        [(None, "en", 5), (2, "en", 7)],
+        "doc_id bigint, lang string, n_tokens bigint",
+    )
+    with pytest.raises(ValueError, match="null"):
+        budget_sample(nul, 100, mega_strata_threshold=1).collect()
+    nan = spark.createDataFrame(
+        [(1, float("nan"), 5), (2, 1.0, 7)],
+        "doc_id bigint, grp double, n_tokens bigint",
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        budget_sample(nan, 100, strata_col="grp", mega_strata_threshold=1)
+    with pytest.raises(ValueError, match="expected an int"):
+        budget_sample(dup.limit(1), 100, mega_strata_threshold="AUTO-ish")
+
+
+def test_dedup_keep_best(spark):
+    """Cluster {1,2,3}: top score ties on 2,3 → min id 2 kept.  Cluster
+    {4,5}: both unscored (NULLS LAST) → id tie-break keeps 4.  Doc 6 is a
+    singleton: own cluster, always kept."""
+    from shapefile_rs_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, None), (5, None), (6, 7)],
+        "doc_id bigint, quality bigint",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["kept"])
+        for r in dedup_keep_best(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, 3, False),
+        2: (1, 3, True),
+        3: (1, 3, False),
+        4: (4, 2, True),
+        5: (4, 2, False),
+        6: (6, 1, True),
+    }
