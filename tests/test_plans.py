@@ -318,3 +318,45 @@ def test_host_cap_salted_plan_no_mega_partition(spark, sf_dir):
     # physical plans print downstream-first: phase-2's host-only exchange
     # appears ABOVE phase-1's (host, _salt) exchange
     assert host_only and all(i < salted_idx for i in host_only)
+
+
+def test_budget_sample_two_phase_plan_is_windowless(spark, sf_dir):
+    """The mega-strata prefix sum must rank over a RANGE partitioning (the
+    sample-sort boundary pass) with NO window operator anywhere — a window
+    would re-introduce the single-task stratum the plan exists to avoid.
+    The default plan, by contrast, is exactly the stratum-keyed window."""
+    from shapefile_rs_spark.operators.curation import budget_sample
+    from shapefile_rs_spark.operators.dedup import release_sig_caches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.col("n_chars").alias("n_tokens")
+    )
+    two = budget_sample(docs, 10**6, mega_strata_threshold=1)
+    plan = _plan(two)
+    assert "Exchange rangepartitioning" in plan
+    assert "Window" not in plan
+    release_sig_caches(two)
+    wplan = _plan(budget_sample(docs, 10**6))
+    assert "Window" in wplan and "Exchange rangepartitioning" not in wplan
+
+
+def test_decontaminate_bloom_confirm_reads_survivors_and_cached_grams(spark):
+    """The exact-confirm join's corpus side must be the Bloom-survivor
+    stream (probe MapInPandas stacked on the shingle MapInPandas), and its
+    benchmark side must re-read the persisted gram cache
+    (InMemoryTableScan), not recompute the benchmark shingles."""
+    from shapefile_rs_spark.operators.curation import decontaminate_bloom
+    from shapefile_rs_spark.operators.dedup import release_sig_caches
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    out = decontaminate_bloom(docs, bench, k=3, m_bits=1 << 12)
+    plan = _plan(out)
+    assert plan.count("MapInPandas") >= 2  # shingle generator + bloom probe
+    assert "InMemoryTableScan" in plan  # bench grams from cache
+    release_sig_caches(out)
