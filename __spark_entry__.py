@@ -1452,6 +1452,37 @@ def q_budget_sample2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# training-sequence capacity for q_seq_pack — ~4-40 multi-document bins per
+# language at sf0.01 with regular bin-boundary spans (same constant in the
+# oracle SQL, so any scale works)
+_PACK_CAPACITY = 256
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: per-language token streams in md5(id)
+    order cut every _PACK_CAPACITY tokens; one row per (document, bin)
+    overlap with exact bin token counts — deterministic pack-and-split
+    batch construction (window prefix-sum plan)."""
+    from shapefile_rs_spark.operators.curation import seq_pack
+
+    return seq_pack(_budget_docs(spark, sf_dir), capacity=_PACK_CAPACITY)
+
+
+def q_seq_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME packing on the mega-strata plan: mega_strata_threshold=1
+    forces the two-phase exact prefix sum under the bin arithmetic (no
+    per-stratum window task).  Shares q_seq_pack's oracle verbatim — the
+    driver gate proves both plans row-identical, the quality_prune2
+    convention."""
+    from shapefile_rs_spark.operators.curation import seq_pack
+
+    return seq_pack(
+        _budget_docs(spark, sf_dir),
+        capacity=_PACK_CAPACITY,
+        mega_strata_threshold=1,
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup with best-representative selection: connected components
     over the SAME planted chain-pair graph as q_dedup_clusters, then keep
@@ -1609,6 +1640,10 @@ ROTATION = {
     "knn_haversine": 5,
     "tile_pyramid": 5,
     "bbox_agg": 5,
+    # parked in round 6 to make window room for seq_pack/seq_pack2 (green
+    # r1-r5):
+    "tile_polygons": 5,
+    "simplify": 5,
 }
 
 
@@ -1631,17 +1666,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sample": q_budget_sample,
         "budget_sample2": q_budget_sample2,
         "dedup_keep_best": q_dedup_keep_best,
+        "seq_pack": q_seq_pack,
+        "seq_pack2": q_seq_pack2,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "pip_join_count": q_pip_join_count,
         "tile_assign": q_tile_assign,
-        "tile_polygons": q_tile_polygons,
         "knn": q_knn,
         "knn_rings": q_knn_rings,
         "knn_join": q_knn_join,
         "polygon_stats": q_polygon_stats,
-        "simplify": q_simplify,
         "convex_hull": q_convex_hull,
         "cell_census": q_cell_census,
         "shapes_decode": q_shapes_decode,
@@ -1686,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_haversine": q_knn_haversine,
         "tile_pyramid": q_tile_pyramid,
         "bbox_agg": q_bbox_agg,
+        "tile_polygons": q_tile_polygons,
+        "simplify": q_simplify,
     }
 
 
@@ -2236,6 +2273,9 @@ FROM stepped
         "budget_sample": _budget_sample_oracle(),
         # two-phase prefix sum shares the window oracle verbatim
         "budget_sample2": _budget_sample_oracle(),
+        "seq_pack": _seq_pack_oracle(),
+        # two-phase prefix sum shares the window oracle verbatim
+        "seq_pack2": _seq_pack_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
@@ -2293,6 +2333,20 @@ def _budget_sample_oracle() -> str:
         "FROM documents"
     )
     return budget_sample_sql(docs, budget=_BUDGET_TOKENS)
+
+
+def _seq_pack_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import (
+        bpe_token_count_sql,
+        seq_pack_sql,
+    )
+
+    docs = (
+        "SELECT doc_id, lang, "
+        f"CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_tokens "
+        "FROM documents"
+    )
+    return seq_pack_sql(docs, capacity=_PACK_CAPACITY)
 
 
 # keep-best over the SAME planted chain-pair graph as dedup_clusters: the

@@ -924,11 +924,37 @@ def budget_sample(
     non-null id — the distributed-scan primitive, no single-task stratum.
     Both paths are row-identical (pinned by pytest at a forced threshold
     and by the shared driver oracle row)."""
-    from pyspark.sql import Window
-
     if budget < 0:
         raise ValueError(f"budget {budget} is negative: the keep-set is empty "
                          "by construction — reject loudly instead")
+    pref = token_prefix(
+        df, strata_col=strata_col, id_col=id_col, tokens_col=tokens_col,
+        mega_strata_threshold=mega_strata_threshold,
+    )
+    out = pref.filter(F.col("cum_before") < budget)
+    if hasattr(pref, "_sig_caches"):
+        out._sig_caches = pref._sig_caches  # release hook survives the filter
+    return out
+
+
+def token_prefix(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    mega_strata_threshold: int | str | None = None,
+) -> DataFrame:
+    """``df`` + ``cum_before`` (bigint): the EXCLUSIVE per-stratum token
+    prefix sum in deterministic (md5(id) asc, id asc) order — the shared
+    distributed-scan core of :func:`budget_sample` (which filters it
+    against a budget) and :func:`seq_pack` (which divides it into
+    fixed-capacity training sequences).  Path selection and contracts are
+    budget_sample's: default is one stratum-key shuffle + running-sum
+    window; ``mega_strata_threshold`` switches to the two-phase
+    sample-sort exact prefix sum when any stratum exceeds the row budget
+    (no single-task stratum)."""
+    from pyspark.sql import Window
+
     key = F.md5(F.col(id_col).cast("string").cast("binary"))
     if mega_strata_threshold is not None:
         import math as _math
@@ -955,9 +981,7 @@ def budget_sample(
                 "expected an int row budget, 'auto', or None"
             )
         if counts and max(counts.values()) > mega_strata_threshold:
-            return _budget_sample_two_phase(
-                df, budget, strata_col, id_col, tokens_col
-            )
+            return _token_prefix_two_phase(df, strata_col, id_col, tokens_col)
     w = (
         Window.partitionBy(strata_col)
         .orderBy(key.asc(), F.col(id_col).asc())
@@ -966,18 +990,17 @@ def budget_sample(
     cum = F.coalesce(
         F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0).cast("long")
     )
-    return df.withColumn("cum_before", cum).filter(F.col("cum_before") < budget)
+    return df.withColumn("cum_before", cum)
 
 
-def _budget_sample_two_phase(
+def _token_prefix_two_phase(
     df: DataFrame,
-    budget: int,
     strata_col: str,
     id_col: str,
     tokens_col: str,
 ) -> DataFrame:
     """Exact per-stratum exclusive prefix sums without a per-stratum
-    window partition — see :func:`budget_sample` for the three-step shape
+    window partition — see :func:`token_prefix` for the three-step shape
     (the :func:`_quality_prune_two_phase` pattern with token sums in place
     of row counts).
 
@@ -1069,7 +1092,6 @@ def _budget_sample_two_phase(
         ordered.drop("_k")
         .join(cums, id_col, "inner")
         .select(*df.columns, "cum_before")
-        .filter(F.col("cum_before") < budget)
     )
     out._sig_caches = [ordered]  # release hook: dedup.release_sig_caches
     return out
@@ -1097,4 +1119,101 @@ FROM (
   FROM ({docs_sql}) d
 )
 WHERE cum_before < {budget}
+"""
+
+
+def seq_pack(
+    df: DataFrame,
+    capacity: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    mega_strata_threshold: int | str | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate each stratum's documents in
+    the deterministic (md5(id) asc, id asc) order and cut the token stream
+    every ``capacity`` tokens, so every training sequence (bin) is exactly
+    full and documents SPAN bins when they cross a boundary — the
+    pre-training batch-construction move (pack-and-split, not
+    pad-per-document).  Output is one row per (document, bin) overlap:
+    ``bin_id`` (0-based within the stratum), ``bin_tokens`` (this
+    document's tokens inside that bin), plus ``cum_before`` (the
+    document's global token offset in its stratum) from which a trainer
+    derives the intra-bin offset as ``greatest(cum_before - bin_id *
+    capacity, 0)``.  Every bin except a stratum's last sums to exactly
+    ``capacity`` (pinned in pytest); a document's bin rows sum to its
+    token count.  Documents with NULL or non-positive token counts occupy
+    no bin and are dropped (they also contribute 0 to every offset, so
+    dropping them does not shift anyone else).
+
+    Scale shape: the offsets come from :func:`token_prefix` (one
+    stratum-key shuffle + running-sum window, or the two-phase sample-sort
+    exact prefix sum when ``mega_strata_threshold`` trips — no single-task
+    stratum); the bin arithmetic after that is pure codegen
+    (div/least/greatest) plus a bounded explode — a document fans out to
+    ``1 + tokens/capacity`` rows, so the explode multiplies rows by
+    ~``avg_doc_tokens/capacity``, a constant the caller picks.  Determinism
+    is the point: the same corpus packs into byte-identical sequences at
+    any partitioning or cluster size, so a resumed/re-sharded run rebuilds
+    the same batches."""
+    if capacity <= 0:
+        raise ValueError(f"capacity {capacity} must be positive: bins of "
+                         "non-positive size cannot hold any token")
+    pref = token_prefix(
+        df, strata_col=strata_col, id_col=id_col, tokens_col=tokens_col,
+        mega_strata_threshold=mega_strata_threshold,
+    )
+    cap = F.lit(int(capacity)).cast("long")
+    toks = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0).cast("long"))
+    first = F.expr(f"cum_before div {int(capacity)}")
+    out = (
+        pref.filter(toks > 0)
+        .withColumn("_last", F.expr(
+            f"(cum_before + CAST(coalesce({tokens_col}, 0) AS BIGINT) - 1) "
+            f"div {int(capacity)}"
+        ))
+        .withColumn("bin_id", F.explode(F.sequence(first, F.col("_last"))))
+        .withColumn(
+            "bin_tokens",
+            F.least(F.col("cum_before") + toks, (F.col("bin_id") + 1) * cap)
+            - F.greatest(F.col("cum_before"), F.col("bin_id") * cap),
+        )
+        .select(strata_col, id_col, "cum_before", "bin_id", "bin_tokens")
+    )
+    if hasattr(pref, "_sig_caches"):
+        out._sig_caches = pref._sig_caches  # release hook survives the explode
+    return out
+
+
+def seq_pack_sql(
+    docs_sql: str,
+    capacity: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> str:
+    """DuckDB twin of :func:`seq_pack` (identical hash order, exclusive
+    window, and bin arithmetic; ``//`` is DuckDB's integer division and
+    ``generate_series`` is inclusive like Spark's ``sequence``; the
+    capacity literal is cast to BIGINT so every term stays int64)."""
+    cap = f"CAST({int(capacity)} AS BIGINT)"
+    return f"""
+SELECT {strata_col}, {id_col}, cum_before, bin_id,
+       LEAST(cum_before + toks, (bin_id + 1) * {cap})
+         - GREATEST(cum_before, bin_id * {cap}) AS bin_tokens
+FROM (
+  SELECT {strata_col}, {id_col}, toks, cum_before,
+         UNNEST(generate_series(cum_before // {cap}, (cum_before + toks - 1) // {cap})) AS bin_id
+  FROM (
+    SELECT {strata_col}, {id_col},
+           CAST(COALESCE({tokens_col}, 0) AS BIGINT) AS toks,
+           CAST(COALESCE(SUM({tokens_col}) OVER (
+             PARTITION BY {strata_col}
+             ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC, {id_col} ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum_before
+    FROM ({docs_sql}) d
+  )
+  WHERE toks > 0
+)
 """

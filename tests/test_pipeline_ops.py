@@ -1751,6 +1751,56 @@ def test_budget_sample_two_phase_guards(spark):
         budget_sample(dup.limit(1), 100, mega_strata_threshold="AUTO-ish")
 
 
+def test_seq_pack_invariants(spark):
+    """Pack-and-split invariants: every bin except a stratum's last is
+    exactly full, a document's bin rows sum to its token count, zero/null
+    token docs occupy no bin, and multi-bin spans exist in the fixture
+    (else the boundary arithmetic is untested)."""
+    from shapefile_rs_spark.operators.curation import seq_pack
+
+    frame = _budget_frame(spark)
+    cap = 16
+    rows = seq_pack(frame, capacity=cap).collect()
+    toks = {
+        r["doc_id"]: r["n_tokens"]
+        for r in frame.collect()
+        if (r["n_tokens"] or 0) > 0
+    }
+    assert {r["doc_id"] for r in rows} == set(toks)  # zero/null docs dropped
+    by_doc: dict = {}
+    by_bin: dict = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["bin_tokens"]
+        key = (r["lang"], r["bin_id"])
+        by_bin[key] = by_bin.get(key, 0) + r["bin_tokens"]
+        assert 0 < r["bin_tokens"] <= cap
+    assert by_doc == toks  # conservation: every token lands in exactly one bin
+    last_bin = {}
+    for (s, b) in by_bin:
+        last_bin[s] = max(last_bin.get(s, -1), b)
+    for (s, b), t in by_bin.items():
+        if b != last_bin[s]:
+            assert t == cap, f"non-final bin ({s},{b}) holds {t} != {cap}"
+    assert any(  # the fixture must actually exercise boundary spanning
+        len([r for r in rows if r["doc_id"] == d]) > 1 for d in toks
+    )
+    with pytest.raises(ValueError, match="capacity"):
+        seq_pack(frame, capacity=0)
+
+
+def test_seq_pack_two_phase_matches_window(spark):
+    from shapefile_rs_spark.operators.curation import seq_pack
+    from shapefile_rs_spark.operators.dedup import release_sig_caches
+
+    frame = _budget_frame(spark)
+    for cap in (1, 16, 10**6):
+        window = {tuple(r) for r in seq_pack(frame, cap).collect()}
+        two = seq_pack(frame, cap, mega_strata_threshold=1)
+        got = {tuple(r) for r in two.collect()}
+        release_sig_caches(two)
+        assert got == window, f"capacity={cap}"
+
+
 def test_dedup_keep_best(spark):
     """Cluster {1,2,3}: top score ties on 2,3 → min id 2 kept.  Cluster
     {4,5}: both unscored (NULLS LAST) → id tie-break keeps 4.  Doc 6 is a
