@@ -1483,6 +1483,26 @@ def q_seq_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pseudo-paragraph width for q_para_dedup (the corpus is single-line, so the
+# dedup unit is synthetic 8-word chunks; same constant in the oracle SQL)
+_PARA_WORDS = 8
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global paragraph-level dedup (C4 span removal at paragraph grain)
+    over the planted near-dup corpus: re-delimit each doc into 8-word
+    chunks (pure-codegen regexp), keep each chunk's globally first
+    occurrence in (md5(id), id, position) order, rebuild the surviving
+    text — the near-dup variants lose their copied body and keep only
+    their unique suffix chunk."""
+    from shapefile_rs_spark.operators.dedup import chunk_words, para_dedup
+
+    chunked = _dup_corpus(spark, sf_dir).select(
+        "id", chunk_words(F.col("text"), _PARA_WORDS).alias("text")
+    )
+    return para_dedup(chunked, id_col="id", text_col="text")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup with best-representative selection: connected components
     over the SAME planted chain-pair graph as q_dedup_clusters, then keep
@@ -1640,10 +1660,12 @@ ROTATION = {
     "knn_haversine": 5,
     "tile_pyramid": 5,
     "bbox_agg": 5,
-    # parked in round 6 to make window room for seq_pack/seq_pack2 (green
-    # r1-r5):
+    # parked in round 6 to make window room for seq_pack/seq_pack2/
+    # para_dedup (green r1-r5; pip_join + pip_join_salted keep the PIP
+    # family in-window):
     "tile_polygons": 5,
     "simplify": 5,
+    "pip_join_count": 5,
 }
 
 
@@ -1668,10 +1690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "seq_pack": q_seq_pack,
         "seq_pack2": q_seq_pack2,
+        "para_dedup": q_para_dedup,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
-        "pip_join_count": q_pip_join_count,
         "tile_assign": q_tile_assign,
         "knn": q_knn,
         "knn_rings": q_knn_rings,
@@ -1723,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_agg": q_bbox_agg,
         "tile_polygons": q_tile_polygons,
         "simplify": q_simplify,
+        "pip_join_count": q_pip_join_count,
     }
 
 
@@ -2276,6 +2299,7 @@ FROM stepped
         "seq_pack": _seq_pack_oracle(),
         # two-phase prefix sum shares the window oracle verbatim
         "seq_pack2": _seq_pack_oracle(),
+        "para_dedup": _para_dedup_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
@@ -2333,6 +2357,19 @@ def _budget_sample_oracle() -> str:
         "FROM documents"
     )
     return budget_sample_sql(docs, budget=_BUDGET_TOKENS)
+
+
+def _para_dedup_oracle() -> str:
+    from shapefile_rs_spark.operators.dedup import (
+        chunk_words_sql,
+        para_dedup_sql,
+    )
+
+    chunked = (
+        f"WITH {_DUP_CORPUS_SQL} "
+        f"SELECT id, {chunk_words_sql('text', _PARA_WORDS)} AS text FROM corpus"
+    )
+    return para_dedup_sql(chunked, id_col="id")
 
 
 def _seq_pack_oracle() -> str:

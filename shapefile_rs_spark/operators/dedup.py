@@ -1417,3 +1417,137 @@ def dedup_keep_best(
         .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
         .select(id_col, "cluster_id", "cluster_size", "kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level global dedup (C4 span-removal analog at paragraph grain)
+# ---------------------------------------------------------------------------
+
+
+def chunk_words(text: Column, words: int = 8) -> Column:
+    """Re-delimit ``text`` into pseudo-paragraphs of ``words`` words by
+    turning every ``words``-th space into a newline — pure-codegen
+    regexp_replace, no Python and no interpreted HOF.  For corpora with
+    real paragraph structure, skip this and feed :func:`para_dedup` the
+    raw text; this helper exists for single-line corpora (Common-Crawl
+    extracts collapse whitespace) where the dedup unit must be synthetic.
+    The pattern consumes ``words`` space-separated tokens plus the
+    following separator space, so a trailing partial chunk stays intact."""
+    if words < 1:
+        raise ValueError(f"words {words} must be >= 1")
+    pat = r"((?:\S+ ){%d}\S+) " % (words - 1)
+    return F.regexp_replace(text, pat, "$1\n")
+
+
+def chunk_words_sql(text_sql: str, words: int = 8) -> str:
+    """DuckDB twin of :func:`chunk_words` (RE2 spells the backreference
+    ``\\1`` where Java spells ``$1``; the pattern itself is identical)."""
+    pat = r"((?:\S+ ){%d}\S+) " % (words - 1)
+    return (
+        f"regexp_replace({text_sql}, '{pat}', '\\1' || chr(10), 'g')"
+    )
+
+
+def para_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 1,
+) -> DataFrame:
+    """Global paragraph-level dedup (the C4 move, at paragraph grain):
+    split every document on ``sep``, keep only the globally FIRST
+    occurrence of each paragraph in the deterministic (md5(id) asc, id
+    asc, position asc) order, and rebuild each document from its surviving
+    paragraphs.  Paragraphs shorter than ``min_len`` characters are always
+    kept (whitespace scaffolding is not boilerplate).  Output per doc:
+    ``n_paras`` (split count), ``n_kept``, and ``text_dedup`` (kept
+    paragraphs re-joined with ``sep`` in original order; empty string when
+    everything was removed) — deterministic at any partitioning, so a
+    re-sharded run deletes exactly the same text.
+
+    Scale shape: the winner per paragraph is an AGGREGATION, not a
+    content-keyed window — ``groupBy(paragraph).agg(min(struct(key, id,
+    pos)))`` partial-aggregates map-side, so a boilerplate paragraph
+    repeated a billion times ships ONE candidate row per map partition
+    instead of serializing through a single window task (the host_cap
+    mega-key lesson).  The join back on paragraph content is the one
+    skew-exposed exchange; AQE skew-join splits it (the winners side is
+    one row per distinct paragraph and replicates safely).  Join keys
+    must stay the exact strings: an xxhash64 shortcut would merge
+    colliding paragraphs and delete innocent text — unlike span_dedup's
+    hashed COUNT keys, winner identity here feeds content back out.
+
+    ``sep`` is a Java regex on the Spark side but a LITERAL in the DuckDB
+    twin's string_split — keep it to regex-neutral separators (newline,
+    tab) when oracle parity matters."""
+    key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        key.alias("_k"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para"),
+    )
+    elig = F.length(F.col("_para")) >= min_len
+    wins = (
+        paras.filter(elig)
+        .groupBy("_para")
+        .agg(F.min(F.struct("_k", "_id", "_idx")).alias("_w"))
+    )
+    marked = paras.join(wins, "_para", "left").withColumn(
+        "_keep",
+        (~elig) | (F.struct("_k", "_id", "_idx") == F.col("_w")),
+    )
+    return (
+        marked.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_idx", "_para"))
+                        )
+                    ),
+                    lambda x: x["_para"],
+                ),
+                sep,
+            ).alias("text_dedup"),
+        )
+    )
+
+
+def para_dedup_sql(
+    docs_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_sql: str = "chr(10)",
+    min_len: int = 1,
+) -> str:
+    """DuckDB twin of :func:`para_dedup`.  Parallel ``unnest`` +
+    ``generate_subscripts`` align position with content (1-based where
+    Spark's posexplode is 0-based — position only orders within a doc, so
+    the shift cancels); the winner is the ROW_NUMBER()=1 occurrence under
+    the same (md5 key, id, position) order; ``string_agg`` skips the
+    NULLed removed paragraphs and keeps source order."""
+    return f"""
+SELECT {id_col},
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(STRING_AGG(CASE WHEN keep THEN para END, {sep_sql} ORDER BY idx ASC), '') AS text_dedup
+FROM (
+  SELECT {id_col}, para, idx,
+         CASE WHEN LENGTH(para) < {min_len} THEN TRUE
+              ELSE ROW_NUMBER() OVER (
+                PARTITION BY para ORDER BY k ASC, {id_col} ASC, idx ASC
+              ) = 1
+         END AS keep
+  FROM (
+    SELECT {id_col}, md5(CAST({id_col} AS VARCHAR)) AS k,
+           UNNEST(string_split({text_col}, {sep_sql})) AS para,
+           generate_subscripts(string_split({text_col}, {sep_sql}), 1) AS idx
+    FROM ({docs_sql}) d
+  )
+)
+GROUP BY {id_col}
+"""

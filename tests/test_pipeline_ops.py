@@ -1801,6 +1801,40 @@ def test_seq_pack_two_phase_matches_window(spark):
         assert got == window, f"capacity={cap}"
 
 
+def test_para_dedup(spark):
+    """Doc 1 (md5-first) keeps every chunk; doc 2's copied body vanishes
+    and only its unique tail survives; empty and sub-min_len paragraphs
+    are always kept; the keep-set is identical at any partitioning."""
+    from shapefile_rs_spark.operators.dedup import chunk_words, para_dedup
+
+    rows = [
+        (1, "alpha beta gamma delta echo fox golf hotel india juliet kilo lima"),
+        (2, "alpha beta gamma delta echo fox golf hotel india juliet kilo lima extra tail"),
+        (3, ""),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    chunked = df.select("doc_id", chunk_words(F.col("text"), 4).alias("text"))
+    expect = {
+        (1, 3, 3, "alpha beta gamma delta\necho fox golf hotel\nindia juliet kilo lima"),
+        (2, 4, 1, "extra tail"),
+        (3, 1, 1, ""),
+        (4, 1, 1, "solo"),
+    }
+    got = {tuple(r) for r in para_dedup(chunked, id_col="doc_id").collect()}
+    assert got == expect
+    resharded = {
+        tuple(r)
+        for r in para_dedup(chunked.repartition(7), id_col="doc_id").collect()
+    }
+    assert resharded == expect  # deterministic at any partitioning
+    # min_len above every paragraph length disables dedup entirely
+    all_kept = para_dedup(chunked, id_col="doc_id", min_len=100).collect()
+    assert all(r["n_kept"] == r["n_paras"] for r in all_kept)
+    with pytest.raises(ValueError, match="words"):
+        chunk_words(F.col("text"), 0)
+
+
 def test_dedup_keep_best(spark):
     """Cluster {1,2,3}: top score ties on 2,3 → min id 2 kept.  Cluster
     {4,5}: both unscored (NULLS LAST) → id tie-break keeps 4.  Doc 6 is a
