@@ -33,7 +33,12 @@ checkpoints sit on the critical path, not as dead side writes):
    two-phase sample-sort exact rank — the scale-safe default plan) ∧
    stratified per-language sample; write the final corpus with redacted
    text.
-5. ``sigs`` + ``bands`` — (``--sig-stage``) the curated corpus's MinHash
+5. ``packed``   — (``--pack-capacity N``) the curated corpus's
+   training-sequence manifest: seq_pack cuts each language's md5-ordered
+   token stream every N tokens (one row per doc×bin overlap, every
+   non-final bin exactly full) — the batch-construction endpoint a
+   trainer reads directly.
+6. ``sigs`` + ``bands`` — (``--sig-stage``) the curated corpus's MinHash
    signature parquet and its pre-banded ``(_id, band, band_key)`` twin,
    the published artifacts future recrawl batches LSH-join against
    (``minhash_lsh_join(corpus_sigs=..., corpus_bands=...)``) without
@@ -109,6 +114,15 @@ def build_args(argv=None):
         "via minhash_lsh_join(corpus_sigs=...) without re-reading this "
         "corpus's text",
     )
+    p.add_argument(
+        "--pack-capacity",
+        type=int,
+        default=0,
+        help="also commit the 'packed' stage: the curated corpus's "
+        "training-sequence manifest (seq_pack at this token capacity — "
+        "one row per doc×bin overlap, every non-final bin exactly full, "
+        "deterministic at any partitioning); 0 disables",
+    )
     p.add_argument("--minhash-k", type=int, default=3)
     p.add_argument("--num-hashes", type=int, default=12)
     p.add_argument(
@@ -134,8 +148,10 @@ def run(spark, args) -> dict:
 
     pipe = CheckpointedPipeline(spark, args.out)
     t_all = time.time()
-    stage_names = ("features", "dedup", "decontam", "curated") + (
-        ("sigs", "bands") if args.sig_stage else ()
+    stage_names = (
+        ("features", "dedup", "decontam", "curated")
+        + (("packed",) if args.pack_capacity else ())
+        + (("sigs", "bands") if args.sig_stage else ())
     )
     already_done = [s for s in stage_names if pipe.completed(s)]
 
@@ -248,6 +264,25 @@ def run(spark, args) -> dict:
         )
 
     curated = pipe.run_stage("curated", stage_curated)
+
+    if args.pack_capacity:
+        from shapefile_rs_spark.operators.curation import seq_pack
+
+        def stage_packed():
+            # the training-sequence manifest over the curated corpus:
+            # 'auto' routes a mega language stratum through the two-phase
+            # exact prefix sum, same as the quality prune above
+            packed = seq_pack(
+                curated.select("doc_id", "lang", "bpe_tokens"),
+                capacity=args.pack_capacity,
+                tokens_col="bpe_tokens",
+                mega_strata_threshold="auto",
+            )
+            cache_bearers.append(packed)
+            return packed
+
+        pipe.run_stage("packed", stage_packed)
+
     from shapefile_rs_spark.operators.dedup import release_sig_caches
 
     for frame in cache_bearers:
