@@ -152,25 +152,38 @@ FROM ({docs_sql}) d LEFT JOIN hits h USING ({id_col})
 _BLOOM_HASHES = 4
 
 
-def _bloom_positions_fn(m_bits: int, n_hashes: int):
-    """Closure (not a module-level lambda with default args — the
-    CLAUDE.md binding hazard) mapping a gram string to its bit positions."""
-    import hashlib
+def _bloom_hash_cols(df: DataFrame, gram_col: str) -> DataFrame:
+    """JVM-side double-hash columns for the Bloom family: two independent
+    xxhash64 streams (``_h2`` forced odd so the Kirsch-Mitzenmacher
+    positions ``h1 + i*h2`` walk the whole table).  Hashing in Catalyst
+    keeps the Python side purely vectorized numpy — the r5 build paid
+    per-row hashlib.md5 in the probe and was 5× the exact path it exists
+    to beat."""
+    return df.withColumn("_h1", F.xxhash64(F.col(gram_col))).withColumn(
+        "_h2", F.xxhash64(F.col(gram_col), F.lit(1)).bitwiseOR(F.lit(1))
+    )
 
-    def positions(g: str):
-        d = hashlib.md5(g.encode()).digest()
-        h1 = int.from_bytes(d[:8], "big")
-        h2 = int.from_bytes(d[8:16], "big") | 1
-        return [(h1 + i * h2) % m_bits for i in range(n_hashes)]
 
-    return positions
+def _bloom_positions(h1, h2, i: int, m_bits: int):
+    """Vectorized position stream i over uint64 double hashes."""
+    import numpy as np
+
+    return (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+
+def _as_u64(col) -> "np.ndarray":
+    import numpy as np
+
+    return col.to_numpy(np.int64).view(np.uint64)
 
 
 def bloom_build(
     grams: DataFrame, m_bits: int, n_hashes: int = _BLOOM_HASHES, gram_col: str = "_g"
 ) -> bytes:
-    """Distributed Bloom-bitset build over a gram column: each partition
-    folds its grams into a local ``m_bits``-bit set (numpy uint8), the
+    """Distributed Bloom-bitset build over a gram column: gram hashing
+    runs JVM-side (xxhash64 double hashing), each partition folds its
+    position stream into a local ``m_bits``-bit set with vectorized numpy
+    (no per-row Python, no gram strings shipped to the workers), the
     driver ORs the per-partition rows — collect volume is
     ``partitions × m_bits/8`` bytes, never data-sized.  ``m_bits`` must be
     a positive multiple of 8 (byte-addressed bitset)."""
@@ -179,22 +192,31 @@ def bloom_build(
 
     if m_bits <= 0 or m_bits % 8:
         raise ValueError(f"m_bits {m_bits}: need a positive multiple of 8")
-    pos_fn = _bloom_positions_fn(m_bits, n_hashes)
+    hashed = _bloom_hash_cols(
+        grams.filter(F.col(gram_col).isNotNull()), gram_col
+    ).select("_h1", "_h2")
 
     def fold(batches):
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
         touched = False
         for pdf in batches:
-            for g in pdf[gram_col]:
-                if g is None:
-                    continue
-                touched = True
-                for p in pos_fn(g):
-                    bits[p >> 3] |= np.uint8(1 << (p & 7))
+            if not len(pdf):
+                continue
+            touched = True
+            h1, h2 = _as_u64(pdf["_h1"]), _as_u64(pdf["_h2"])
+            for i in range(n_hashes):
+                p = _bloom_positions(h1, h2, i, m_bits)
+                np.bitwise_or.at(
+                    bits,
+                    (p >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(
+                        np.uint8(1), (p & np.uint64(7)).astype(np.uint8)
+                    ),
+                )
         if touched:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    rows = grams.select(gram_col).mapInPandas(fold, schema="bits binary").collect()
+    rows = hashed.mapInPandas(fold, schema="bits binary").collect()
     acc = np.zeros(m_bits // 8, dtype=np.uint8)
     for r in rows:
         np.bitwise_or(acc, np.frombuffer(r["bits"], dtype=np.uint8), out=acc)
@@ -210,31 +232,32 @@ def bloom_prefilter(
 ) -> DataFrame:
     """Rows whose gram tests positive in the Bloom bitset (NULL grams drop:
     a null never matches the exact confirm join either).  The bitset ships
-    once per executor as a broadcast variable; the probe is an
-    Arrow-batched pass with per-payload md5 granularity — the sanctioned
-    cost class of the shingle generator it filters."""
+    once per executor as a broadcast variable; gram hashing runs JVM-side
+    and the probe is a fully vectorized numpy gather per position stream —
+    ``n_hashes`` indexed reads over the Arrow batch, no per-row Python."""
     import numpy as np
 
     if len(bits) * 8 != m_bits:
         raise ValueError(f"bitset is {len(bits) * 8} bits, expected {m_bits}")
     bc = grams.sparkSession.sparkContext.broadcast(bits)
-    pos_fn = _bloom_positions_fn(m_bits, n_hashes)
+    hashed = _bloom_hash_cols(grams.filter(F.col(gram_col).isNotNull()), gram_col)
 
     def probe(batches):
         arr = np.frombuffer(bc.value, dtype=np.uint8)
         for pdf in batches:
-            keep = np.fromiter(
-                (
-                    g is not None
-                    and all(arr[p >> 3] >> (p & 7) & 1 for p in pos_fn(g))
-                    for g in pdf[gram_col]
-                ),
-                dtype=bool,
-                count=len(pdf),
-            )
+            if not len(pdf):
+                continue
+            h1, h2 = _as_u64(pdf["_h1"]), _as_u64(pdf["_h2"])
+            keep = np.ones(len(pdf), dtype=bool)
+            for i in range(n_hashes):
+                p = _bloom_positions(h1, h2, i, m_bits)
+                byte = arr[(p >> np.uint64(3)).astype(np.int64)]
+                keep &= (
+                    np.right_shift(byte, (p & np.uint64(7)).astype(np.uint8)) & 1
+                ).astype(bool)
             yield pdf[keep]
 
-    return grams.mapInPandas(probe, schema=grams.schema)
+    return hashed.mapInPandas(probe, schema=hashed.schema).drop("_h1", "_h2")
 
 
 def decontaminate_bloom(
