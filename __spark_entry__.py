@@ -1452,6 +1452,41 @@ def q_budget_sample2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# target data mixture for q_mix_weights / q_budget_mix: per-mille shares of
+# a 20k-token budget, chosen so sf0.01 exercises every branch — en/de/fr
+# fully allocable, zh target (7000) above its availability (~4.1k → real
+# deficit), es unlisted (target-0 row; its keep-set is empty in budget_mix,
+# the documented default-budget drop).  Same constants in the oracle SQL.
+_MIX_TARGETS = {"en": 400, "zh": 350, "de": 100, "fr": 100}
+_MIX_BUDGET = 20000
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static data-mixture planning: per-language available vs target vs
+    allocatable tokens (+ deficit) for integer per-mille shares of a total
+    budget — pure-int64 map-side-combining aggregate over a two-column
+    projection; the alloc_tokens column is budget_sample's dict input."""
+    from shapefile_rs_spark.operators.curation import mix_weights
+
+    return mix_weights(_budget_docs(spark, sf_dir), _MIX_TARGETS, _MIX_BUDGET)
+
+
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture CUT: mix_weights' allocations (a strata-sized control
+    frame, collected driver-side — the sanctioned tiny-collect pattern)
+    feed budget_sample's per-stratum dict budgets, so each language keeps
+    exactly its allocatable token prefix and unlisted languages drop
+    (default_budget=0, stated loudly in the operator docstring)."""
+    from shapefile_rs_spark.operators.curation import budget_sample, mix_weights
+
+    docs = _budget_docs(spark, sf_dir)
+    alloc = {
+        r["lang"]: r["alloc_tokens"]
+        for r in mix_weights(docs, _MIX_TARGETS, _MIX_BUDGET).collect()
+    }
+    return budget_sample(docs, budget=alloc)
+
+
 # training-sequence capacity for q_seq_pack — ~4-40 multi-document bins per
 # language at sf0.01 with regular bin-boundary spans (same constant in the
 # oracle SQL, so any scale works)
@@ -1666,6 +1701,10 @@ ROTATION = {
     "tile_polygons": 5,
     "simplify": 5,
     "pip_join_count": 5,
+    # parked in round 6 for mix_weights/budget_mix (green r1-r5; knn +
+    # knn_join keep the kNN family in-window, lang_id the doc-stats family):
+    "knn_rings": 5,
+    "doc_stats": 5,
 }
 
 
@@ -1691,12 +1730,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "seq_pack2": q_seq_pack2,
         "para_dedup": q_para_dedup,
+        "mix_weights": q_mix_weights,
+        "budget_mix": q_budget_mix,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "tile_assign": q_tile_assign,
         "knn": q_knn,
-        "knn_rings": q_knn_rings,
         "knn_join": q_knn_join,
         "polygon_stats": q_polygon_stats,
         "convex_hull": q_convex_hull,
@@ -1706,7 +1746,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapes_headers": q_shapes_headers,
         "shapes_attrs": q_shapes_attrs,
         "dedup_exact": q_dedup_exact,
-        "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "tile_rollup": q_tile_rollup,
         "minhash_lsh": q_minhash_lsh,
@@ -1746,6 +1785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_polygons": q_tile_polygons,
         "simplify": q_simplify,
         "pip_join_count": q_pip_join_count,
+        "knn_rings": q_knn_rings,
+        "doc_stats": q_doc_stats,
     }
 
 
@@ -2300,6 +2341,8 @@ FROM stepped
         # two-phase prefix sum shares the window oracle verbatim
         "seq_pack2": _seq_pack_oracle(),
         "para_dedup": _para_dedup_oracle(),
+        "mix_weights": _mix_weights_oracle(),
+        "budget_mix": _budget_mix_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
@@ -2370,6 +2413,49 @@ def _para_dedup_oracle() -> str:
         f"SELECT id, {chunk_words_sql('text', _PARA_WORDS)} AS text FROM corpus"
     )
     return para_dedup_sql(chunked, id_col="id")
+
+
+def _mix_docs_sql() -> str:
+    from shapefile_rs_spark.operators.curation import bpe_token_count_sql
+
+    return (
+        "SELECT doc_id, lang, "
+        f"CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_tokens "
+        "FROM documents"
+    )
+
+
+def _mix_weights_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import mix_weights_sql
+
+    return mix_weights_sql(_mix_docs_sql(), _MIX_TARGETS, _MIX_BUDGET)
+
+
+def _budget_mix_oracle() -> str:
+    """The q_budget_mix twin: the Spark side collects mix_weights'
+    allocations into budget_sample's dict; SQL inlines the SAME
+    computation as a join of the prefix frame against the allocation
+    aggregate (per-stratum threshold = alloc_tokens, default 0 for
+    unlisted strata via the inner join dropping them is WRONG — es must
+    drop because its alloc is 0, which the join preserves as a 0
+    threshold, not because it is missing — so the allocation aggregate
+    covers every stratum, exactly like mix_weights' output)."""
+    docs = _mix_docs_sql()
+    alloc = _mix_weights_oracle()
+    return f"""
+SELECT p.doc_id, p.lang, p.n_tokens, p.cum_before
+FROM (
+  SELECT d.*,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM ({docs}) d
+) p
+JOIN ({alloc}) a USING (lang)
+WHERE p.cum_before < a.alloc_tokens
+"""
 
 
 def _seq_pack_oracle() -> str:

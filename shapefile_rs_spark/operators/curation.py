@@ -910,11 +910,12 @@ WHERE q_rank <= CAST(ceil(n_stratum * CAST({frac} AS DOUBLE)) AS BIGINT)
 
 def budget_sample(
     df: DataFrame,
-    budget: int,
+    budget: int | Dict[str, int],
     strata_col: str = "lang",
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     mega_strata_threshold: int | str | None = None,
+    default_budget: int = 0,
 ) -> DataFrame:
     """Keep, per stratum, the deterministic-hash-ordered prefix of
     documents whose cumulative token count stays under ``budget`` — the
@@ -946,15 +947,34 @@ def budget_sample(
     within-partition exclusive prefix sum`` and joins back on the unique
     non-null id — the distributed-scan primitive, no single-task stratum.
     Both paths are row-identical (pinned by pytest at a forced threshold
-    and by the shared driver oracle row)."""
-    if budget < 0:
-        raise ValueError(f"budget {budget} is negative: the keep-set is empty "
-                         "by construction — reject loudly instead")
+    and by the shared driver oracle row).
+
+    ``budget`` may be a dict of PER-STRATUM budgets (the data-mixture cut
+    proper — e.g. :func:`mix_weights` allocations): the threshold becomes
+    a map-only when-chain over the stratum column, with ``default_budget``
+    (default 0, i.e. DROP — stated loudly here because it mirrors
+    stratified_sample's default-rate data-loss trap) for strata the dict
+    does not name.  The prefix-sum plan is identical either way."""
+    if isinstance(budget, dict):
+        bad = {s: b for s, b in budget.items() if b < 0}
+        if bad or default_budget < 0:
+            raise ValueError(
+                f"negative budget(s) {bad or {'default': default_budget}}: "
+                "the keep-set is empty by construction — reject loudly instead"
+            )
+        thr = F.lit(int(default_budget)).cast("long")
+        for s, b in sorted(budget.items()):
+            thr = F.when(F.col(strata_col) == s, F.lit(int(b)).cast("long")).otherwise(thr)
+    else:
+        if budget < 0:
+            raise ValueError(f"budget {budget} is negative: the keep-set is empty "
+                             "by construction — reject loudly instead")
+        thr = F.lit(int(budget)).cast("long")
     pref = token_prefix(
         df, strata_col=strata_col, id_col=id_col, tokens_col=tokens_col,
         mega_strata_threshold=mega_strata_threshold,
     )
-    out = pref.filter(F.col("cum_before") < budget)
+    out = pref.filter(F.col("cum_before") < thr)
     if hasattr(pref, "_sig_caches"):
         out._sig_caches = pref._sig_caches  # release hook survives the filter
     return out
@@ -1122,14 +1142,24 @@ def _token_prefix_two_phase(
 
 def budget_sample_sql(
     docs_sql: str,
-    budget: int,
+    budget: int | Dict[str, int],
     strata_col: str = "lang",
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    default_budget: int = 0,
 ) -> str:
     """DuckDB twin of :func:`budget_sample` (identical hash order and
     exclusive-window arithmetic; SUM over BIGINT is HUGEINT in DuckDB —
-    cast back)."""
+    cast back; a dict budget becomes the same when-chain as the Spark
+    side's)."""
+    if isinstance(budget, dict):
+        cases = " ".join(
+            f"WHEN {strata_col} = '{s}' THEN CAST({int(b)} AS BIGINT)"
+            for s, b in sorted(budget.items())
+        )
+        thr = f"CASE {cases} ELSE CAST({int(default_budget)} AS BIGINT) END"
+    else:
+        thr = f"CAST({int(budget)} AS BIGINT)"
     return f"""
 SELECT *
 FROM (
@@ -1141,7 +1171,93 @@ FROM (
          ), 0) AS BIGINT) AS cum_before
   FROM ({docs_sql}) d
 )
-WHERE cum_before < {budget}
+WHERE cum_before < {thr}
+"""
+
+
+def mix_weights(
+    df: DataFrame,
+    targets: Dict[str, int],
+    budget: int,
+    strata_col: str = "lang",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-stratum token allocations for a target data mixture: given
+    integer per-mille shares (``targets``, e.g. ``{"en": 500, "fr":
+    150}``) of a total token ``budget``, report what each stratum HAS
+    (``available_tokens``), what the mixture ASKS of it
+    (``target_tokens = budget * share // 1000``), what it can actually
+    CONTRIBUTE (``alloc_tokens = min(available, target)``) and the
+    shortfall (``deficit``) — the static-mixture planning step (the
+    DoReMi/data-mixture reweighting literature's input table) whose
+    ``alloc_tokens`` column feeds :func:`budget_sample`'s dict budget to
+    cut the actual keep-set.  Everything is int64 (shares are per-mille
+    integers, targets precompute driver-side), so the output is
+    engine-portable and hash-exact; no redistribution of unmet deficit —
+    re-running with reweighted shares is the caller's loop.  Strata
+    absent from ``targets`` get target 0 (reported, so silent drops are
+    visible as deficit-0 zero-target rows).
+
+    Scale shape: one map-side-combining groupBy on the stratum key over
+    a two-column projection — the mixture table is strata-sized, never
+    data-sized."""
+    if budget < 0:
+        raise ValueError(f"budget {budget} is negative")
+    bad = {s: p for s, p in targets.items() if p < 0}
+    if bad:
+        raise ValueError(f"negative mixture shares {bad}")
+    if sum(targets.values()) > 1000:
+        raise ValueError(
+            f"mixture shares sum to {sum(targets.values())} > 1000 per-mille: "
+            "the allocation would exceed the budget"
+        )
+    tgt = F.lit(0).cast("long")
+    for s, pm in sorted(targets.items()):
+        tgt = F.when(
+            F.col(strata_col) == s, F.lit(int(budget) * int(pm) // 1000).cast("long")
+        ).otherwise(tgt)
+    return (
+        df.groupBy(strata_col)
+        .agg(
+            F.sum(F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))).alias(
+                "available_tokens"
+            )
+        )
+        .select(
+            strata_col,
+            "available_tokens",
+            tgt.alias("target_tokens"),
+            F.least(F.col("available_tokens"), tgt).alias("alloc_tokens"),
+            (tgt - F.least(F.col("available_tokens"), tgt)).alias("deficit"),
+        )
+    )
+
+
+def mix_weights_sql(
+    docs_sql: str,
+    targets: Dict[str, int],
+    budget: int,
+    strata_col: str = "lang",
+    tokens_col: str = "n_tokens",
+) -> str:
+    """DuckDB twin of :func:`mix_weights` (targets precompute to the same
+    int64 literals driver-side, so both engines compare pure integers)."""
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN CAST({int(budget) * int(pm) // 1000} AS BIGINT)"
+        for s, pm in sorted(targets.items())
+    )
+    tgt = f"CASE {cases} ELSE CAST(0 AS BIGINT) END"
+    return f"""
+SELECT {strata_col}, available_tokens,
+       {tgt} AS target_tokens,
+       LEAST(available_tokens, {tgt}) AS alloc_tokens,
+       {tgt} - LEAST(available_tokens, {tgt}) AS deficit
+FROM (
+  SELECT {strata_col},
+         CAST(SUM(COALESCE({tokens_col}, 0)) AS BIGINT) AS available_tokens
+  FROM ({docs_sql}) d
+  GROUP BY {strata_col}
+)
 """
 
 

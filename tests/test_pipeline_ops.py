@@ -1751,6 +1751,53 @@ def test_budget_sample_two_phase_guards(spark):
         budget_sample(dup.limit(1), 100, mega_strata_threshold="AUTO-ish")
 
 
+def test_mix_weights_and_dict_budget(spark):
+    """Allocation caps at availability (deficit reported), unlisted
+    strata appear as target-0 rows, over-allocated mixtures reject, and
+    a dict budget cuts each stratum at its own threshold — matching the
+    scalar path per stratum and dropping unlisted strata at
+    default_budget=0."""
+    from shapefile_rs_spark.operators.curation import budget_sample, mix_weights
+
+    frame = _budget_frame(spark).filter(F.col("lang").isNotNull())
+    avail = {
+        r["lang"]: r["t"]
+        for r in frame.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # en asks for more than it has (deficit), fr for less (full alloc)
+    mix = {
+        r["lang"]: r
+        for r in mix_weights(frame, {"en": 900}, 2 * avail["en"]).collect()
+    }
+    assert mix["en"]["available_tokens"] == avail["en"]
+    assert mix["en"]["alloc_tokens"] == avail["en"]  # capped
+    assert mix["en"]["deficit"] == mix["en"]["target_tokens"] - avail["en"] > 0
+    assert mix["fr"]["target_tokens"] == 0 and mix["fr"]["deficit"] == 0
+    with pytest.raises(ValueError, match="per-mille"):
+        mix_weights(frame, {"en": 600, "fr": 500}, 100)
+    with pytest.raises(ValueError, match="negative mixture"):
+        mix_weights(frame, {"en": -1}, 100)
+
+    cut = budget_sample(frame, budget={"en": 40, "fr": 25})
+    rows = cut.collect()
+    assert {r["lang"] for r in rows} == {"en", "fr"}  # unlisted strata drop
+    for lang, b in (("en", 40), ("fr", 25)):
+        got = {r["doc_id"] for r in rows if r["lang"] == lang}
+        scalar = {
+            r["doc_id"]
+            for r in budget_sample(frame, b).collect()
+            if r["lang"] == lang
+        }
+        assert got == scalar, lang
+    # default_budget keeps unlisted strata at its own threshold
+    dflt = budget_sample(frame, budget={"en": 40}, default_budget=25).collect()
+    assert {r["doc_id"] for r in dflt if r["lang"] == "fr"} == {
+        r["doc_id"] for r in rows if r["lang"] == "fr"
+    }
+    with pytest.raises(ValueError, match="negative budget"):
+        budget_sample(frame, budget={"en": -5})
+
+
 def test_seq_pack_invariants(spark):
     """Pack-and-split invariants: every bin except a stratum's last is
     exactly full, a document's bin rows sum to its token count, zero/null
