@@ -340,6 +340,64 @@ def test_budget_sample_two_phase_plan_is_windowless(spark, sf_dir):
     assert "Window" in wplan and "Exchange rangepartitioning" not in wplan
 
 
+def test_seq_pack_two_phase_plan_is_windowless(spark, sf_dir):
+    """seq_pack's mega-strata plan inherits token_prefix's shape: range
+    partitioning, NO window operator, and the bin fan-out is a Generate
+    (explode) over pure-codegen arithmetic — no shuffle is introduced
+    between the prefix sum and the bins.  The default plan is the
+    stratum-keyed window plus the same Generate."""
+    from shapefile_rs_spark.operators.curation import seq_pack
+    from shapefile_rs_spark.operators.dedup import release_sig_caches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.col("n_chars").alias("n_tokens")
+    )
+    two = seq_pack(docs, 64, mega_strata_threshold=1)
+    plan = _plan(two)
+    assert "Exchange rangepartitioning" in plan
+    assert "Window" not in plan
+    assert "Generate explode" in plan
+    release_sig_caches(two)
+    wplan = _plan(seq_pack(docs, 64))
+    assert "Window" in wplan and "Generate explode" in wplan
+    assert "Exchange rangepartitioning" not in wplan
+
+
+def test_para_dedup_winner_is_partial_aggregation(spark, sf_dir):
+    """The winner per paragraph must be a map-side-combining aggregation
+    (partial_min over the occurrence struct), NEVER a content-keyed
+    window — a boilerplate paragraph repeated N times must ship one
+    candidate per map partition, not serialize N rows through one window
+    task.  No cartesian product anywhere."""
+    from shapefile_rs_spark.operators.dedup import chunk_words, para_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", chunk_words(F.col("text"), 8).alias("text")
+    )
+    plan = _plan(para_dedup(docs, id_col="doc_id"))
+    assert "partial_min" in plan  # winner combine runs map-side
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_mix_weights_single_pruned_aggregate(spark, sf_dir):
+    """The mixture table is ONE hash aggregation with map-side combine
+    over a two-column scan — no join (targets fold into literals), and
+    the parquet read prunes to exactly (lang, tokens)."""
+    from shapefile_rs_spark.operators.curation import mix_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.col("n_chars").alias("n_tokens")
+    )
+    plan = _plan(mix_weights(docs, {"en": 500, "fr": 200}, 10**6))
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema and "doc_id" not in read_schema
+
+
 def test_decontaminate_bloom_confirm_reads_survivors_and_cached_grams(spark):
     """The exact-confirm join's corpus side must be the Bloom-survivor
     stream (probe MapInPandas stacked on the shingle MapInPandas), and its
