@@ -1452,6 +1452,36 @@ def q_budget_sample2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incr_para(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-shaped paragraph dedup: the near-dup VARIANTS arrive as a
+    new batch and dedup against the committed paragraph registry of the
+    ORIGINALS — corpus text exploded once into a distinct-paragraph
+    registry, batch joined against it (O(batch + collisions), never
+    O(corpus) grouping) — so each variant keeps only its unique tail
+    chunk, the incr_neardup contract at paragraph grain."""
+    from shapefile_rs_spark.operators.dedup import (
+        chunk_words,
+        para_dedup_incremental,
+        para_registry,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.select(
+        (F.col("doc_id") * 2).alias("id"),
+        chunk_words(F.col("text"), _PARA_WORDS).alias("text"),
+    )
+    batch = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        chunk_words(
+            F.concat(F.col("text"), F.lit(" near dup suffix")), _PARA_WORDS
+        ).alias("text"),
+    )
+    cleaned, _new = para_dedup_incremental(
+        batch, para_registry(corpus, id_col="id"), id_col="id"
+    )
+    return cleaned
+
+
 # target data mixture for q_mix_weights / q_budget_mix: per-mille shares of
 # a 20k-token budget, chosen so sf0.01 exercises every branch — en/de/fr
 # fully allocable, zh target (7000) above its availability (~4.1k → real
@@ -1705,6 +1735,9 @@ ROTATION = {
     # knn_join keep the kNN family in-window, lang_id the doc-stats family):
     "knn_rings": 5,
     "doc_stats": 5,
+    # parked in round 6 for incr_para (green r1-r5; doc-stats family stays
+    # represented by text_quality/doc_repetition in-window):
+    "lang_id": 5,
 }
 
 
@@ -1732,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "mix_weights": q_mix_weights,
         "budget_mix": q_budget_mix,
+        "incr_para": q_incr_para,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -1746,7 +1780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapes_headers": q_shapes_headers,
         "shapes_attrs": q_shapes_attrs,
         "dedup_exact": q_dedup_exact,
-        "lang_id": q_lang_id,
         "tile_rollup": q_tile_rollup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -1787,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_count": q_pip_join_count,
         "knn_rings": q_knn_rings,
         "doc_stats": q_doc_stats,
+        "lang_id": q_lang_id,
     }
 
 
@@ -2343,6 +2377,7 @@ FROM stepped
         "para_dedup": _para_dedup_oracle(),
         "mix_weights": _mix_weights_oracle(),
         "budget_mix": _budget_mix_oracle(),
+        "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "pii_redact": _pii_redact_oracle(),
         "doc_sample": _doc_sample_oracle(),
@@ -2413,6 +2448,27 @@ def _para_dedup_oracle() -> str:
         f"SELECT id, {chunk_words_sql('text', _PARA_WORDS)} AS text FROM corpus"
     )
     return para_dedup_sql(chunked, id_col="id")
+
+
+def _incr_para_oracle() -> str:
+    from shapefile_rs_spark.operators.dedup import (
+        chunk_words_sql,
+        para_dedup_incremental_sql,
+    )
+
+    corpus_chunked = chunk_words_sql("text", _PARA_WORDS)
+    registry = (
+        "SELECT DISTINCT para FROM ("
+        f"SELECT UNNEST(string_split({corpus_chunked}, chr(10))) AS para "
+        "FROM documents) WHERE LENGTH(para) >= 1"
+    )
+    variant_chunked = chunk_words_sql("text || ' near dup suffix'", _PARA_WORDS)
+    batch = (
+        "SELECT doc_id * 2 + 1 AS id, "
+        f"{variant_chunked} AS text "
+        "FROM documents"
+    )
+    return para_dedup_incremental_sql(batch, registry, id_col="id")
 
 
 def _mix_docs_sql() -> str:

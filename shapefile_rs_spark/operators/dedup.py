@@ -1551,3 +1551,144 @@ FROM (
 )
 GROUP BY {id_col}
 """
+
+
+def para_dedup_incremental(
+    batch: DataFrame,
+    registry: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 1,
+) -> tuple:
+    """Recrawl-shaped :func:`para_dedup`: dedup a NEW batch against a
+    COMMITTED paragraph registry (the distinct dedup-eligible paragraphs
+    already kept in the corpus) without ever re-reading — or re-exploding
+    — the corpus text, the incr_neardup contract at paragraph grain.  A
+    batch paragraph drops if the registry has it (committed content wins
+    unconditionally: it already shipped); otherwise the batch's first
+    occurrence in the deterministic (md5(id), id, position) order wins,
+    exactly para_dedup's rule.  Paragraphs under ``min_len`` chars are
+    always kept and never consult the registry.
+
+    Returns ``(cleaned, new_paras)``: ``cleaned`` has para_dedup's output
+    schema (``n_paras``/``n_kept``/``text_dedup``); ``new_paras`` is the
+    one-column (``para``) frame of this batch's surviving eligible
+    paragraphs — exactly the rows to APPEND to the registry (the
+    lineage/append_delta maintenance pattern the committed MinHash
+    signature stage uses, streaming/dedup.py), keeping the next batch's
+    join input precomputed.  registry(corpus) ∪ appended batches ==
+    registry(corpus ∪ batches) — pinned in pytest, so incremental and
+    from-scratch dedup agree.
+
+    Scale shape: the batch explodes map-only; the registry join and the
+    batch-internal winner aggregation shuffle on paragraph content
+    (AQE skew-join backstops boilerplate keys; winner is the same
+    partial_min combine as para_dedup — plan-pinned).  The registry side
+    ships one row per DISTINCT corpus paragraph and is never grouped or
+    windowed — O(batch + collisions), not O(corpus)."""
+    key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    paras = batch.select(
+        F.col(id_col).alias("_id"),
+        key.alias("_k"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para"),
+    )
+    elig = F.length(F.col("_para")) >= min_len
+    reg = registry.select(
+        F.col("para").alias("_para"), F.lit(True).alias("_seen")
+    )
+    joined = paras.join(reg, "_para", "left")
+    wins = (
+        joined.filter(elig & F.col("_seen").isNull())
+        .groupBy("_para")
+        .agg(F.min(F.struct("_k", "_id", "_idx")).alias("_w"))
+    )
+    marked = joined.join(wins, "_para", "left").withColumn(
+        "_keep",
+        (~elig)
+        | (
+            F.col("_seen").isNull()
+            & (F.struct("_k", "_id", "_idx") == F.col("_w"))
+        ),
+    )
+    cleaned = (
+        marked.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_idx", "_para"))
+                        )
+                    ),
+                    lambda x: x["_para"],
+                ),
+                sep,
+            ).alias("text_dedup"),
+        )
+    )
+    new_paras = (
+        marked.filter(F.col("_keep") & elig)
+        .select(F.col("_para").alias("para"))
+        .distinct()
+    )
+    return cleaned, new_paras
+
+
+def para_registry(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 1,
+) -> DataFrame:
+    """The committed-registry builder: the distinct dedup-eligible
+    paragraphs a corpus KEEPS under :func:`para_dedup` — which, because
+    every duplicate group keeps exactly one occurrence of the same
+    string, is simply the corpus's distinct eligible paragraph set (no
+    winner ordering needed; one distinct shuffle)."""
+    return (
+        docs.select(
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para")
+        )
+        .filter(F.length(F.col("_para")) >= min_len)
+        .select(F.col("_para").alias("para"))
+        .distinct()
+    )
+
+
+def para_dedup_incremental_sql(
+    batch_sql: str,
+    registry_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_sql: str = "chr(10)",
+    min_len: int = 1,
+) -> str:
+    """DuckDB twin of :func:`para_dedup_incremental`'s ``cleaned`` output
+    (``registry_sql`` must yield one ``para`` column, e.g. the
+    :func:`para_registry` twin: SELECT DISTINCT eligible paras)."""
+    return f"""
+SELECT {id_col},
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(STRING_AGG(CASE WHEN keep THEN para END, {sep_sql} ORDER BY idx ASC), '') AS text_dedup
+FROM (
+  SELECT {id_col}, para, idx,
+         CASE WHEN LENGTH(para) < {min_len} THEN TRUE
+              WHEN para IN (SELECT para FROM ({registry_sql}) r) THEN FALSE
+              ELSE ROW_NUMBER() OVER (
+                PARTITION BY para ORDER BY k ASC, {id_col} ASC, idx ASC
+              ) = 1
+         END AS keep
+  FROM (
+    SELECT {id_col}, md5(CAST({id_col} AS VARCHAR)) AS k,
+           UNNEST(string_split({text_col}, {sep_sql})) AS para,
+           generate_subscripts(string_split({text_col}, {sep_sql}), 1) AS idx
+    FROM ({batch_sql}) d
+  )
+)
+GROUP BY {id_col}
+"""

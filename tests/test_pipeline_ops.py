@@ -1882,6 +1882,48 @@ def test_para_dedup(spark):
         chunk_words(F.col("text"), 0)
 
 
+def test_para_dedup_incremental(spark):
+    """Committed content wins unconditionally: a batch paragraph in the
+    registry drops even when the batch doc's md5 would out-rank the
+    corpus doc under global para_dedup; batch-internal dups keep the
+    first occurrence; short paragraphs never consult the registry; and
+    registry(corpus) ∪ new_paras == registry(corpus ∪ batch), so the
+    incremental path converges to the from-scratch registry."""
+    from shapefile_rs_spark.operators.dedup import (
+        para_dedup_incremental,
+        para_registry,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "shared chunk one\nold only chunk")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "shared chunk one\nnew chunk alpha\nx"),
+            (2, "new chunk alpha\nnew chunk beta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    reg = para_registry(corpus)
+    cleaned, new_paras = para_dedup_incremental(batch, reg)
+    got = {r["doc_id"]: r for r in cleaned.collect()}
+    # doc 1: registry kills "shared chunk one"; wins "new chunk alpha"
+    # iff its (md5, id, idx) beats doc 2's — md5(1) < md5(2) here; "x"
+    # is >= min_len (1 char) and unique, kept
+    assert got[1]["text_dedup"] == "new chunk alpha\nx"
+    assert got[2]["text_dedup"] == "new chunk beta"
+    assert got[1]["n_paras"] == 3 and got[1]["n_kept"] == 2
+    union = {r["para"] for r in reg.collect()} | {
+        r["para"] for r in new_paras.collect()
+    }
+    scratch = {
+        r["para"]
+        for r in para_registry(corpus.unionByName(batch)).collect()
+    }
+    assert union == scratch  # incremental converges to from-scratch
+
+
 def test_dedup_keep_best(spark):
     """Cluster {1,2,3}: top score ties on 2,3 → min id 2 kept.  Cluster
     {4,5}: both unscored (NULLS LAST) → id tie-break keeps 4.  Doc 6 is a
