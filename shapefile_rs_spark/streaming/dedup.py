@@ -148,3 +148,66 @@ def maintain_signature_stage(
     if band_stage:
         return sig_frame, pipe.spark.read.parquet(pipe.stage_path(band_stage))
     return sig_frame
+
+
+def maintain_para_registry(
+    docs_stream: DataFrame,
+    pipeline_root: str,
+    checkpoint_dir: str,
+    stage: str = "paras",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 1,
+    query_name: str = "para_registry_maintenance",
+):
+    """Keep the COMMITTED paragraph registry fresh as recrawl batches
+    land — the :func:`maintain_signature_stage` pattern for
+    :func:`..operators.dedup.para_dedup_incremental`: each micro-batch's
+    distinct eligible paragraphs (:func:`..operators.dedup.para_registry`
+    — already intra-batch distinct) append through ``append_delta``'s
+    keyed anti-join on ``para``, so only paragraphs the corpus has never
+    kept commit, replayed batches append nothing, and the registry the
+    incremental dedup joins against tracks ingestion without any
+    periodic full re-explode of the corpus.
+
+    The anti-join key IS the registry semantic: committed content wins
+    unconditionally, which is exactly para_dedup_incremental's rule, so
+    registry(corpus) ∪ maintained batches == registry(corpus ∪ batches)
+    (the operator-level pytest pin carries over).  Stage name carries
+    (min_len, sep) so a parameter change starts a fresh stage instead of
+    mixing incompatible paragraph grains.  Runs availableNow and blocks
+    until the backlog drains (the bounded-replay test regime); returns
+    the committed registry frame, or None when no batch ever landed."""
+    import hashlib
+
+    from ..lineage import CheckpointedPipeline
+    from ..operators.dedup import para_registry
+
+    stage = f"{stage}-m{min_len}-{hashlib.md5(sep.encode()).hexdigest()[:8]}"
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipe = CheckpointedPipeline(batch_df.sparkSession, pipeline_root)
+        pipe.append_delta(
+            stage,
+            para_registry(
+                batch_df, id_col=id_col, text_col=text_col, sep=sep,
+                min_len=min_len,
+            ),
+            ["para"],
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_append)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pipe = CheckpointedPipeline(docs_stream.sparkSession, pipeline_root)
+    if not pipe.completed(stage):
+        return None  # zero non-empty batches and no prior stage
+    return pipe.spark.read.parquet(pipe.stage_path(stage))

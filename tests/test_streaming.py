@@ -243,3 +243,66 @@ def test_maintain_signature_stage_with_bands(spark, sf_dir, tmp_path):
     assert hits.filter(F.col("new_id") == F.col("corpus_id")).count() > 0
     logical = hits._jdf.queryExecution().optimizedPlan().toString()
     assert logical.count("Generate explode") == 1
+
+
+def test_maintain_para_registry_tracks_ingestion(spark, sf_dir, tmp_path):
+    """The committed paragraph registry follows ingestion: wave 1 commits
+    its distinct eligible paragraphs; wave 2 plus a byte-identical replay
+    of wave 1 appends only unseen paragraphs; the maintained registry
+    equals the from-scratch registry of both waves; and the incremental
+    paragraph dedup reads the maintained stage directly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators.dedup import (
+        chunk_words,
+        para_dedup_incremental,
+        para_registry,
+    )
+    from shapefile_rs_spark.streaming.dedup import maintain_para_registry
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", chunk_words(F.col("text"), 8).alias("text"))
+    )
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0).limit(60)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1).limit(30)
+    land = tmp_path / "landing"
+    land.mkdir()
+    root = str(tmp_path / "pipe")
+    ck = tmp_path / "ck"
+    schema = wave1.schema
+
+    wave1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for f in (tmp_path / "w1").glob("*.parquet"):
+        shutil.copy(f, land / "batch_a.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    reg = maintain_para_registry(stream, root, str(ck / "1"))
+    n1 = para_registry(wave1).count()
+    assert reg.count() == n1 and reg.columns == ["para"]
+
+    wave2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for f in (tmp_path / "w2").glob("*.parquet"):
+        shutil.copy(f, land / "batch_b.parquet")
+    shutil.copy(land / "batch_a.parquet", land / "batch_a_replay.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    reg = maintain_para_registry(stream, root, str(ck / "2"))
+    scratch = para_registry(wave1.unionByName(wave2))
+    assert reg.count() == scratch.count()  # replay appended NOTHING
+    assert {r["para"] for r in reg.collect()} == {
+        r["para"] for r in scratch.collect()
+    }
+
+    # a recrawl variant dedups against the maintained registry: its copied
+    # chunks vanish, only the unique suffix chunk (a trailing partial
+    # chunk merged with the marker) can survive
+    batch = wave1.limit(10).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" unseen recrawl marker")).alias("text"),
+    )
+    cleaned, new_paras = para_dedup_incremental(batch, reg)
+    assert cleaned.filter(F.col("n_kept") >= F.col("n_paras")).count() == 0
+    assert new_paras.count() > 0
