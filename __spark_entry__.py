@@ -1477,7 +1477,7 @@ def q_incr_para(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     cleaned, _new = para_dedup_incremental(
-        batch, para_registry(corpus, id_col="id"), id_col="id"
+        batch, para_registry(corpus), id_col="id"
     )
     return cleaned
 
@@ -1513,6 +1513,10 @@ def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     alloc = {
         r["lang"]: r["alloc_tokens"]
         for r in mix_weights(docs, _MIX_TARGETS, _MIX_BUDGET).collect()
+        # a NULL stratum can't carry a dict budget (the when-chain never
+        # matches NULL — budget_sample rejects None keys loudly); NULL-lang
+        # docs fall to default_budget=0 and drop, like every unlisted lang
+        if r["lang"] is not None
     }
     return budget_sample(docs, budget=alloc)
 
@@ -2424,17 +2428,9 @@ def _quality_prune_oracle() -> str:
 
 
 def _budget_sample_oracle() -> str:
-    from shapefile_rs_spark.operators.curation import (
-        bpe_token_count_sql,
-        budget_sample_sql,
-    )
+    from shapefile_rs_spark.operators.curation import budget_sample_sql
 
-    docs = (
-        "SELECT doc_id, lang, "
-        f"CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_tokens "
-        "FROM documents"
-    )
-    return budget_sample_sql(docs, budget=_BUDGET_TOKENS)
+    return budget_sample_sql(_mix_docs_sql(), budget=_BUDGET_TOKENS)
 
 
 def _para_dedup_oracle() -> str:
@@ -2515,17 +2511,9 @@ WHERE p.cum_before < a.alloc_tokens
 
 
 def _seq_pack_oracle() -> str:
-    from shapefile_rs_spark.operators.curation import (
-        bpe_token_count_sql,
-        seq_pack_sql,
-    )
+    from shapefile_rs_spark.operators.curation import seq_pack_sql
 
-    docs = (
-        "SELECT doc_id, lang, "
-        f"CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_tokens "
-        "FROM documents"
-    )
-    return seq_pack_sql(docs, capacity=_PACK_CAPACITY)
+    return seq_pack_sql(_mix_docs_sql(), capacity=_PACK_CAPACITY)
 
 
 # keep-best over the SAME planted chain-pair graph as dedup_clusters: the

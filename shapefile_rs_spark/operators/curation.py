@@ -159,6 +159,13 @@ def _bloom_hash_cols(df: DataFrame, gram_col: str) -> DataFrame:
     keeps the Python side purely vectorized numpy — the r5 build paid
     per-row hashlib.md5 in the probe and was 5× the exact path it exists
     to beat."""
+    clash = {"_h1", "_h2"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"gram frame already has {sorted(clash)}: the Bloom hash "
+            "columns would silently overwrite them and be dropped on "
+            "output — rename the caller's columns"
+        )
     return df.withColumn("_h1", F.xxhash64(F.col(gram_col))).withColumn(
         "_h2", F.xxhash64(F.col(gram_col), F.lit(1)).bitwiseOR(F.lit(1))
     )
@@ -956,6 +963,12 @@ def budget_sample(
     stratified_sample's default-rate data-loss trap) for strata the dict
     does not name.  The prefix-sum plan is identical either way."""
     if isinstance(budget, dict):
+        if None in budget:
+            raise ValueError(
+                "budget dict has a None stratum key: the when-chain "
+                "compares with ==, which is never true for NULL — NULL "
+                "strata always take default_budget; drop the None entry"
+            )
         bad = {s: b for s, b in budget.items() if b < 0}
         if bad or default_budget < 0:
             raise ValueError(
@@ -995,9 +1008,29 @@ def token_prefix(
     budget_sample's: default is one stratum-key shuffle + running-sum
     window; ``mega_strata_threshold`` switches to the two-phase
     sample-sort exact prefix sum when any stratum exceeds the row budget
-    (no single-task stratum)."""
+    (no single-task stratum).
+
+    Negative token counts reject LOUDLY at evaluation time (a codegen
+    raise_error guard rides the token projection on both paths): a
+    negative count is an upstream bug, and silently folding it into the
+    running sum would corrupt every later document's offset in the
+    stratum — budget keep-sets and seq_pack bins downstream of a
+    corrupted offset violate their pinned invariants."""
     from pyspark.sql import Window
 
+    tok_type = df.schema[tokens_col].dataType
+    df = df.withColumn(
+        tokens_col,
+        F.when(
+            F.col(tokens_col) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"negative {tokens_col}: "),
+                    F.col(tokens_col).cast("string"),
+                )
+            ).cast(tok_type),
+        ).otherwise(F.col(tokens_col)),
+    )
     key = F.md5(F.col(id_col).cast("string").cast("binary"))
     if mega_strata_threshold is not None:
         import math as _math
@@ -1153,6 +1186,11 @@ def budget_sample_sql(
     cast back; a dict budget becomes the same when-chain as the Spark
     side's)."""
     if isinstance(budget, dict):
+        if None in budget:
+            raise ValueError(
+                "budget dict has a None stratum key — see budget_sample: "
+                "NULL strata always take default_budget"
+            )
         cases = " ".join(
             f"WHEN {strata_col} = '{s}' THEN CAST({int(b)} AS BIGINT)"
             for s, b in sorted(budget.items())
@@ -1196,13 +1234,23 @@ def mix_weights(
     engine-portable and hash-exact; no redistribution of unmet deficit —
     re-running with reweighted shares is the caller's loop.  Strata
     absent from ``targets`` get target 0 (reported, so silent drops are
-    visible as deficit-0 zero-target rows).
+    visible as deficit-0 zero-target rows), and target strata absent
+    from the CORPUS appear with available_tokens 0 and full deficit —
+    an unsatisfiable mixture must surface its worst shortfall, not
+    vanish from the planning table.
 
     Scale shape: one map-side-combining groupBy on the stratum key over
-    a two-column projection — the mixture table is strata-sized, never
-    data-sized."""
+    a two-column projection, plus an anti-join of the targets-sized
+    VALUES literal for the missing-stratum rows — the mixture table is
+    strata-sized, never data-sized."""
     if budget < 0:
         raise ValueError(f"budget {budget} is negative")
+    if None in targets:
+        raise ValueError(
+            "targets has a None stratum key: the when-chain compares with "
+            "==, which is never true for NULL — NULL strata always get "
+            "target 0; drop the None entry"
+        )
     bad = {s: p for s, p in targets.items() if p < 0}
     if bad:
         raise ValueError(f"negative mixture shares {bad}")
@@ -1216,20 +1264,28 @@ def mix_weights(
         tgt = F.when(
             F.col(strata_col) == s, F.lit(int(budget) * int(pm) // 1000).cast("long")
         ).otherwise(tgt)
-    return (
-        df.groupBy(strata_col)
-        .agg(
-            F.sum(F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))).alias(
-                "available_tokens"
-            )
+    avail = df.groupBy(strata_col).agg(
+        F.sum(F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))).alias(
+            "available_tokens"
         )
-        .select(
-            strata_col,
-            "available_tokens",
-            tgt.alias("target_tokens"),
-            F.least(F.col("available_tokens"), tgt).alias("alloc_tokens"),
-            (tgt - F.least(F.col("available_tokens"), tgt)).alias("deficit"),
+    )
+    if targets:
+        values = ", ".join(
+            "('" + str(s).replace("'", "''") + "')" for s in sorted(targets)
         )
+        tgt_strata = df.sparkSession.sql(
+            f"SELECT {strata_col} FROM VALUES {values} AS t({strata_col})"
+        )
+        missing = tgt_strata.join(avail, strata_col, "left_anti").withColumn(
+            "available_tokens", F.lit(0).cast("long")
+        )
+        avail = avail.unionByName(missing)
+    return avail.select(
+        strata_col,
+        "available_tokens",
+        tgt.alias("target_tokens"),
+        F.least(F.col("available_tokens"), tgt).alias("alloc_tokens"),
+        (tgt - F.least(F.col("available_tokens"), tgt)).alias("deficit"),
     )
 
 
@@ -1241,12 +1297,26 @@ def mix_weights_sql(
     tokens_col: str = "n_tokens",
 ) -> str:
     """DuckDB twin of :func:`mix_weights` (targets precompute to the same
-    int64 literals driver-side, so both engines compare pure integers)."""
+    int64 literals driver-side, so both engines compare pure integers;
+    target-only strata union in via NOT EXISTS — the anti-join twin)."""
     cases = " ".join(
         f"WHEN {strata_col} = '{s}' THEN CAST({int(budget) * int(pm) // 1000} AS BIGINT)"
         for s, pm in sorted(targets.items())
     )
     tgt = f"CASE {cases} ELSE CAST(0 AS BIGINT) END"
+    if targets:
+        values = ", ".join(
+            "('" + str(s).replace("'", "''") + "')" for s in sorted(targets)
+        )
+        missing = f"""
+  UNION ALL
+  SELECT t.{strata_col}, CAST(0 AS BIGINT) AS available_tokens
+  FROM (VALUES {values}) t({strata_col})
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({docs_sql}) d2 WHERE d2.{strata_col} = t.{strata_col}
+  )"""
+    else:
+        missing = ""
     return f"""
 SELECT {strata_col}, available_tokens,
        {tgt} AS target_tokens,
@@ -1256,7 +1326,7 @@ FROM (
   SELECT {strata_col},
          CAST(SUM(COALESCE({tokens_col}, 0)) AS BIGINT) AS available_tokens
   FROM ({docs_sql}) d
-  GROUP BY {strata_col}
+  GROUP BY {strata_col}{missing}
 )
 """
 
@@ -1281,9 +1351,11 @@ def seq_pack(
     derives the intra-bin offset as ``greatest(cum_before - bin_id *
     capacity, 0)``.  Every bin except a stratum's last sums to exactly
     ``capacity`` (pinned in pytest); a document's bin rows sum to its
-    token count.  Documents with NULL or non-positive token counts occupy
-    no bin and are dropped (they also contribute 0 to every offset, so
-    dropping them does not shift anyone else).
+    token count.  Documents with NULL or ZERO token counts occupy no bin
+    and are dropped (they also contribute 0 to every offset, so dropping
+    them does not shift anyone else); NEGATIVE token counts reject
+    loudly inside :func:`token_prefix` — folded into the running sum
+    they would corrupt every later offset in the stratum.
 
     Scale shape: the offsets come from :func:`token_prefix` (one
     stratum-key shuffle + running-sum window, or the two-phase sample-sort

@@ -1597,19 +1597,28 @@ def para_dedup_incremental(
     reg = registry.select(
         F.col("para").alias("_para"), F.lit(True).alias("_seen")
     )
-    joined = paras.join(reg, "_para", "left")
+    # the explode + registry join (the one skew-exposed exchange) feeds
+    # BOTH sides of the wins self-join, and `marked` feeds both returned
+    # frames — localCheckpoint each shared frame once (the embed_neardup
+    # double-consumption rule) so the batch explodes and joins the
+    # registry exactly once per call, not once per downstream consumer
+    joined = paras.join(reg, "_para", "left").localCheckpoint(eager=True)
     wins = (
         joined.filter(elig & F.col("_seen").isNull())
         .groupBy("_para")
         .agg(F.min(F.struct("_k", "_id", "_idx")).alias("_w"))
     )
-    marked = joined.join(wins, "_para", "left").withColumn(
-        "_keep",
-        (~elig)
-        | (
-            F.col("_seen").isNull()
-            & (F.struct("_k", "_id", "_idx") == F.col("_w"))
-        ),
+    marked = (
+        joined.join(wins, "_para", "left")
+        .withColumn(
+            "_keep",
+            (~elig)
+            | (
+                F.col("_seen").isNull()
+                & (F.struct("_k", "_id", "_idx") == F.col("_w"))
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
     cleaned = (
         marked.groupBy(F.col("_id").alias(id_col))
@@ -1629,17 +1638,17 @@ def para_dedup_incremental(
             ).alias("text_dedup"),
         )
     )
-    new_paras = (
-        marked.filter(F.col("_keep") & elig)
-        .select(F.col("_para").alias("para"))
-        .distinct()
+    # no distinct needed: _keep for eligible rows holds only where the
+    # occurrence struct EQUALS the unique per-paragraph minimum, so each
+    # surviving paragraph appears exactly once
+    new_paras = marked.filter(F.col("_keep") & elig).select(
+        F.col("_para").alias("para")
     )
     return cleaned, new_paras
 
 
 def para_registry(
     docs: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
     min_len: int = 1,
@@ -1648,7 +1657,8 @@ def para_registry(
     paragraphs a corpus KEEPS under :func:`para_dedup` — which, because
     every duplicate group keeps exactly one occurrence of the same
     string, is simply the corpus's distinct eligible paragraph set (no
-    winner ordering needed; one distinct shuffle)."""
+    winner ordering needed, hence no id column either; one distinct
+    shuffle)."""
     return (
         docs.select(
             F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para")

@@ -155,7 +155,6 @@ def maintain_para_registry(
     pipeline_root: str,
     checkpoint_dir: str,
     stage: str = "paras",
-    id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
     min_len: int = 1,
@@ -193,8 +192,7 @@ def maintain_para_registry(
         pipe.append_delta(
             stage,
             para_registry(
-                batch_df, id_col=id_col, text_col=text_col, sep=sep,
-                min_len=min_len,
+                batch_df, text_col=text_col, sep=sep, min_len=min_len
             ),
             ["para"],
         )

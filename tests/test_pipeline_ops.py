@@ -1796,6 +1796,43 @@ def test_mix_weights_and_dict_budget(spark):
     }
     with pytest.raises(ValueError, match="negative budget"):
         budget_sample(frame, budget={"en": -5})
+    with pytest.raises(ValueError, match="None stratum"):
+        budget_sample(frame, budget={None: 10, "en": 5})
+    with pytest.raises(ValueError, match="None stratum"):
+        mix_weights(frame, {None: 100}, 1000)
+    # a target stratum with NO documents must surface its full deficit
+    ghost = {
+        r["lang"]: r for r in mix_weights(frame, {"ja": 100}, 5000).collect()
+    }
+    assert ghost["ja"]["available_tokens"] == 0
+    assert ghost["ja"]["alloc_tokens"] == 0
+    assert ghost["ja"]["deficit"] == ghost["ja"]["target_tokens"] == 500
+
+
+def test_token_prefix_rejects_negative_tokens(spark):
+    """A negative token count would silently corrupt every later offset
+    in its stratum (window sum and two-phase alike) — both paths must
+    raise at evaluation instead."""
+    from shapefile_rs_spark.operators.curation import budget_sample, seq_pack
+
+    bad = spark.createDataFrame(
+        [(1, "en", 5), (2, "en", -3), (3, "en", 7)],
+        "doc_id bigint, lang string, n_tokens bigint",
+    )
+    with pytest.raises(Exception, match="negative n_tokens"):
+        budget_sample(bad, 100).collect()
+    with pytest.raises(Exception, match="negative n_tokens"):
+        budget_sample(bad, 100, mega_strata_threshold=1).collect()
+    with pytest.raises(Exception, match="negative n_tokens"):
+        seq_pack(bad, 16).collect()
+
+
+def test_bloom_hash_column_collision_rejected(spark):
+    from shapefile_rs_spark.operators.curation import bloom_prefilter
+
+    grams = spark.createDataFrame([("a", 1)], "_g string, _h1 bigint")
+    with pytest.raises(ValueError, match="_h1"):
+        bloom_prefilter(grams, bytes(8), 64)
 
 
 def test_seq_pack_invariants(spark):
