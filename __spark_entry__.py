@@ -1572,6 +1572,21 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return para_dedup(chunked, id_col="id", text_col="text")
 
 
+def q_line_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global line-frequency boilerplate removal (CCNet move) over the
+    planted near-dup corpus: re-delimit each doc into 8-word chunks, drop
+    every chunk that appears in ≥2 distinct docs — the copied body
+    vanishes from BOTH the original and its variant (para_dedup keeps one
+    winner; boilerplate removal keeps zero), leaving only each variant's
+    unique suffix chunk."""
+    from shapefile_rs_spark.operators.dedup import chunk_words, line_prune
+
+    chunked = _dup_corpus(spark, sf_dir).select(
+        "id", chunk_words(F.col("text"), _PARA_WORDS).alias("text")
+    )
+    return line_prune(chunked, id_col="id", text_col="text", max_docs=2)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup with best-representative selection: connected components
     over the SAME planted chain-pair graph as q_dedup_clusters, then keep
@@ -1742,6 +1757,9 @@ ROTATION = {
     # parked in round 6 for incr_para (green r1-r5; doc-stats family stays
     # represented by text_quality/doc_repetition in-window):
     "lang_id": 5,
+    # parked in round 6 for line_prune (green r1-r5; ngram_jaccard +
+    # winnow_fp keep the fingerprint family in-window):
+    "char_minhash": 5,
 }
 
 
@@ -1770,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": q_mix_weights,
         "budget_mix": q_budget_mix,
         "incr_para": q_incr_para,
+        "line_prune": q_line_prune,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -1797,7 +1816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_mp": q_ann_lsh_mp,
         "text_quality": q_text_quality,
         "winnow_fp": q_winnow_fp,
-        "char_minhash": q_char_minhash,
         "url_canon": q_url_canon,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
@@ -1805,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- positions past DRIVER_GATE_WINDOW: parked (see ROTATION above).
         # Each keeps its local check_oracles.py gate; must rotate back within
         # 2 rounds (test_registry_rotation_guard enforces).
+        "char_minhash": q_char_minhash,
         "lang_pivot": q_lang_pivot,
         "doc_ntile": q_doc_ntile,
         "top_users": q_top_users,
@@ -2379,6 +2398,7 @@ FROM stepped
         # two-phase prefix sum shares the window oracle verbatim
         "seq_pack2": _seq_pack_oracle(),
         "para_dedup": _para_dedup_oracle(),
+        "line_prune": _line_prune_oracle(),
         "mix_weights": _mix_weights_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
@@ -2444,6 +2464,19 @@ def _para_dedup_oracle() -> str:
         f"SELECT id, {chunk_words_sql('text', _PARA_WORDS)} AS text FROM corpus"
     )
     return para_dedup_sql(chunked, id_col="id")
+
+
+def _line_prune_oracle() -> str:
+    from shapefile_rs_spark.operators.dedup import (
+        chunk_words_sql,
+        line_prune_sql,
+    )
+
+    chunked = (
+        f"WITH {_DUP_CORPUS_SQL} "
+        f"SELECT id, {chunk_words_sql('text', _PARA_WORDS)} AS text FROM corpus"
+    )
+    return line_prune_sql(chunked, id_col="id", max_docs=2)
 
 
 def _incr_para_oracle() -> str:

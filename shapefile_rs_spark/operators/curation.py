@@ -1239,9 +1239,11 @@ def mix_weights(
     an unsatisfiable mixture must surface its worst shortfall, not
     vanish from the planning table.
 
-    Scale shape: one map-side-combining groupBy on the stratum key over
-    a two-column projection, plus an anti-join of the targets-sized
-    VALUES literal for the missing-stratum rows — the mixture table is
+    Scale shape: ONE map-side-combining groupBy on the stratum key over
+    a two-column projection — the corpus is scanned exactly once; the
+    missing-stratum rows union in as a targets-sized VALUES literal
+    re-aggregated at strata scale (an anti-join spelling would plan the
+    data-sized aggregation subtree twice) — the mixture table is
     strata-sized, never data-sized."""
     if budget < 0:
         raise ValueError(f"budget {budget} is negative")
@@ -1270,16 +1272,27 @@ def mix_weights(
         )
     )
     if targets:
+        # Surface target-only strata as zero-availability rows WITHOUT
+        # re-reading the corpus: an anti-join of the targets literal
+        # against `avail` would duplicate the whole data-sized aggregation
+        # subtree (Spark plans each DataFrame reference independently — the
+        # 100 TB scan would run twice).  Instead union zero rows for every
+        # target stratum and re-aggregate: the second groupBy runs over a
+        # strata-sized frame (distinct strata + |targets| rows), and
+        # sum(avail + 0) == avail, so the output is identical.
         values = ", ".join(
-            "('" + str(s).replace("'", "''") + "')" for s in sorted(targets)
+            "('" + str(s).replace("'", "''") + "', CAST(0 AS BIGINT))"
+            for s in sorted(targets)
         )
-        tgt_strata = df.sparkSession.sql(
-            f"SELECT {strata_col} FROM VALUES {values} AS t({strata_col})"
+        zeros = df.sparkSession.sql(
+            f"SELECT {strata_col}, available_tokens "
+            f"FROM VALUES {values} AS t({strata_col}, available_tokens)"
         )
-        missing = tgt_strata.join(avail, strata_col, "left_anti").withColumn(
-            "available_tokens", F.lit(0).cast("long")
+        avail = (
+            avail.unionByName(zeros)
+            .groupBy(strata_col)
+            .agg(F.sum("available_tokens").alias("available_tokens"))
         )
-        avail = avail.unionByName(missing)
     return avail.select(
         strata_col,
         "available_tokens",
@@ -1298,7 +1311,8 @@ def mix_weights_sql(
 ) -> str:
     """DuckDB twin of :func:`mix_weights` (targets precompute to the same
     int64 literals driver-side, so both engines compare pure integers;
-    target-only strata union in via NOT EXISTS — the anti-join twin)."""
+    target-only strata union in via NOT EXISTS — same rows as the Spark
+    side's union-zeros re-aggregation)."""
     cases = " ".join(
         f"WHEN {strata_col} = '{s}' THEN CAST({int(budget) * int(pm) // 1000} AS BIGINT)"
         for s, pm in sorted(targets.items())

@@ -1702,3 +1702,118 @@ FROM (
 )
 GROUP BY {id_col}
 """
+
+
+def line_prune(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 1,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Global line-frequency boilerplate removal (the CCNet/RefinedWeb
+    move): split every document on ``sep`` and drop EVERY occurrence of a
+    line that appears in ``max_docs`` or more DISTINCT documents —
+    navigation chrome, cookie banners, and footer text vanish corpus-wide,
+    including their first occurrence (where :func:`para_dedup` keeps
+    exactly one winner, this keeps zero: boilerplate has no best copy).
+    Lines shorter than ``min_len`` characters are always kept.  Output per
+    doc: ``n_lines``, ``n_kept`` and ``text_clean`` (survivors re-joined
+    with ``sep`` in source order; empty string when everything was
+    boilerplate) — a pure function of the corpus, deterministic at any
+    partitioning.
+
+    Scale shape: the frequency table is a DISTINCT-then-count aggregation
+    — ``distinct(line, id)`` partial-aggregates map-side (a boilerplate
+    line repeated across a mapper's million pages ships one row per
+    distinct doc it touches, and Spark's two-phase distinct-agg rewrite
+    keeps both exchanges combining) — and only lines CROSSING the
+    ``max_docs`` threshold survive the HAVING filter, so the join-back
+    side is boilerplate-sized, not distinct-line-sized: at 100 TB the hot
+    side is typically small enough for AQE to broadcast, and when it is
+    not, it is one row per offending line and replicates safely under
+    skew-join splitting.  Join keys stay the exact strings (same rationale
+    as para_dedup: hashed keys would merge colliding lines and delete
+    innocent text).  ``sep`` is a Java regex Spark-side but a LITERAL in
+    the DuckDB twin — keep it regex-neutral when oracle parity matters.
+
+    Reference analog: the dedup contract family (SURVEY §2; the reference
+    engine has no corpus-level text ops — this is training-pipeline
+    surface built on the same exchange discipline as W1 skew handling).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_line"),
+    )
+    elig = F.length(F.col("_line")) >= min_len
+    hot = (
+        lines.filter(elig)
+        .select("_line", "_id")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= max_docs)
+        .select("_line")
+    )
+    # left_anti drops the hot rows entirely; per-doc totals come from the
+    # pre-join frame so n_lines counts removed lines too.
+    marked = lines.join(hot, "_line", "left_anti")
+    totals = lines.groupBy(F.col("_id")).agg(F.count(F.lit(1)).alias("n_lines"))
+    kept = marked.groupBy(F.col("_id")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda x: x["_line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return (
+        totals.join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def line_prune_sql(
+    docs_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_sql: str = "chr(10)",
+    min_len: int = 1,
+    max_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`line_prune`: the frequency table is a
+    GROUP BY line HAVING COUNT(DISTINCT id) ≥ threshold; survivors rebuild
+    via STRING_AGG in source order (skipping NULLed removals)."""
+    return f"""
+SELECT {id_col},
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(STRING_AGG(CASE WHEN keep THEN line END, {sep_sql} ORDER BY idx ASC), '') AS text_clean
+FROM (
+  SELECT l.{id_col}, l.line, l.idx,
+         (LENGTH(l.line) < {min_len} OR h.line IS NULL) AS keep
+  FROM (
+    SELECT {id_col},
+           UNNEST(string_split({text_col}, {sep_sql})) AS line,
+           generate_subscripts(string_split({text_col}, {sep_sql}), 1) AS idx
+    FROM ({docs_sql}) d
+  ) l
+  LEFT JOIN (
+    SELECT line FROM (
+      SELECT {id_col},
+             UNNEST(string_split({text_col}, {sep_sql})) AS line
+      FROM ({docs_sql}) d
+    ) WHERE LENGTH(line) >= {min_len}
+    GROUP BY line HAVING COUNT(DISTINCT {id_col}) >= {max_docs}
+  ) h USING (line)
+)
+GROUP BY {id_col}
+"""

@@ -1986,3 +1986,48 @@ def test_dedup_keep_best(spark):
         5: (4, 2, False),
         6: (6, 1, True),
     }
+
+
+def test_line_prune(spark):
+    """A line in >= max_docs DISTINCT docs vanishes EVERYWHERE (no winner
+    kept — the boilerplate contract, vs para_dedup's keep-first); a line
+    repeated only within one doc survives every occurrence (doc-frequency,
+    not occurrence-frequency); sub-min_len lines are always kept; the
+    output is identical at any partitioning and a higher threshold keeps
+    everything."""
+    from shapefile_rs_spark.operators.dedup import line_prune
+
+    rows = [
+        (1, "shared body line\nunique to one"),
+        (2, "shared body line\nunique to two"),
+        (3, "intra dup\nintra dup"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    expect = {
+        (1, 2, 1, "unique to one"),
+        (2, 2, 1, "unique to two"),
+        (3, 2, 2, "intra dup\nintra dup"),
+        (4, 1, 1, ""),
+    }
+    got = {tuple(r) for r in line_prune(df, max_docs=2).collect()}
+    assert got == expect
+    resharded = {
+        tuple(r) for r in line_prune(df.repartition(7), max_docs=2).collect()
+    }
+    assert resharded == expect
+    # threshold above the max doc-frequency removes nothing
+    kept_all = line_prune(df, max_docs=3).collect()
+    assert all(r["n_kept"] == r["n_lines"] for r in kept_all)
+    # min_len above every line length disables pruning entirely
+    assert all(
+        r["n_kept"] == r["n_lines"]
+        for r in line_prune(df, max_docs=2, min_len=100).collect()
+    )
+    # a doc that is ALL boilerplate survives as an empty-text row
+    df2 = spark.createDataFrame(
+        [(1, "only line"), (2, "only line"), (3, "only line")],
+        "doc_id bigint, text string",
+    )
+    got2 = {tuple(r) for r in line_prune(df2, max_docs=2).collect()}
+    assert got2 == {(1, 1, 0, ""), (2, 1, 0, ""), (3, 1, 0, "")}

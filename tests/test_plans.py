@@ -381,17 +381,22 @@ def test_para_dedup_winner_is_partial_aggregation(spark, sf_dir):
 
 
 def test_mix_weights_single_pruned_aggregate(spark, sf_dir):
-    """The mixture table is ONE hash aggregation with map-side combine
-    over a two-column scan — no join (targets fold into literals), and
-    the parquet read prunes to exactly (lang, tokens)."""
+    """The corpus feeds ONE map-side-combining hash aggregation over a
+    two-column scan, scanned exactly once — the target-only-strata rows
+    union in as a VALUES literal re-aggregated at strata scale, NOT as an
+    anti-join (which would plan the data-sized aggregation subtree twice).
+    So: one parquet scan, no join of any kind, exactly two exchanges (the
+    data agg + the strata-sized re-agg), and the read prunes to exactly
+    (lang, tokens)."""
     from shapefile_rs_spark.operators.curation import mix_weights
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", F.col("n_chars").alias("n_tokens")
     )
-    plan = _plan(mix_weights(docs, {"en": 500, "fr": 200}, 10**6))
+    plan = _plan(mix_weights(docs, {"en": 500, "fr": 200, "zz": 100}, 10**6))
     assert "partial_sum" in plan
-    assert plan.count("Exchange") == 1
+    assert plan.count("Scan parquet") == 1  # corpus read once, not per branch
+    assert plan.count("Exchange") == 2
     assert "Join" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" in read_schema and "n_chars" in read_schema
@@ -418,3 +423,23 @@ def test_decontaminate_bloom_confirm_reads_survivors_and_cached_grams(spark):
     assert plan.count("MapInPandas") >= 2  # shingle generator + bloom probe
     assert "InMemoryTableScan" in plan  # bench grams from cache
     release_sig_caches(out)
+
+
+def test_line_prune_threshold_filters_before_join(spark, sf_dir):
+    """The boilerplate frequency table must partial-aggregate map-side and
+    filter to threshold-crossing lines BEFORE the join back, so the join's
+    build side is boilerplate-sized, not distinct-line-sized; the removal
+    is an anti-join, never a content-keyed window; no cartesian product."""
+    from shapefile_rs_spark.operators.dedup import line_prune
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(line_prune(docs, max_docs=2))
+    assert "partial_count" in plan  # doc-frequency combines map-side
+    assert "LeftAnti" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the >= threshold filter sits under the join (on the aggregated side),
+    # so the per-line frequency rows never reach the exchange unfiltered
+    assert "(_docs" in plan and ">= 2" in plan
