@@ -1501,6 +1501,16 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_weights(_budget_docs(spark, sf_dir), _MIX_TARGETS, _MIX_BUDGET)
 
 
+def q_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture allocation (α = ½): each language's
+    slice of the token budget is proportional to √available, upsampling
+    low-resource languages — pure int64 after the one ⌊√x⌋ step, with the
+    overflow-safe div/mod budget split; corpus scanned exactly once."""
+    from shapefile_rs_spark.operators.curation import mix_temp
+
+    return mix_temp(_budget_docs(spark, sf_dir), _MIX_BUDGET * 3)
+
+
 def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixture CUT: mix_weights' allocations (a strata-sized control
     frame, collected driver-side — the sanctioned tiny-collect pattern)
@@ -1760,6 +1770,9 @@ ROTATION = {
     # parked in round 6 for line_prune (green r1-r5; ngram_jaccard +
     # winnow_fp keep the fingerprint family in-window):
     "char_minhash": 5,
+    # parked in round 6 for mix_temp (green r1-r5; host_cap keeps the
+    # URL family in-window):
+    "url_canon": 5,
 }
 
 
@@ -1789,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mix": q_budget_mix,
         "incr_para": q_incr_para,
         "line_prune": q_line_prune,
+        "mix_temp": q_mix_temp,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -1816,7 +1830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_mp": q_ann_lsh_mp,
         "text_quality": q_text_quality,
         "winnow_fp": q_winnow_fp,
-        "url_canon": q_url_canon,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
@@ -1824,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Each keeps its local check_oracles.py gate; must rotate back within
         # 2 rounds (test_registry_rotation_guard enforces).
         "char_minhash": q_char_minhash,
+        "url_canon": q_url_canon,
         "lang_pivot": q_lang_pivot,
         "doc_ntile": q_doc_ntile,
         "top_users": q_top_users,
@@ -2400,6 +2414,7 @@ FROM stepped
         "para_dedup": _para_dedup_oracle(),
         "line_prune": _line_prune_oracle(),
         "mix_weights": _mix_weights_oracle(),
+        "mix_temp": _mix_temp_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2514,6 +2529,12 @@ def _mix_weights_oracle() -> str:
     from shapefile_rs_spark.operators.curation import mix_weights_sql
 
     return mix_weights_sql(_mix_docs_sql(), _MIX_TARGETS, _MIX_BUDGET)
+
+
+def _mix_temp_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import mix_temp_sql
+
+    return mix_temp_sql(_mix_docs_sql(), _MIX_BUDGET * 3)
 
 
 def _budget_mix_oracle() -> str:

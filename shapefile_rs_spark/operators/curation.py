@@ -1345,6 +1345,112 @@ FROM (
 """
 
 
+def mix_temp(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "lang",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-scaled data-mixture allocation (the multilingual
+    α-sampling move, α = ½ / temperature 2): each stratum's share of the
+    token ``budget`` is proportional to the SQUARE ROOT of what it has, so
+    low-resource strata are upsampled relative to their natural frequency
+    and mega-strata stop dominating the mixture — the data-driven
+    counterpart of :func:`mix_weights`, which takes shares as input.
+    Output per stratum: ``available_tokens``, ``weight`` (⌊√available⌋),
+    ``target_tokens`` (the stratum's budget slice), ``alloc_tokens``
+    (target capped at available — α < 1 can ask a tiny stratum for more
+    than it has) and ``deficit``.
+
+    Everything after the one double-typed step (⌊√x⌋ — IEEE-correctly
+    rounded in both engines, then floored to int64) is pure int64, so the
+    output is hash-exact.  The budget slice is computed as
+    ``(budget div W) * w + ((budget mod W) * w) div W`` — algebraically
+    identical to ``budget * w div W`` but never forms the ``budget × w``
+    product, which overflows int64 once budget × √tokens crosses 2⁶³
+    (a trillion-token budget over a 100 TB corpus does).  ANSI mode makes
+    any remaining overflow loud, not silent.
+
+    Scale shape: ONE map-side-combining groupBy over a two-column
+    projection (the corpus is scanned exactly once); the total weight
+    comes from an UNPARTITIONED window over the already-aggregated frame
+    — a single task, but over a STRATA-sized frame (languages/domains,
+    ≤ ~10⁴ rows), which is the one place the global-window anti-pattern
+    does not apply.  A 1-row-aggregate cross join would reference the
+    aggregation subtree twice and re-scan the corpus (the mix_weights
+    anti-join lesson); the window keeps it one subtree.  NULL strata
+    aggregate as their own row, same as mix_weights."""
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError(f"budget {budget} is negative")
+    avail = df.groupBy(strata_col).agg(
+        F.sum(F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))).alias(
+            "available_tokens"
+        )
+    )
+    w = avail.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("available_tokens").cast("double"))).cast("long"),
+    ).withColumn("_W", F.sum("weight").over(Window.partitionBy()))
+    b = f"CAST({int(budget)} AS BIGINT)"
+    tgt = F.expr(
+        f"CASE WHEN _W > 0 THEN ({b} DIV _W) * weight"
+        f" + (({b} % _W) * weight) DIV _W"
+        f" ELSE CAST(0 AS BIGINT) END"
+    )
+    return w.select(
+        strata_col,
+        "available_tokens",
+        "weight",
+        tgt.alias("target_tokens"),
+        F.least(F.col("available_tokens"), tgt).alias("alloc_tokens"),
+        (tgt - F.least(F.col("available_tokens"), tgt)).alias("deficit"),
+    )
+
+
+def mix_temp_sql(
+    docs_sql: str,
+    budget: int,
+    strata_col: str = "lang",
+    tokens_col: str = "n_tokens",
+) -> str:
+    """DuckDB twin of :func:`mix_temp` — the identical ⌊√x⌋-then-int64
+    arithmetic, with the same overflow-safe div/mod decomposition of
+    ``budget * w div W``."""
+    b = f"CAST({int(budget)} AS BIGINT)"
+    tgt = (
+        f"CASE WHEN total_w > 0 THEN ({b} // total_w) * weight"
+        f" + (({b} % total_w) * weight) // total_w"
+        f" ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"""
+SELECT {strata_col}, available_tokens, weight,
+       {tgt} AS target_tokens,
+       LEAST(available_tokens, {tgt}) AS alloc_tokens,
+       {tgt} - LEAST(available_tokens, {tgt}) AS deficit
+FROM (
+  SELECT {strata_col},
+         available_tokens,
+         CAST(FLOOR(SQRT(CAST(available_tokens AS DOUBLE))) AS BIGINT) AS weight
+  FROM (
+    SELECT {strata_col},
+           CAST(SUM(COALESCE({tokens_col}, 0)) AS BIGINT) AS available_tokens
+    FROM ({docs_sql}) d
+    GROUP BY {strata_col}
+  )
+) w
+CROSS JOIN (
+  SELECT CAST(SUM(CAST(FLOOR(SQRT(CAST(available_tokens AS DOUBLE))) AS BIGINT)) AS BIGINT) AS total_w
+  FROM (
+    SELECT CAST(SUM(COALESCE({tokens_col}, 0)) AS BIGINT) AS available_tokens
+    FROM ({docs_sql}) d
+    GROUP BY {strata_col}
+  )
+) t
+"""
+
+
 def seq_pack(
     df: DataFrame,
     capacity: int,

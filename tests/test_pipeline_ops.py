@@ -2031,3 +2031,31 @@ def test_line_prune(spark):
     )
     got2 = {tuple(r) for r in line_prune(df2, max_docs=2).collect()}
     assert got2 == {(1, 1, 0, ""), (2, 1, 0, ""), (3, 1, 0, "")}
+
+
+def test_mix_temp(spark):
+    """√-scaled shares: equal-budget math checks out by hand, the cap
+    binds on a tiny stratum when α<1 over-asks it, zero-weight strata get
+    zero, and a 2⁶⁰ budget allocates exactly (no int64 overflow — the
+    div/mod decomposition never forms budget × weight)."""
+    from shapefile_rs_spark.operators.curation import mix_temp
+
+    rows = [("a", 100), ("b", 400), ("c", 0), ("a", 0)]
+    df = spark.createDataFrame(rows, "lang string, n_tokens bigint")
+    # weights: a=⌊√100⌋=10, b=⌊√400⌋=20, c=0; W=30
+    got = {r["lang"]: tuple(r)[1:] for r in mix_temp(df, 90).collect()}
+    assert got["a"] == (100, 10, 30, 30, 0)
+    assert got["b"] == (400, 20, 60, 60, 0)
+    assert got["c"] == (0, 0, 0, 0, 0)
+    # cap binds: budget 3000 asks a for 1000 > its 100 available
+    got = {r["lang"]: tuple(r)[1:] for r in mix_temp(df, 3000).collect()}
+    assert got["a"] == (100, 10, 1000, 100, 900)
+    assert got["b"] == (400, 20, 2000, 400, 1600)
+    # overflow-safe: budget * weight would exceed 2^63; targets must equal
+    # exact python integer math budget * w // W
+    big = 2**60
+    got = {r["lang"]: r["target_tokens"] for r in mix_temp(df, big).collect()}
+    assert got["a"] == big * 10 // 30
+    assert got["b"] == big * 20 // 30
+    with pytest.raises(ValueError, match="negative"):
+        mix_temp(df, -1)

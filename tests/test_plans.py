@@ -443,3 +443,22 @@ def test_line_prune_threshold_filters_before_join(spark, sf_dir):
     # the >= threshold filter sits under the join (on the aggregated side),
     # so the per-line frequency rows never reach the exchange unfiltered
     assert "(_docs" in plan and ">= 2" in plan
+
+
+def test_mix_temp_single_scan_no_data_join(spark, sf_dir):
+    """mix_temp scans the corpus once into one map-side-combining
+    aggregation; the total weight is an unpartitioned window over the
+    STRATA-sized aggregate (one subtree — a scalar cross join would plan
+    the data aggregation twice and re-scan the corpus); no join at all."""
+    from shapefile_rs_spark.operators.curation import mix_temp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.col("n_chars").alias("n_tokens")
+    )
+    plan = _plan(mix_temp(docs, 10**6))
+    assert "partial_sum" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema
