@@ -753,6 +753,47 @@ def q_ann_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _emb_queries(spark, sf_dir), centroids, k=5, nprobe=2)
 
 
+# PQ layout: 64-dim vectors → 4 subspaces × 16 dims, 8-row codebook (the
+# first-ksub _emb_centroids convention) — each vector's index entry is 4
+# small ints instead of 256 bytes of floats, the 100 TB ANN memory story.
+_PQ_KSUB = 8
+_PQ_NSUB = 4
+
+
+def _pq_codebook_np(spark: SparkSession, sf_dir: str):
+    from shapefile_rs_spark.operators.similarity import pq_codebook
+
+    return pq_codebook(_emb(spark, sf_dir), ksub=_PQ_KSUB)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: every vector's 4-subspace code tuple against the
+    deterministic first-8-rows codebook — pure int64 output, so the gate
+    hashes the quantizer itself exactly (ann_pq then only adds the
+    rank-only ADC scoring on top)."""
+    from shapefile_rs_spark.operators.similarity import pq_codes
+
+    return pq_codes(
+        _emb(spark, sf_dir), _pq_codebook_np(spark, sf_dir), n_sub=_PQ_NSUB
+    )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): per-query LUTs over the
+    codebook, map-only corpus scan with per-batch top-k — ranks only
+    (float convention), same-code ties resolved by vec_id in both
+    engines via the left-to-right LUT-sum association."""
+    from shapefile_rs_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        _emb(spark, sf_dir),
+        _emb_queries(spark, sf_dir),
+        _pq_codebook_np(spark, sf_dir),
+        k=5,
+        n_sub=_PQ_NSUB,
+    )
+
+
 _NEARDUP_TABLES = 4
 
 
@@ -1773,6 +1814,10 @@ ROTATION = {
     # parked in round 6 for mix_temp (green r1-r5; host_cap keeps the
     # URL family in-window):
     "url_canon": 5,
+    # parked in round 6 for pq_codes/ann_pq (green r1-r5; text_quality +
+    # ngram_jaccard keep the text-stats/fingerprint families in-window):
+    "doc_repetition": 5,
+    "winnow_fp": 5,
 }
 
 
@@ -1803,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_para": q_incr_para,
         "line_prune": q_line_prune,
         "mix_temp": q_mix_temp,
+        "pq_codes": q_pq_codes,
+        "ann_pq": q_ann_pq,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -1829,8 +1876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
         "text_quality": q_text_quality,
-        "winnow_fp": q_winnow_fp,
-        "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         # --- positions past DRIVER_GATE_WINDOW: parked (see ROTATION above).
@@ -1838,6 +1883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2 rounds (test_registry_rotation_guard enforces).
         "char_minhash": q_char_minhash,
         "url_canon": q_url_canon,
+        "doc_repetition": q_doc_repetition,
+        "winnow_fp": q_winnow_fp,
         "lang_pivot": q_lang_pivot,
         "doc_ntile": q_doc_ntile,
         "top_users": q_top_users,
@@ -2415,6 +2462,8 @@ FROM stepped
         "line_prune": _line_prune_oracle(),
         "mix_weights": _mix_weights_oracle(),
         "mix_temp": _mix_temp_oracle(),
+        "pq_codes": _pq_codes_oracle(),
+        "ann_pq": _ann_pq_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2535,6 +2584,70 @@ def _mix_temp_oracle() -> str:
     from shapefile_rs_spark.operators.curation import mix_temp_sql
 
     return mix_temp_sql(_mix_docs_sql(), _MIX_BUDGET * 3)
+
+
+def _pq_shared_sql() -> str:
+    """Shared CTEs: codebook from the first-ksub rows, per-(vector,
+    subspace) nearest codebook row (lowest cid on ties — np.argmin's
+    first-minimum), pivoted into one c0..c{n-1} row per vector."""
+    dsub = 64 // _PQ_NSUB
+    sp = ", ".join(f"({s})" for s in range(_PQ_NSUB))
+    cases = ",\n         ".join(
+        f"CAST(MAX(CASE WHEN s = {s} THEN code END) AS BIGINT) AS c{s}"
+        for s in range(_PQ_NSUB)
+    )
+    sl = f"sp.s*{dsub}+1 : sp.s*{dsub}+{dsub}"
+    return f"""
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+cb AS (SELECT vec_id AS cid, ve AS ce FROM v WHERE vec_id < {_PQ_KSUB}),
+sp AS (SELECT * FROM (VALUES {sp}) t(s)),
+sub AS (
+  SELECT v.vec_id, sp.s, cb.cid,
+         list_distance(v.ve[{sl}], cb.ce[{sl}]) AS d
+  FROM v CROSS JOIN sp CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS r
+    FROM sub) WHERE r = 1),
+cw AS (
+  SELECT vec_id,
+         {cases}
+  FROM codes GROUP BY vec_id)"""
+
+
+def _pq_codes_oracle() -> str:
+    cols = ", ".join(f"c{s}" for s in range(_PQ_NSUB))
+    return f"WITH {_pq_shared_sql()} SELECT vec_id, {cols} FROM cw"
+
+
+def _ann_pq_oracle() -> str:
+    dsub = 64 // _PQ_NSUB
+    sl = f"sp.s*{dsub}+1 : sp.s*{dsub}+{dsub}"
+    joins = "\n  ".join(
+        f"JOIN lut l{s} ON l{s}.query_id = q.query_id AND l{s}.s = {s} "
+        f"AND l{s}.cid = cw.c{s}"
+        for s in range(_PQ_NSUB)
+    )
+    # left-to-right association — matches the numpy sequential adds, so
+    # identical code tuples tie bit-exactly and fall to the vec_id order
+    dist = " + ".join(f"l{s}.ld*l{s}.ld" for s in range(_PQ_NSUB))
+    return f"""
+WITH {_pq_shared_sql()},
+q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 4),
+lut AS (
+  SELECT q.query_id, sp.s, cb.cid,
+         list_distance(q.qe[{sl}], cb.ce[{sl}]) AS ld
+  FROM q CROSS JOIN sp CROSS JOIN cb),
+scored AS (
+  SELECT q.query_id, cw.vec_id, {dist} AS dist
+  FROM cw CROSS JOIN q
+  {joins})
+SELECT query_id, vec_id, rnk FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
 
 
 def _budget_mix_oracle() -> str:

@@ -600,3 +600,180 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id, vec_id, "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN memory-compression scale path: a
+# d-dim float vector (d×4 bytes) compresses to n_sub one-byte codes, so a
+# 100 TB embedding corpus's index fits in a fraction of executor memory
+# and candidate scoring never touches the raw vectors (asymmetric distance
+# via per-query lookup tables).  Codebooks here are the deterministic
+# first-ksub corpus rows (the _emb_centroids convention) — a k-means
+# codebook trains offline in a real deployment and plugs into the same
+# encode/score path.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    ksub: int = 8,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """(ksub, dim) float64 codebook from the first ``ksub`` vectors.
+    Guards CONTIGUITY (ids exactly 0..ksub-1), not just the count — a
+    gapped id space would silently select different codebook rows than
+    the oracle's ``vec_id < ksub`` rule (the _lsh_planes lesson)."""
+    ids, M = _collect_matrix(
+        vectors.filter(F.col(vec_id) < ksub),
+        vec_id,
+        vec_col,
+        normalize=False,
+        limit=ksub,
+    )
+    if ids is None or list(ids) != list(range(ksub)):
+        raise ValueError(
+            f"codebook rows must have contiguous {vec_id} 0..{ksub - 1}; "
+            f"got {ids if ids is not None else f'more than {ksub} rows'}"
+        )
+    return M
+
+
+def _pq_subspace_codes(V: "np.ndarray", CB: "np.ndarray", n_sub: int) -> "np.ndarray":
+    """(B, n_sub) int64 codes: per subspace, the index of the L2-nearest
+    codebook row (np.argmin keeps the FIRST minimum — the lowest code id,
+    matching the oracle's ``ORDER BY dist ASC, cid ASC`` tie-break)."""
+    B, dim = V.shape
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    codes = np.empty((B, n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        Vs = V[:, s * dsub : (s + 1) * dsub]
+        Cs = CB[:, s * dsub : (s + 1) * dsub]
+        # (B, ksub) squared distances; ksub×dsub is tiny so the expansion
+        # stays ~B×ksub×dsub doubles per subspace — bounded by batch size
+        D = ((Vs[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(D, axis=1)
+    return codes
+
+
+def pq_codes(
+    vectors: DataFrame,
+    codebook: "np.ndarray",
+    n_sub: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, c0..c{n_sub-1}) int64 — each vector's PQ code tuple.  The
+    encode is a map-only Arrow-batched scan (codebook rides the closure,
+    ksub×dim doubles — broadcast-tiny); output is pure int64, so the
+    driver gate hashes it exactly."""
+    if codebook.shape[1] % n_sub:
+        raise ValueError(
+            f"dim {codebook.shape[1]} not divisible by n_sub {n_sub}"
+        )
+    code_cols = [f"c{s}" for s in range(n_sub)]
+    out_schema = StructType(
+        [StructField(vec_id, vectors.schema[vec_id].dataType)]
+        + [StructField(c, LongType()) for c in code_cols]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            codes = _pq_subspace_codes(V, codebook, n_sub)
+            out = {vec_id: pdf[vec_id].to_numpy()}
+            for s, c in enumerate(code_cols):
+                out[c] = codes[:, s]
+            yield pd.DataFrame(out)
+
+    return vectors.select(vec_id, vec_col).mapInPandas(encode, schema=out_schema)
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebook: "np.ndarray",
+    k: int,
+    n_sub: int = 4,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "q_embedding",
+    query_limit: int = 4096,
+) -> DataFrame:
+    """(query_id, vec_id, rnk): approximate top-k by PQ asymmetric
+    distance (ADC), ties → lower vec_id.  Recall < 1 by design; the
+    oracle encodes the same quantization, so the comparison is exact.
+
+    Scale shape: queries collect driver-side (contract-small, guarded by
+    ``query_limit``) into per-query LUTs of squared subspace distances to
+    every codebook row (Q × n_sub × ksub doubles).  The corpus scan is
+    map-only: encode the batch, gather LUT entries by code, and keep a
+    per-batch top-k — any global top-k row is in its batch's top-k under
+    the same (dist asc, vec_id asc) order, so the exchange carries only
+    k·q·partitions rows (the cosine_topk shape).  The per-row distance is
+    the LEFT-TO-RIGHT sum of the n_sub gathered LUT entries — the same
+    association the oracle spells — so rows with identical code tuples
+    tie EXACTLY within each engine and fall through to the vec_id
+    tie-break (rows with different codes differ generically; floats
+    never cross engines, only ranks do)."""
+    qids, Q = _collect_matrix(
+        queries, query_id, query_col, normalize=False, limit=query_limit
+    )
+    if qids is None:
+        raise ValueError(f"query side exceeds query_limit={query_limit} rows")
+    nq, dim = Q.shape
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    ksub = codebook.shape[0]
+    dsub = dim // n_sub
+    lut = np.empty((nq, n_sub, ksub), dtype=np.float64)
+    for s in range(n_sub):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        Cs = codebook[:, s * dsub : (s + 1) * dsub]
+        lut[:, s, :] = ((Qs[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(vec_id, vectors.schema[vec_id].dataType),
+            StructField("_dist", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [query_id, vec_id, "_dist"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            codes = _pq_subspace_codes(V, codebook, n_sub)
+            vids = pdf[vec_id].to_numpy()
+            parts = []
+            for j in range(nq):
+                # left-to-right adds: same-code rows tie bit-exactly
+                d = lut[j, 0, codes[:, 0]].copy()
+                for s in range(1, n_sub):
+                    d = d + lut[j, s, codes[:, s]]
+                order = np.lexsort((vids, d))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_id: [qids[j]] * len(order),
+                            vec_id: vids[order],
+                            "_dist": d[order],
+                        }
+                    )
+                )
+            yield pd.concat(parts)[cols] if parts else pd.DataFrame(columns=cols)
+
+    partials = vectors.select(vec_id, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.col("_dist").asc(), F.col(vec_id).asc())
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, vec_id, "rnk")
+    )

@@ -2059,3 +2059,46 @@ def test_mix_temp(spark):
     assert got["b"] == big * 20 // 30
     with pytest.raises(ValueError, match="negative"):
         mix_temp(df, -1)
+
+
+def test_pq_encode_and_topk(spark):
+    """Hand-checked PQ on a 4-dim/2-subspace/2-row codebook: codes match
+    the per-subspace nearest codebook row, ADC distances rank by the LUT
+    sums, and two vectors with mathematically equal ADC distance fall to
+    the vec_id tie-break; bad geometry and a gapped codebook id space
+    fail loudly."""
+    import numpy as np
+    import pytest as _pt
+
+    from shapefile_rs_spark.operators.similarity import (
+        pq_codebook,
+        pq_codes,
+        pq_topk,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [0.0, 0.0, 1.0, 1.0]),
+        (3, [0.9, 0.9, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = pq_codebook(vecs, ksub=2)
+    assert cb.shape == (2, 4)
+    got = {r["vec_id"]: (r["c0"], r["c1"]) for r in pq_codes(vecs, cb, n_sub=2).collect()}
+    assert got == {0: (0, 0), 1: (1, 1), 2: (0, 1), 3: (1, 0)}
+    q = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "query_id bigint, q_embedding array<double>"
+    )
+    ranks = {
+        r["vec_id"]: r["rnk"]
+        for r in pq_topk(vecs, q, cb, k=4, n_sub=2).collect()
+    }
+    # ADC dists: v0=0, v2=2, v3=2, v1=4 — the v2/v3 tie is bit-exact
+    # (same LUT entries summed), so vec_id breaks it
+    assert ranks == {0: 1, 2: 2, 3: 3, 1: 4}
+    with _pt.raises(ValueError, match="divisible"):
+        pq_codes(vecs, cb, n_sub=3)  # driver-side fail-fast, no job launched
+    gapped = vecs.filter(F.col("vec_id") != 1)
+    with _pt.raises(ValueError, match="contiguous"):
+        pq_codebook(gapped, ksub=2)

@@ -462,3 +462,20 @@ def test_mix_temp_single_scan_no_data_join(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" in read_schema and "n_chars" in read_schema
     assert "text" not in read_schema
+
+
+def test_pq_topk_is_map_only_scan(spark, sf_dir):
+    """PQ scoring is ONE Arrow-batched map stage over the corpus (encode +
+    LUT gather + per-batch top-k fused in a single MapInPandas) — no join
+    of any kind, and the only exchange feeds the k·q-row final window."""
+    from shapefile_rs_spark.operators.similarity import pq_codebook, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cb = pq_codebook(emb, ksub=8)
+    plan = _plan(pq_topk(emb, q, cb, k=5, n_sub=4))
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
