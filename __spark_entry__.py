@@ -1523,6 +1523,37 @@ def q_incr_para(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned
 
 
+def q_incr_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-shaped boilerplate pruning: the near-dup variants arrive
+    as a new batch and prune against the committed line-frequency
+    registry of the originals — a chunk drops from every batch doc once
+    registry + batch doc-frequency reaches 2, so each variant's copied
+    body (already in the corpus once) vanishes and only its unique tail
+    survives; corpus text explodes once EVER into additive (line,
+    n_docs) counts."""
+    from shapefile_rs_spark.operators.dedup import (
+        chunk_words,
+        line_prune_incremental,
+        line_registry,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.select(
+        (F.col("doc_id") * 2).alias("id"),
+        chunk_words(F.col("text"), _PARA_WORDS).alias("text"),
+    )
+    batch = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("id"),
+        chunk_words(
+            F.concat(F.col("text"), F.lit(" near dup suffix")), _PARA_WORDS
+        ).alias("text"),
+    )
+    cleaned, _delta = line_prune_incremental(
+        batch, line_registry(corpus, id_col="id"), id_col="id", max_docs=2
+    )
+    return cleaned
+
+
 # target data mixture for q_mix_weights / q_budget_mix: per-mille shares of
 # a 20k-token budget, chosen so sf0.01 exercises every branch — en/de/fr
 # fully allocable, zh target (7000) above its availability (~4.1k → real
@@ -1818,6 +1849,9 @@ ROTATION = {
     # ngram_jaccard keep the text-stats/fingerprint families in-window):
     "doc_repetition": 5,
     "winnow_fp": 5,
+    # parked in round 6 for incr_line (green r1-r5; ann_ivf + ann_lsh_mp
+    # keep the IVF/recall-dial family in-window):
+    "ann_ivf2": 5,
 }
 
 
@@ -1850,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temp": q_mix_temp,
         "pq_codes": q_pq_codes,
         "ann_pq": q_ann_pq,
+        "incr_line": q_incr_line,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -1871,7 +1906,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
-        "ann_ivf2": q_ann_ivf2,
         "embed_neardup": q_embed_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
@@ -1885,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "doc_repetition": q_doc_repetition,
         "winnow_fp": q_winnow_fp,
+        "ann_ivf2": q_ann_ivf2,
         "lang_pivot": q_lang_pivot,
         "doc_ntile": q_doc_ntile,
         "top_users": q_top_users,
@@ -2464,6 +2499,7 @@ FROM stepped
         "mix_temp": _mix_temp_oracle(),
         "pq_codes": _pq_codes_oracle(),
         "ann_pq": _ann_pq_oracle(),
+        "incr_line": _incr_line_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2562,6 +2598,28 @@ def _incr_para_oracle() -> str:
         "FROM documents"
     )
     return para_dedup_incremental_sql(batch, registry, id_col="id")
+
+
+def _incr_line_oracle() -> str:
+    from shapefile_rs_spark.operators.dedup import (
+        chunk_words_sql,
+        line_prune_incremental_sql,
+    )
+
+    corpus_chunked = chunk_words_sql("text", _PARA_WORDS)
+    registry = (
+        "SELECT line, CAST(COUNT(DISTINCT doc_id * 2) AS BIGINT) AS n_docs "
+        "FROM ("
+        f"SELECT doc_id, UNNEST(string_split({corpus_chunked}, chr(10))) AS line "
+        "FROM documents) WHERE LENGTH(line) >= 1 GROUP BY line"
+    )
+    variant_chunked = chunk_words_sql("text || ' near dup suffix'", _PARA_WORDS)
+    batch = (
+        "SELECT doc_id * 2 + 1 AS id, "
+        f"{variant_chunked} AS text "
+        "FROM documents"
+    )
+    return line_prune_incremental_sql(batch, registry, id_col="id", max_docs=2)
 
 
 def _mix_docs_sql() -> str:

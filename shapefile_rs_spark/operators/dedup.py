@@ -1817,3 +1817,167 @@ FROM (
 )
 GROUP BY {id_col}
 """
+
+
+def line_registry(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 1,
+) -> DataFrame:
+    """The committed line-frequency registry: ``(line, n_docs)`` — how
+    many DISTINCT documents each eligible line appears in.  Unlike the
+    paragraph registry (a set), frequencies are ADDITIVE across batches
+    with disjoint doc-id sets: merging a batch's delta by summing
+    ``n_docs`` per line reconstructs the from-scratch registry exactly
+    (pinned in pytest) — the property that makes boilerplate detection
+    incremental.  Distinct-line-sized state, like the committed MinHash
+    signature stage; lives in a lineage stage at scale.
+
+    Scale shape: distinct(line, doc) then count — both aggregation
+    phases combine map-side, so a billion-occurrence boilerplate line
+    ships one row per (mapper, distinct doc), never N occurrences."""
+    return (
+        line_doc_pairs(docs, id_col=id_col, text_col=text_col, sep=sep, min_len=min_len)
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def line_doc_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 1,
+) -> DataFrame:
+    """Distinct ``(line, _id)`` pairs of eligible lines — the registry's
+    doc-grain form.  The streaming maintenance commits THESE (anti-join
+    keyed on both columns) instead of per-line counts: a replayed or
+    re-sent batch's pairs already exist and append nothing, so the
+    maintained registry is content-idempotent without any doc-id
+    disjointness contract (counts alone cannot tell a recount from a new
+    document)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), sep)).alias("line"),
+        )
+        .filter(F.length(F.col("line")) >= min_len)
+        .select("line", "_id")
+        .distinct()
+    )
+
+
+def line_prune_incremental(
+    batch: DataFrame,
+    registry: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 1,
+    max_docs: int = 2,
+) -> tuple:
+    """Recrawl-shaped :func:`line_prune`: prune a NEW batch against the
+    committed line-frequency registry without re-reading the corpus.  A
+    batch line drops from EVERY batch doc when its TOTAL doc-frequency —
+    registry count plus this batch's distinct-doc count — reaches
+    ``max_docs``; already-emitted corpus docs are not retracted (the
+    streaming reality: boilerplate only ever gains frequency).  Because
+    the threshold test uses the combined count, the cleaned batch is
+    EXACTLY ``line_prune(corpus ∪ batch)`` restricted to the batch's
+    docs (pinned in pytest) — the incremental and global contracts agree
+    wherever retraction is impossible.
+
+    Returns ``(cleaned, delta)``: ``cleaned`` has line_prune's output
+    schema; ``delta`` is this batch's ``(line, n_docs)`` frequency rows —
+    merge into the registry by per-line SUM (valid when batch doc-ids are
+    disjoint from the corpus's, the recrawl-batch contract shared by the
+    whole incr_* family).
+
+    Scale shape: the batch explodes map-only (localCheckpoint'ed once —
+    it feeds the count, the join, and the rebuild); the registry joins on
+    line content against the BATCH's distinct lines only (O(batch +
+    collisions), never O(corpus)); the hot set is filtered to
+    threshold-crossers before the anti-join, exactly like line_prune."""
+    lines = batch.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_line"),
+    ).localCheckpoint(eager=True)
+    elig = F.length(F.col("_line")) >= min_len
+    bf = (
+        lines.filter(elig)
+        .select("_line", "_id")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .localCheckpoint(eager=True)
+    )
+    reg = registry.select(F.col("line").alias("_line"), F.col("n_docs").alias("_rn"))
+    hot = (
+        bf.join(reg, "_line", "left")
+        .filter((F.col("_bn") + F.coalesce(F.col("_rn"), F.lit(0))) >= max_docs)
+        .select("_line")
+    )
+    marked = lines.join(hot, "_line", "left_anti")
+    totals = lines.groupBy(F.col("_id")).agg(F.count(F.lit(1)).alias("n_lines"))
+    kept = marked.groupBy(F.col("_id")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda x: x["_line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    cleaned = totals.join(kept, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+    delta = bf.select(F.col("_line").alias("line"), F.col("_bn").alias("n_docs"))
+    return cleaned, delta
+
+
+def line_prune_incremental_sql(
+    batch_sql: str,
+    registry_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_sql: str = "chr(10)",
+    min_len: int = 1,
+    max_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`line_prune_incremental`'s ``cleaned`` output
+    (``registry_sql`` must yield (line, n_docs), e.g. the
+    :func:`line_registry` twin)."""
+    return f"""
+SELECT {id_col},
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(STRING_AGG(CASE WHEN keep THEN line END, {sep_sql} ORDER BY idx ASC), '') AS text_clean
+FROM (
+  SELECT l.{id_col}, l.line, l.idx,
+         (LENGTH(l.line) < {min_len}
+          OR (COALESCE(bf.n, 0) + COALESCE(r.n_docs, 0)) < {max_docs}) AS keep
+  FROM (
+    SELECT {id_col},
+           UNNEST(string_split({text_col}, {sep_sql})) AS line,
+           generate_subscripts(string_split({text_col}, {sep_sql}), 1) AS idx
+    FROM ({batch_sql}) d
+  ) l
+  LEFT JOIN (
+    SELECT line, CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n FROM (
+      SELECT {id_col},
+             UNNEST(string_split({text_col}, {sep_sql})) AS line
+      FROM ({batch_sql}) d
+    ) WHERE LENGTH(line) >= {min_len}
+    GROUP BY line
+  ) bf USING (line)
+  LEFT JOIN ({registry_sql}) r USING (line)
+)
+GROUP BY {id_col}
+"""

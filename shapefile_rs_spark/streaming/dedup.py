@@ -209,3 +209,69 @@ def maintain_para_registry(
     if not pipe.completed(stage):
         return None  # zero non-empty batches and no prior stage
     return pipe.spark.read.parquet(pipe.stage_path(stage))
+
+
+def maintain_line_registry(
+    docs_stream: DataFrame,
+    pipeline_root: str,
+    checkpoint_dir: str,
+    stage: str = "lines",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 1,
+    query_name: str = "line_registry_maintenance",
+):
+    """Keep the COMMITTED line-frequency registry fresh as recrawl
+    batches land — the :func:`maintain_para_registry` pattern for
+    :func:`..operators.dedup.line_prune_incremental`, at DOC grain: each
+    micro-batch's distinct eligible ``(line, doc)`` pairs
+    (:func:`..operators.dedup.line_doc_pairs`) append through
+    ``append_delta``'s keyed anti-join on BOTH columns, so a replayed —
+    or even re-SENT — batch appends nothing and the registry stays
+    content-idempotent with no doc-id disjointness contract (the batch
+    operator's sum-merged ``delta`` needs that contract; committed pairs
+    do not, because a pair either exists or it doesn't).
+
+    The registry the incremental prune joins against is the pair stage
+    aggregated per line — one count shuffle over pair-sized state at
+    read time, the price of exactly-once counting under at-least-once
+    delivery.  Stage name carries (min_len, sep) so a parameter change
+    starts a fresh stage.  Runs availableNow and blocks until the
+    backlog drains; returns the aggregated ``(line, n_docs)`` registry
+    frame, or None when no batch ever landed."""
+    import hashlib
+
+    from ..lineage import CheckpointedPipeline
+    from ..operators.dedup import line_doc_pairs
+
+    stage = f"{stage}-m{min_len}-{hashlib.md5(sep.encode()).hexdigest()[:8]}"
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipe = CheckpointedPipeline(batch_df.sparkSession, pipeline_root)
+        pipe.append_delta(
+            stage,
+            line_doc_pairs(
+                batch_df, id_col=id_col, text_col=text_col, sep=sep, min_len=min_len
+            ),
+            ["line", "_id"],
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_append)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pipe = CheckpointedPipeline(docs_stream.sparkSession, pipeline_root)
+    if not pipe.completed(stage):
+        return None  # zero non-empty batches and no prior stage
+    return (
+        pipe.spark.read.parquet(pipe.stage_path(stage))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

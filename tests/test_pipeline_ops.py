@@ -2102,3 +2102,58 @@ def test_pq_encode_and_topk(spark):
     gapped = vecs.filter(F.col("vec_id") != 1)
     with _pt.raises(ValueError, match="contiguous"):
         pq_codebook(gapped, ksub=2)
+
+
+def test_line_prune_incremental(spark):
+    """A batch line drops when registry + batch doc-frequency crosses the
+    threshold (corpus content already shipped counts); batch-internal
+    boilerplate drops with no registry hit at all; the cleaned batch
+    EQUALS global line_prune over corpus ∪ batch restricted to batch
+    docs; and merging the delta into the registry by per-line sum
+    reconstructs the from-scratch registry exactly."""
+    from shapefile_rs_spark.operators.dedup import (
+        line_prune,
+        line_prune_incremental,
+        line_registry,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "shared chunk\ncorpus only")], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "shared chunk\nbatch unique one"),
+            (2, "batch dup\nb2"),
+            (3, "batch dup\nb3"),
+        ],
+        "doc_id bigint, text string",
+    )
+    reg = line_registry(corpus)
+    cleaned, delta = line_prune_incremental(batch, reg, max_docs=2)
+    got = {tuple(r) for r in cleaned.collect()}
+    assert got == {
+        (1, 2, 1, "batch unique one"),  # "shared chunk": 1 (reg) + 1 = 2 → gone
+        (2, 2, 1, "b2"),  # "batch dup": batch-internal freq 2 → gone
+        (3, 2, 1, "b3"),
+    }
+    # incremental == global restricted to the batch (retraction-free zone)
+    union = corpus.unionByName(batch)
+    glob = {
+        tuple(r)
+        for r in line_prune(union, max_docs=2)
+        .filter(F.col("doc_id") < 100)
+        .collect()
+    }
+    assert {tuple(r) for r in cleaned.collect()} == {
+        (r[0], r[1], r[2], r[3]) for r in glob
+    }
+    # registry(corpus) + delta(batch), merged by sum == registry(union)
+    merged = {
+        (r["line"], r["n_docs"])
+        for r in reg.unionByName(delta)
+        .groupBy("line")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .collect()
+    }
+    scratch = {(r["line"], r["n_docs"]) for r in line_registry(union).collect()}
+    assert merged == scratch

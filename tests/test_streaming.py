@@ -306,3 +306,63 @@ def test_maintain_para_registry_tracks_ingestion(spark, sf_dir, tmp_path):
     cleaned, new_paras = para_dedup_incremental(batch, reg)
     assert cleaned.filter(F.col("n_kept") >= F.col("n_paras")).count() == 0
     assert new_paras.count() > 0
+
+
+def test_maintain_line_registry_content_idempotent(spark, sf_dir, tmp_path):
+    """The committed line-frequency registry follows ingestion at DOC
+    grain: wave 1 commits its (line, doc) pairs; wave 2 plus a
+    byte-identical RE-SENT copy of wave 1 appends only wave 2's pairs —
+    counts never double — and the maintained registry equals the
+    from-scratch registry of both waves; the incremental prune reads it
+    directly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators.dedup import (
+        chunk_words,
+        line_prune_incremental,
+        line_registry,
+    )
+    from shapefile_rs_spark.streaming.dedup import maintain_line_registry
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", chunk_words(F.col("text"), 8).alias("text")
+    )
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0).limit(40)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    land = tmp_path / "landing"
+    land.mkdir()
+    root = str(tmp_path / "pipe")
+    ck = tmp_path / "ck"
+    schema = wave1.schema
+
+    wave1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for f in (tmp_path / "w1").glob("*.parquet"):
+        shutil.copy(f, land / "batch_a.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    reg = maintain_line_registry(stream, root, str(ck / "1"))
+    scratch1 = {(r["line"], r["n_docs"]) for r in line_registry(wave1).collect()}
+    assert {(r["line"], r["n_docs"]) for r in reg.collect()} == scratch1
+
+    wave2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for f in (tmp_path / "w2").glob("*.parquet"):
+        shutil.copy(f, land / "batch_b.parquet")
+    # content-level replay: same bytes, NEW file, NEW batch id — the pair
+    # anti-join must still append nothing for it
+    shutil.copy(land / "batch_a.parquet", land / "batch_a_resend.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    reg = maintain_line_registry(stream, root, str(ck / "2"))
+    scratch = {
+        (r["line"], r["n_docs"])
+        for r in line_registry(wave1.unionByName(wave2)).collect()
+    }
+    assert {(r["line"], r["n_docs"]) for r in reg.collect()} == scratch
+
+    # the incremental prune consumes the maintained registry: a batch doc
+    # repeating a committed chunk loses it
+    sample = wave1.limit(5).select(
+        (F.col("doc_id") + 10**9).alias("doc_id"), "text"
+    )
+    cleaned, _delta = line_prune_incremental(sample, reg, max_docs=2)
+    assert cleaned.filter(F.col("n_kept") < F.col("n_lines")).count() > 0
