@@ -33,11 +33,18 @@ checkpoints sit on the critical path, not as dead side writes):
    two-phase sample-sort exact rank — the scale-safe default plan) ∧
    stratified per-language sample; write the final corpus with redacted
    text.
+1b. ``boiler``  — (``--line-prune-max N``) line-frequency boilerplate
+   removal BEFORE dedup (the CCNet order): 8-word chunks appearing in
+   ≥ N distinct docs drop everywhere; the cleaned text replaces
+   ``text_redacted`` for every later stage.
 5. ``packed``   — (``--pack-capacity N``) the curated corpus's
    training-sequence manifest: seq_pack cuts each language's md5-ordered
    token stream every N tokens (one row per doc×bin overlap, every
    non-final bin exactly full) — the batch-construction endpoint a
    trainer reads directly.
+5b. ``mixture`` — (``--mix-budget N``) mix_temp's temperature-scaled
+   per-language allocation table over the curated corpus — the
+   strata-sized planning artifact a trainer's sampler reads.
 6. ``sigs`` + ``bands`` — (``--sig-stage``) the curated corpus's MinHash
    signature parquet and its pre-banded ``(_id, band, band_key)`` twin,
    the published artifacts future recrawl batches LSH-join against
@@ -123,6 +130,25 @@ def build_args(argv=None):
         "one row per doc×bin overlap, every non-final bin exactly full, "
         "deterministic at any partitioning); 0 disables",
     )
+    p.add_argument(
+        "--line-prune-max",
+        type=int,
+        default=0,
+        help="also run the 'boiler' stage BEFORE dedup (the CCNet order): "
+        "re-delimit each doc's redacted text into 8-word chunks and drop "
+        "every chunk appearing in >= N distinct docs — boilerplate keeps "
+        "no winner; downstream stages (digest dedup, decontam, BPE "
+        "accounting on the curated text) see the cleaned text; 0 disables",
+    )
+    p.add_argument(
+        "--mix-budget",
+        type=int,
+        default=0,
+        help="also commit the 'mixture' stage: mix_temp's temperature-"
+        "scaled (alpha=1/2) per-language allocation table over the "
+        "curated corpus's BPE token counts — the strata-sized planning "
+        "artifact a trainer's sampler reads; 0 disables",
+    )
     p.add_argument("--minhash-k", type=int, default=3)
     p.add_argument("--num-hashes", type=int, default=12)
     p.add_argument(
@@ -149,8 +175,11 @@ def run(spark, args) -> dict:
     pipe = CheckpointedPipeline(spark, args.out)
     t_all = time.time()
     stage_names = (
-        ("features", "dedup", "decontam", "curated")
+        ("features",)
+        + (("boiler",) if args.line_prune_max else ())
+        + ("dedup", "decontam", "curated")
         + (("packed",) if args.pack_capacity else ())
+        + (("mixture",) if args.mix_budget else ())
         + (("sigs", "bands") if args.sig_stage else ())
     )
     already_done = [s for s in stage_names if pipe.completed(s)]
@@ -172,6 +201,38 @@ def run(spark, args) -> dict:
         )
 
     feats = pipe.run_stage("features", stage_features)
+
+    if args.line_prune_max:
+        # boilerplate removal BEFORE dedup (the CCNet order: chrome and
+        # banners would otherwise dominate digests and span counts).  The
+        # pruned text replaces text_redacted — the column every later
+        # stage ships — so the whole DAG downstream sees cleaned text;
+        # the join back is one doc_id exchange (ids are unique, the
+        # features stage's contract).
+        def stage_boiler():
+            from shapefile_rs_spark.operators.dedup import chunk_words, line_prune
+
+            chunked = feats.select(
+                "doc_id", chunk_words(F.col("text_redacted"), 8).alias("_t")
+            )
+            pruned = line_prune(
+                chunked,
+                id_col="doc_id",
+                text_col="_t",
+                max_docs=args.line_prune_max,
+            )
+            return feats.drop("text_redacted").join(
+                pruned.select(
+                    "doc_id",
+                    F.col("n_lines").alias("boiler_lines"),
+                    F.col("n_kept").alias("boiler_kept"),
+                    F.col("text_clean").alias("text_redacted"),
+                ),
+                "doc_id",
+                "inner",
+            )
+
+        feats = pipe.run_stage("boiler", stage_boiler)
 
     def stage_dedup():
         from shapefile_rs_spark.operators.dedup import span_dedup_stats
@@ -282,6 +343,21 @@ def run(spark, args) -> dict:
             return packed
 
         pipe.run_stage("packed", stage_packed)
+
+    if args.mix_budget:
+        # the strata-sized mixture planning artifact: what each language
+        # HAS in the curated corpus and what a sqrt-scaled sampler should
+        # TAKE of the token budget — read by a trainer, not by this DAG
+        def stage_mixture():
+            from shapefile_rs_spark.operators.curation import mix_temp
+
+            return mix_temp(
+                curated.select("lang", F.col("bpe_tokens").alias("n_tokens")),
+                args.mix_budget,
+                strata_col="lang",
+            )
+
+        pipe.run_stage("mixture", stage_mixture)
 
     from shapefile_rs_spark.operators.dedup import release_sig_caches
 

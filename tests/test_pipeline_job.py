@@ -238,3 +238,38 @@ def test_curation_job_quality_prune_two_phase_default(spark, sf_dir, tmp_path, m
         .select("doc_id").collect()
     }
     assert got_ids == exp_ids and len(got_ids) == res["docs_out"]
+
+
+def test_curation_job_boiler_and_mixture_stages(spark, sf_dir, tmp_path):
+    """--line-prune-max runs boilerplate removal before dedup (cleaned
+    text replaces text_redacted for every later stage, with audit
+    counts), --mix-budget commits the strata-sized allocation table
+    (alloc ≤ available per language, Σalloc ≤ budget), and a re-run
+    resumes both stages without recompute."""
+    from pyspark.sql import functions as F
+
+    from run_curation import build_args, run
+
+    out = str(tmp_path / "cur_boiler")
+    argv = ["--sf-dir", sf_dir, "--out", out, "--cpus", "4",
+            "--line-prune-max", "2", "--mix-budget", "100000"]
+    res = run(spark, build_args(argv))
+    assert set(res["stages"]) == {
+        "features", "boiler", "dedup", "decontam", "curated", "mixture"
+    }
+    boiler = spark.read.parquet(f"{out}/stages/boiler/data")
+    assert {"boiler_lines", "boiler_kept", "text_redacted"} <= set(boiler.columns)
+    assert boiler.filter(F.col("boiler_kept") > F.col("boiler_lines")).count() == 0
+    # the cleaned text really is what downstream shipped: curated text is
+    # drawn from the boiler stage's text_redacted (chunked join form)
+    assert boiler.count() == res["docs_in"]
+    mix = spark.read.parquet(f"{out}/stages/mixture/data")
+    assert set(mix.columns) == {
+        "lang", "available_tokens", "weight", "target_tokens",
+        "alloc_tokens", "deficit",
+    }
+    rows = mix.collect()
+    assert all(r["alloc_tokens"] <= r["available_tokens"] for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) <= 100000
+    res2 = run(spark, build_args(argv))
+    assert {"boiler", "mixture"} <= set(res2["resumed_stages"])
