@@ -1523,6 +1523,34 @@ def q_incr_para(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned
 
 
+# host graph for q_domain_rank: 64 synthetic hosts; doc d endorses host
+# (d·d DIV 64) mod 64 from host d mod 64.  The rule must be NONLINEAR in
+# d: an affine map permutes the residue classes (out-degree 1 everywhere)
+# and (d DIV 7) mod 64 over sequential ids is exactly regular — both keep
+# the iteration uniform forever; the quadratic rule gives out-degrees
+# 1-8 and in-degrees 3-11 at sf0.01, so scores genuinely spread.
+# Distinct edges, same integer arithmetic in the SQL twin.
+_RANK_HOSTS = 64
+
+
+def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level damped endorsement ranking (fixed-point int64 PageRank
+    shape, 5 rounds): the edge derivation is the one data-sized pass; the
+    iteration runs over host-sized frames with per-round localCheckpoint
+    — hash-exact output (pure integer floor arithmetic both engines)."""
+    from shapefile_rs_spark.operators.graph import domain_rank
+
+    edges = (
+        _docs(spark, sf_dir)
+        .select(
+            (F.col("doc_id") % _RANK_HOSTS).alias("src"),
+            (F.expr("doc_id * doc_id DIV 64") % _RANK_HOSTS).alias("dst"),
+        )
+        .distinct()
+    )
+    return domain_rank(edges, iterations=5)
+
+
 def q_incr_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl-shaped boilerplate pruning: the near-dup variants arrive
     as a new batch and prune against the committed line-frequency
@@ -1852,6 +1880,9 @@ ROTATION = {
     # parked in round 6 for incr_line (green r1-r5; ann_ivf + ann_lsh_mp
     # keep the IVF/recall-dial family in-window):
     "ann_ivf2": 5,
+    # parked in round 6 for domain_rank (green r1-r5; simhash_pairs keeps
+    # the simhash family in-window):
+    "simhash": 5,
 }
 
 
@@ -1885,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "ann_pq": q_ann_pq,
         "incr_line": q_incr_line,
+        "domain_rank": q_domain_rank,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -1902,7 +1934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
-        "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1920,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "winnow_fp": q_winnow_fp,
         "ann_ivf2": q_ann_ivf2,
+        "simhash": q_simhash,
         "lang_pivot": q_lang_pivot,
         "doc_ntile": q_doc_ntile,
         "top_users": q_top_users,
@@ -2500,6 +2532,7 @@ FROM stepped
         "pq_codes": _pq_codes_oracle(),
         "ann_pq": _ann_pq_oracle(),
         "incr_line": _incr_line_oracle(),
+        "domain_rank": _domain_rank_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2598,6 +2631,16 @@ def _incr_para_oracle() -> str:
         "FROM documents"
     )
     return para_dedup_incremental_sql(batch, registry, id_col="id")
+
+
+def _domain_rank_oracle() -> str:
+    from shapefile_rs_spark.operators.graph import domain_rank_sql
+
+    edges = (
+        f"SELECT DISTINCT doc_id % {_RANK_HOSTS} AS src, "
+        f"(doc_id * doc_id // 64) % {_RANK_HOSTS} AS dst FROM documents"
+    )
+    return domain_rank_sql(edges, iterations=5)
 
 
 def _incr_line_oracle() -> str:

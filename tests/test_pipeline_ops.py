@@ -2157,3 +2157,40 @@ def test_line_prune_incremental(spark):
     }
     scratch = {(r["line"], r["n_docs"]) for r in line_registry(union).collect()}
     assert merged == scratch
+
+
+def test_domain_rank(spark):
+    """Fixed-point endorsement iteration on a hand-checkable 3-node
+    graph: one round matches exact integer math, a sink node receives and
+    never sends, zero iterations returns the uniform init, the output is
+    identical at any partitioning (pure int64 — no float sum order), and
+    bad damping fails loudly."""
+    from shapefile_rs_spark.operators.graph import domain_rank
+
+    # 0 -> 1, 0 -> 2, 1 -> 2 ; node 2 is a sink (appears only as dst)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src bigint, dst bigint"
+    )
+    S = 10**12
+    base = 15 * S // 100
+    got = {r["host"]: r["score"] for r in domain_rank(edges, iterations=1).collect()}
+    # contribs: 0 sends S//2 to both 1 and 2; 1 sends S//1 to 2
+    assert got[0] == base
+    assert got[1] == base + 85 * (S // 2) // 100
+    assert got[2] == base + 85 * (S // 2 + S) // 100
+    # rank order after one round: 2, 1, 0
+    ranks = {
+        r["host"]: r["rank"] for r in domain_rank(edges, iterations=1).collect()
+    }
+    assert ranks == {2: 1, 1: 2, 0: 3}
+    # zero iterations: uniform init
+    init = {r["score"] for r in domain_rank(edges, iterations=0).collect()}
+    assert init == {S}
+    # partitioning-independence (int sums are order-free)
+    a = sorted(tuple(r) for r in domain_rank(edges, iterations=3).collect())
+    b = sorted(
+        tuple(r) for r in domain_rank(edges.repartition(7), iterations=3).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="damping"):
+        domain_rank(edges, damping_pct=101)

@@ -479,3 +479,21 @@ def test_pq_topk_is_map_only_scan(spark, sf_dir):
     assert plan.count("MapInPandas") == 1
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_domain_rank_iteration_reuses_persisted_edges(spark, sf_dir):
+    """Each round consumes the ONE persisted edges⋈outdeg frame
+    (InMemoryTableScan) and the per-round localCheckpoint truncates
+    lineage (ExistingRDD at the top of the next round) — T iterations
+    never stack T join plans, and the final rank window runs over the
+    host-sized control frame only."""
+    from shapefile_rs_spark.operators.graph import domain_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.select(
+        (F.col("doc_id") % 64).alias("src"),
+        (F.expr("doc_id * doc_id DIV 64") % 64).alias("dst"),
+    ).distinct()
+    plan = _plan(domain_rank(edges, iterations=3))
+    assert "ExistingRDD" in plan  # final frame is the checkpointed round
+    assert "Scan parquet" not in plan  # corpus never re-enters the plan
