@@ -794,6 +794,24 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ (the FAISS composition): cosine cell pruning (nprobe=2) +
+    PQ asymmetric-distance scoring of in-cell candidates — recall < 1
+    twice over, both approximations encoded in the oracle; the first-8
+    rows serve as BOTH coarse centroids and PQ codebook."""
+    from shapefile_rs_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _emb(spark, sf_dir),
+        _emb_queries(spark, sf_dir),
+        _emb_centroids(spark, sf_dir),
+        _pq_codebook_np(spark, sf_dir),
+        k=5,
+        n_sub=_PQ_NSUB,
+        nprobe=2,
+    )
+
+
 _NEARDUP_TABLES = 4
 
 
@@ -1883,6 +1901,9 @@ ROTATION = {
     # parked in round 6 for domain_rank (green r1-r5; simhash_pairs keeps
     # the simhash family in-window):
     "simhash": 5,
+    # parked in round 6 for ann_ivfpq (green r1-r5; ann_ivf/ann_lsh/
+    # ann_pq/ann_ivfpq keep the ANN family heavily in-window):
+    "ann_topk": 5,
 }
 
 
@@ -1917,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "incr_line": q_incr_line,
         "domain_rank": q_domain_rank,
+        "ann_ivfpq": q_ann_ivfpq,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -1935,7 +1957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "ann_lsh": q_ann_lsh,
@@ -1952,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "ann_ivf2": q_ann_ivf2,
         "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
         "lang_pivot": q_lang_pivot,
         "doc_ntile": q_doc_ntile,
         "top_users": q_top_users,
@@ -2533,6 +2555,7 @@ FROM stepped
         "ann_pq": _ann_pq_oracle(),
         "incr_line": _incr_line_oracle(),
         "domain_rank": _domain_rank_oracle(),
+        "ann_ivfpq": _ann_ivfpq_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2631,6 +2654,45 @@ def _incr_para_oracle() -> str:
         "FROM documents"
     )
     return para_dedup_incremental_sql(batch, registry, id_col="id")
+
+
+def _ann_ivfpq_oracle() -> str:
+    dsub = 64 // _PQ_NSUB
+    sl = f"sp.s*{dsub}+1 : sp.s*{dsub}+{dsub}"
+    joins = "\n  ".join(
+        f"JOIN lut l{s} ON l{s}.query_id = q.query_id AND l{s}.s = {s} "
+        f"AND l{s}.cid = cw.c{s}"
+        for s in range(_PQ_NSUB)
+    )
+    dist = " + ".join(f"l{s}.ld*l{s}.ld" for s in range(_PQ_NSUB))
+    return f"""
+WITH {_pq_shared_sql()},
+va AS (SELECT vec_id, cid AS centroid_id FROM (
+  SELECT v.vec_id, cb.cid,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.ve, cb.ce) DESC, cb.cid ASC) AS r
+  FROM v CROSS JOIN cb) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 4),
+qa AS (SELECT vec_id AS query_id, cid AS centroid_id FROM (
+  SELECT v.vec_id, cb.cid,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.ve, cb.ce) DESC, cb.cid ASC) AS r
+  FROM v CROSS JOIN cb WHERE v.vec_id < 4) WHERE r <= 2),
+lut AS (
+  SELECT q.query_id, sp.s, cb.cid,
+         list_distance(q.qe[{sl}], cb.ce[{sl}]) AS ld
+  FROM q CROSS JOIN sp CROSS JOIN cb),
+scored AS (
+  SELECT q.query_id, cw.vec_id, {dist} AS dist
+  FROM q JOIN qa USING (query_id)
+         JOIN va ON va.centroid_id = qa.centroid_id
+         JOIN cw ON cw.vec_id = va.vec_id
+  {joins})
+SELECT query_id, vec_id, rnk FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
 
 
 def _domain_rank_oracle() -> str:

@@ -541,6 +541,11 @@ def assign_centroids(
                 valid = np.take_along_axis(Sc, order, axis=1) > -np.inf
             reps = best.shape[1]
             mask = valid.ravel()
+            if not mask.any():
+                # every row's cosine was undefined (zero-norm batch): an
+                # all-empty dict would let pandas type `_v` float64 and
+                # Arrow refuse the list<double> cast — yield nothing.
+                continue
             out = {
                 vec_id: np.repeat(pdf[vec_id].to_numpy(), reps)[mask],
                 centroid_id: cid_arr[best].ravel()[mask],
@@ -774,6 +779,100 @@ def pq_topk(
     w = Window.partitionBy(query_id).orderBy(F.col("_dist").asc(), F.col(vec_id).asc())
     return (
         partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, vec_id, "rnk")
+    )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: "np.ndarray",
+    k: int,
+    n_sub: int = 4,
+    nprobe: int = 1,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "q_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_col: str = "c_embedding",
+    closure_max_centroids: int = 65536,
+) -> DataFrame:
+    """IVFPQ: coarse cosine cell pruning composed with PQ asymmetric-
+    distance scoring — the FAISS IVFPQ architecture on DataFrames.  The
+    corpus assigns once to its nearest cell (carrying the vector), each
+    query probes its ``nprobe`` nearest cells, and only the IN-CELL
+    candidates are scored — by ADC against the per-query LUT, so at full
+    scale the scored representation is n_sub bytes per candidate, not the
+    raw vector.  Recall < 1 twice over (cell pruning × quantization); the
+    oracle encodes both approximations, so the comparison is exact.
+
+    Scale shape: one assignment scan per side (the assign_centroids
+    closure path — no crossJoin), broadcast of the tiny assigned-query
+    set, then ONE Arrow-batched map stage over candidates (encode + LUT
+    gather fused; the LUT is recomputed per batch from the joined query
+    vector — a pure function of (query, codebook), so every batch agrees
+    bit-for-bit), and a k·q-row rank window.  Distances use the same
+    left-to-right LUT-sum association as :func:`pq_topk`: same-code
+    candidates of the same query tie exactly and fall to the vec_id
+    tie-break in both engines."""
+    if codebook.shape[1] % n_sub:
+        raise ValueError(f"dim {codebook.shape[1]} not divisible by n_sub {n_sub}")
+    ksub = codebook.shape[0]
+    dsub = codebook.shape[1] // n_sub
+    v_assigned = assign_centroids(
+        vectors, centroids, vec_id, vec_col, centroid_id, centroid_col,
+        carry_vec=True, closure_max_centroids=closure_max_centroids,
+    )
+    q_assigned = assign_centroids(
+        queries, centroids, query_id, query_col, centroid_id, centroid_col,
+        carry_vec=True, n_assign=nprobe,
+        closure_max_centroids=closure_max_centroids,
+    ).withColumnRenamed("_v", "_q")
+    cands = v_assigned.join(F.broadcast(q_assigned), on=centroid_id, how="inner")
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(vec_id, vectors.schema[vec_id].dataType),
+            StructField("_dist", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [query_id, vec_id, "_dist"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+            codes = _pq_subspace_codes(V, codebook, n_sub)
+            qcodes, quniq = pd.factorize(pdf[query_id], use_na_sentinel=False)
+            dist = np.empty(len(pdf), dtype=np.float64)
+            for ui in range(len(quniq)):
+                rows = np.flatnonzero(qcodes == ui)
+                qv = np.asarray(pdf["_q"].iloc[rows[0]], dtype=np.float64)
+                lut = np.empty((n_sub, ksub), dtype=np.float64)
+                for s in range(n_sub):
+                    Qs = qv[s * dsub : (s + 1) * dsub]
+                    Cs = codebook[:, s * dsub : (s + 1) * dsub]
+                    lut[s] = ((Cs - Qs[None, :]) ** 2).sum(axis=1)
+                d = lut[0, codes[rows, 0]].copy()
+                for s in range(1, n_sub):
+                    d = d + lut[s, codes[rows, s]]
+                dist[rows] = d
+            yield pd.DataFrame(
+                {
+                    query_id: pdf[query_id],
+                    vec_id: pdf[vec_id],
+                    "_dist": dist,
+                }
+            )[cols]
+
+    scored = cands.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.col("_dist").asc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(query_id, vec_id, "rnk")
     )

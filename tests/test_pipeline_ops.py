@@ -2194,3 +2194,54 @@ def test_domain_rank(spark):
     assert a == b
     with pytest.raises(ValueError, match="damping"):
         domain_rank(edges, damping_pct=101)
+
+
+def test_ivf_pq_topk_full_probe_equals_pq(spark):
+    """With nprobe = n_centroids every cell is probed, so the candidate
+    set is the whole corpus and IVFPQ must EQUAL plain PQ top-k — the
+    composition adds pruning, never different arithmetic ((a-b)² and
+    (b-a)² are bit-identical, and both paths use the same left-to-right
+    LUT-sum association).  With nprobe=1 the result ranks only in-cell
+    candidates (a strict subset)."""
+    from shapefile_rs_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebook,
+        pq_topk,
+    )
+
+    rows = [
+        (0, [0.5, 0.0, 0.1, 0.0]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [0.0, 0.0, 1.0, 1.0]),
+        (3, [0.9, 0.9, 0.0, 0.0]),
+        (4, [0.2, 0.1, 0.4, 0.3]),
+        (5, [1.0, 0.9, 0.8, 0.7]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = pq_codebook(vecs, ksub=2)
+    cents = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    q = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3, 0.4])], "query_id bigint, q_embedding array<double>"
+    )
+    full = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(vecs, q, cents, cb, k=6, n_sub=2, nprobe=2).collect()
+    )
+    plain = sorted(tuple(r) for r in pq_topk(vecs, q, cb, k=6, n_sub=2).collect())
+    assert full == plain
+    pruned = ivf_pq_topk(vecs, q, cents, cb, k=6, n_sub=2, nprobe=1).collect()
+    assert 0 < len(pruned) < len(plain)
+    assert {r["vec_id"] for r in pruned} < {t[1] for t in plain}
+    # Zero-norm contract: a vector with undefined cosine gets NO cell
+    # assignment (assign_centroids drops it), so it is absent from the
+    # IVFPQ index even at full probe — unlike plain PQ, which scores it.
+    withzero = vecs.union(
+        spark.createDataFrame(
+            [(6, [0.0, 0.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+        )
+    )
+    fz = ivf_pq_topk(withzero, q, cents, cb, k=7, n_sub=2, nprobe=2).collect()
+    assert {r["vec_id"] for r in fz} == {0, 1, 2, 3, 4, 5}

@@ -497,3 +497,24 @@ def test_domain_rank_iteration_reuses_persisted_edges(spark, sf_dir):
     plan = _plan(domain_rank(edges, iterations=3))
     assert "ExistingRDD" in plan  # final frame is the checkpointed round
     assert "Scan parquet" not in plan  # corpus never re-enters the plan
+
+
+def test_ivf_pq_topk_broadcasts_queries_no_shuffle_join(spark, sf_dir):
+    """IVFPQ's plan: three Arrow map stages (corpus assign, query assign,
+    fused ADC scoring) glued by a BROADCAST join on the cell id — the
+    corpus side never shuffles; the only exchange feeds the k·q rank
+    window."""
+    from shapefile_rs_spark.operators.similarity import ivf_pq_topk, pq_codebook
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+    cb = pq_codebook(emb, ksub=8)
+    plan = _plan(ivf_pq_topk(emb, q, cents, cb, k=5, n_sub=4, nprobe=2))
+    assert plan.count("MapInPandas") == 3
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
