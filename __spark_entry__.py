@@ -862,6 +862,18 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup): coarse-quantize the planted-dup corpus
+    into the first-8-rows cells, then drop every vector with a lower-id
+    same-cell neighbor at cosine ≥ 0.99 — the planted copies
+    (vec_id + 100000, byte-identical embeddings) always share their
+    original's cell and die to it; survivors are the kept rows."""
+    from shapefile_rs_spark.operators.similarity import semdedup
+
+    corpus, _ = _neardup_inputs(spark, sf_dir)
+    return semdedup(corpus, _emb_centroids(spark, sf_dir), threshold=0.99)
+
+
 def _lsh_topk_ppt(corpus_rows: int) -> int:
     """Planes per table for the LSH top-k query: two fewer than the
     near-dup rule (≈4 in-bucket candidates per table instead of ~1), so
@@ -1904,6 +1916,10 @@ ROTATION = {
     # parked in round 6 for ann_ivfpq (green r1-r5; ann_ivf/ann_lsh/
     # ann_pq/ann_ivfpq keep the ANN family heavily in-window):
     "ann_topk": 5,
+    # parked in round 6 for semdedup (green r1-r5; decontaminate_bloom —
+    # the same oracle contract through the Bloom prefilter — stays
+    # in-window):
+    "decontaminate": 5,
 }
 
 
@@ -1962,11 +1978,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
         "text_quality": q_text_quality,
-        "decontaminate": q_decontaminate,
+        "semdedup": q_semdedup,
         "pii_redact": q_pii_redact,
         # --- positions past DRIVER_GATE_WINDOW: parked (see ROTATION above).
         # Each keeps its local check_oracles.py gate; must rotate back within
         # 2 rounds (test_registry_rotation_guard enforces).
+        "decontaminate": q_decontaminate,
         "char_minhash": q_char_minhash,
         "url_canon": q_url_canon,
         "doc_repetition": q_doc_repetition,
@@ -2464,6 +2481,27 @@ FROM pairs p
 JOIN corpus ca ON ca.id = p.id_a
 JOIN corpus cb ON cb.id = p.id_b
 WHERE list_cosine_similarity(ca.e, cb.e) >= 0.99
+""",
+        "semdedup": """
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+), cb AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < 8
+), va AS (
+  SELECT id, cid FROM (
+    SELECT c.id, cb.cid,
+           ROW_NUMBER() OVER (PARTITION BY c.id
+             ORDER BY list_cosine_similarity(c.e, cb.ce) DESC, cb.cid ASC) AS r
+    FROM corpus c CROSS JOIN cb) WHERE r = 1)
+SELECT a.id AS vec_id, a.cid AS centroid_id
+FROM va a JOIN corpus ca ON ca.id = a.id
+WHERE NOT EXISTS (
+  SELECT 1 FROM va b JOIN corpus cbo ON cbo.id = b.id
+  WHERE b.cid = a.cid AND b.id < a.id
+    AND list_cosine_similarity(cbo.e, ca.e) >= 0.99)
 """,
         "text_quality": ts.quality_metrics_sql("documents"),
         "winnow_fp": (

@@ -876,3 +876,72 @@ def ivf_pq_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id, vec_id, "rnk")
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_col: str = "c_embedding",
+    closure_max_centroids: int = 65536,
+    _chunk_elems: int = 16_000_000,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup move): cluster embeddings by
+    a coarse quantizer, then drop every vector that has a LOWER-id
+    same-cell neighbor with cosine ≥ ``threshold``.  Returns the KEPT
+    (vec_id, centroid_id) rows.
+
+    The drop rule is an order-free EXISTS — v drops iff ∃ u in v's cell
+    with u.id < v.id and cos(u, v) ≥ threshold — NOT the sequential
+    greedy sweep (a dropped u still kills later near-dups of u).  That
+    makes the operator deterministic under any partitioning and exactly
+    SQL-expressible (an anti-join), at the cost of occasionally dropping
+    a whole chain where greedy would re-seed; for dedup that bias is the
+    safe direction.  Vectors with undefined cosine (zero norm) get no
+    cell and are dropped at assignment, the :func:`assign_centroids`
+    contract.
+
+    Scale shape: one assignment scan (centroid matrix rides the closure
+    — no crossJoin), ONE shuffle on the cell id into a per-cell Arrow
+    stage that computes the in-cell cosine matrix with row-chunked
+    matmuls (``_chunk_elems`` bounds the chunk×m working set).  The
+    pairwise work is O(Σ m_c²·d) — the SemDeDup cost model: cells are
+    corpus/C sized, so C is chosen ∝ N to bound m_c; a mega-cell is the
+    operator's skew hazard, surfaced by the same bucket-telemetry lens
+    as the LSH joins.  Cosine spells num/sqrt(n2_i·n2_j) — identical to
+    :func:`cosine_pd` and the DuckDB twin's list_cosine_similarity, so
+    threshold decisions agree away from ulp-adjacent boundaries (the
+    embed_neardup convention: thresholds sit in a gap of the data's
+    cosine spectrum)."""
+    assigned = assign_centroids(
+        vectors, centroids, vec_id, vec_col, centroid_id, centroid_col,
+        carry_vec=True, closure_max_centroids=closure_max_centroids,
+    )
+    out_schema = StructType(
+        [
+            StructField(vec_id, vectors.schema[vec_id].dataType),
+            StructField(centroid_id, centroids.schema[centroid_id].dataType),
+        ]
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(vec_id, kind="mergesort").reset_index(drop=True)
+        V = np.vstack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+        n2 = np.einsum("ij,ij->i", V, V)
+        m = len(V)
+        keep = np.ones(m, dtype=bool)
+        chunk = max(1, _chunk_elems // max(m, 1))
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            G = V[lo:hi] @ V.T
+            with np.errstate(invalid="ignore", divide="ignore"):
+                C = G / np.sqrt(n2[lo:hi, None] * n2[None, :])
+            # strictly-lower-id columns only: j < global row index i
+            tri = np.arange(m)[None, :] < np.arange(lo, hi)[:, None]
+            keep[lo:hi] = ~((C >= threshold) & tri).any(axis=1)
+        return pdf.loc[keep, [vec_id, centroid_id]]
+
+    return assigned.groupBy(centroid_id).applyInPandas(prune, schema=out_schema)

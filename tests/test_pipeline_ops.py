@@ -2245,3 +2245,29 @@ def test_ivf_pq_topk_full_probe_equals_pq(spark):
     )
     fz = ivf_pq_topk(withzero, q, cents, cb, k=7, n_sub=2, nprobe=2).collect()
     assert {r["vec_id"] for r in fz} == {0, 1, 2, 3, 4, 5}
+
+
+def test_semdedup_exists_rule_and_zero_norm(spark):
+    """The drop rule is EXISTS-lower-id, not sequential greedy: in the
+    chain a~b, b~c with a!~c, b dies to a AND c still dies to b (a
+    greedy sweep that removes b before considering c would keep c).
+    Zero-norm vectors get no cell assignment and vanish entirely."""
+    from shapefile_rs_spark.operators.similarity import semdedup
+
+    # unit vectors at angles 0°, 10°, 20°: cos(10°)≈0.985 ≥ 0.98 for the
+    # adjacent pairs, cos(20°)≈0.940 < 0.98 for the far pair
+    import math
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [math.cos(math.radians(10)), math.sin(math.radians(10))]),
+        (2, [math.cos(math.radians(20)), math.sin(math.radians(20))]),
+        (3, [0.0, 1.0]),
+        (4, [0.0, 0.0]),  # zero norm: dropped at assignment
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id bigint, c_embedding array<double>"
+    )
+    kept = {r["vec_id"] for r in semdedup(vecs, cents, threshold=0.98).collect()}
+    assert kept == {0, 3}  # 1 dies to 0; 2 dies to 1 (even though 1 died)

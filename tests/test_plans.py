@@ -518,3 +518,19 @@ def test_ivf_pq_topk_broadcasts_queries_no_shuffle_join(spark, sf_dir):
     assert plan.count("MapInPandas") == 3
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_semdedup_single_cell_shuffle(spark, sf_dir):
+    """semdedup's plan: one Arrow assignment scan, ONE exchange on the
+    cell id into the per-cell prune stage — no join, no cartesian."""
+    from shapefile_rs_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+    plan = _plan(semdedup(emb, cents, threshold=0.99))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(centroid_id" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
