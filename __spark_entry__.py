@@ -794,6 +794,19 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point k-means: 3 Lloyd rounds over the embeddings with the
+    first-8-rows seed, every step int64 (floor-quantize, exact squared-
+    distance argmin, truncating-div update) — the output centroids and
+    member counts are bit-identical in any engine, the hash-exact gate
+    applied to an ITERATIVE float-free clustering."""
+    from shapefile_rs_spark.operators.similarity import kmeans_fp
+
+    return kmeans_fp(
+        _emb(spark, sf_dir), _emb_centroids(spark, sf_dir), iterations=3
+    )
+
+
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ (the FAISS composition): cosine cell pruning (nprobe=2) +
     PQ asymmetric-distance scoring of in-cell candidates — recall < 1
@@ -1920,6 +1933,9 @@ ROTATION = {
     # the same oracle contract through the Bloom prefilter — stays
     # in-window):
     "decontaminate": 5,
+    # parked in round 6 for kmeans_fp (green r1-r5; quality_prune /
+    # quality_prune2 keep ranked text-quality metrics in-window):
+    "text_quality": 5,
 }
 
 
@@ -1955,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_line": q_incr_line,
         "domain_rank": q_domain_rank,
         "ann_ivfpq": q_ann_ivfpq,
+        "kmeans_fp": q_kmeans_fp,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -1977,12 +1994,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
-        "text_quality": q_text_quality,
         "semdedup": q_semdedup,
         "pii_redact": q_pii_redact,
         # --- positions past DRIVER_GATE_WINDOW: parked (see ROTATION above).
         # Each keeps its local check_oracles.py gate; must rotate back within
         # 2 rounds (test_registry_rotation_guard enforces).
+        "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
         "char_minhash": q_char_minhash,
         "url_canon": q_url_canon,
@@ -2594,6 +2611,7 @@ FROM stepped
         "incr_line": _incr_line_oracle(),
         "domain_rank": _domain_rank_oracle(),
         "ann_ivfpq": _ann_ivfpq_oracle(),
+        "kmeans_fp": _kmeans_fp_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2731,6 +2749,17 @@ SELECT query_id, vec_id, rnk FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rnk
   FROM scored) WHERE rnk <= 5
 """
+
+
+def _kmeans_fp_oracle() -> str:
+    from shapefile_rs_spark.operators.similarity import kmeans_fp_sql
+
+    return kmeans_fp_sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings",
+        "vec_id < 8",
+        dim=64,
+        iterations=3,
+    )
 
 
 def _domain_rank_oracle() -> str:

@@ -945,3 +945,188 @@ def semdedup(
         return pdf.loc[keep, [vec_id, centroid_id]]
 
     return assigned.groupBy(centroid_id).applyInPandas(prune, schema=out_schema)
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Integer division truncating toward zero — Spark's ``DIV`` and
+    DuckDB's ``//`` semantics (Python's ``//`` FLOORS, which differs on
+    negative sums; embeddings have negative components)."""
+    return -((-s) // n) if s < 0 else s // n
+
+
+def kmeans_fp(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**6,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_col: str = "c_embedding",
+) -> DataFrame:
+    """Fixed-point k-means (Lloyd) — every arithmetic step is int64, so
+    the result is BIT-IDENTICAL across engines, partitionings, and AQE
+    re-plans (float k-means differs run-to-run through summation order;
+    this is the clustering twin of graph.domain_rank's discipline).
+
+    Contract (spelled identically in :func:`kmeans_fp_sql`):
+
+    * quantize every component to ``q = CAST(FLOOR(x·scale) AS BIGINT)``
+      (IEEE multiply + floor: identical everywhere);
+    * assignment: argmin over centroids of Σ_dims (qv−qc)² — pure int64,
+      EXACT, ties → lower centroid id.  No float comparison exists
+      anywhere in the loop, so even near-ties are deterministic —
+      stronger than the cosine-assignment operators, whose decisions are
+      only empirically stable;
+    * update: qc' = Σ_members qv DIV n (truncation toward zero — Spark
+      ``DIV`` == DuckDB ``//``; Python floors, so the driver spells
+      :func:`_tdiv`); an EMPTY cluster keeps its previous centroid;
+    * output: (centroid_id, dim, q, n) — final quantized centroids
+      (dim is 1-based, matching SQL list indexing) and member counts.
+
+    Scale shape: per iteration ONE corpus scan through an Arrow stage
+    that quantizes, assigns (int64 matmul expansion ‖v‖²−2v·c+‖c‖², no
+    B×C×d tensor), and emits per-batch PARTIAL per-(cid, dim) sums —
+    map-side combine inside the UDF, so the exchange carries
+    C·d·partitions rows; a C·d groupBy collects to the driver (a tiny
+    control frame, the knn_cells pattern) where the next centroid matrix
+    is formed exactly.  The corpus frame is persisted once and re-read
+    per round; T iterations never stack T plans because each round's
+    Spark work is an independent job over the same cached frame."""
+    if iterations < 1:
+        raise ValueError(f"iterations {iterations} < 1")
+    cids, qc = _quantized_matrix(centroids, centroid_id, centroid_col, scale)
+    C, d = qc.shape
+    src = vectors.select(
+        F.col(vec_id), _as_double(F.col(vec_col)).alias("_e")
+    ).persist()
+    src.count()  # eager: every round re-reads this frame
+    out_schema = StructType(
+        [
+            StructField("cid", LongType()),
+            StructField("dim", IntegerType()),
+            StructField("s", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    spark = vectors.sparkSession
+    try:
+        for _ in range(iterations):
+            qc_now = qc  # bind per-round (closure-factory rule)
+
+            def partial(
+                batches: Iterator[pd.DataFrame], _qc=qc_now
+            ) -> Iterator[pd.DataFrame]:
+                # int64 throughout: q ≤ scale, so ‖c‖² ≤ d·scale² ≈ 6.4e13
+                c_n2 = np.einsum("ij,ij->i", _qc, _qc)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    V = np.vstack(pdf["_e"].to_numpy()).astype(np.float64, copy=False)
+                    Q = np.floor(V * float(scale)).astype(np.int64)
+                    # ‖q−c‖² = ‖q‖² − 2 q·c + ‖c‖²; ‖q‖² is constant per row
+                    # and drops out of the argmin — int64 matmul, exact
+                    D = c_n2[None, :] - 2 * (Q @ _qc.T)
+                    a = np.argmin(D, axis=1)  # first min = lowest cid index
+                    S = np.zeros((len(_qc), Q.shape[1]), dtype=np.int64)
+                    np.add.at(S, a, Q)
+                    n = np.bincount(a, minlength=len(_qc)).astype(np.int64)
+                    hit = np.flatnonzero(n)
+                    yield pd.DataFrame(
+                        {
+                            "cid": np.repeat(hit, Q.shape[1]),
+                            "dim": np.tile(
+                                np.arange(1, Q.shape[1] + 1, dtype=np.int32),
+                                len(hit),
+                            ),
+                            "s": S[hit].ravel(),
+                            "n": np.repeat(n[hit], Q.shape[1]),
+                        }
+                    )
+
+            agg = (
+                src.mapInPandas(partial, schema=out_schema)
+                .groupBy("cid", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            )
+            rows = agg.collect()  # ≤ C·d rows: a control frame
+            sums = np.zeros((C, d), dtype=object)
+            counts = np.zeros(C, dtype=np.int64)
+            for r in rows:
+                ci = int(r["cid"])
+                sums[ci, int(r["dim"]) - 1] = int(r["s"])
+                counts[ci] = int(r["n"])
+            new_qc = qc.copy()
+            for ci in range(C):
+                if counts[ci]:
+                    for di in range(d):
+                        new_qc[ci, di] = _tdiv(int(sums[ci, di]), int(counts[ci]))
+            qc = new_qc
+    finally:
+        src.unpersist()
+    vals = ", ".join(
+        f"(CAST({int(cids[ci])} AS BIGINT), {di + 1}, "
+        f"CAST({int(qc[ci, di])} AS BIGINT), CAST({int(counts[ci])} AS BIGINT))"
+        for ci in range(C)
+        for di in range(d)
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(centroid_id, dim, q, n)"
+    )
+
+
+def _quantized_matrix(df: DataFrame, id_col: str, vec_col: str, scale: int):
+    """(ids, int64 matrix) of floor(x·scale) per component, rows sorted
+    by id — the kmeans_fp quantization, applied once to the seed."""
+    rows = sorted(df.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    M = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return ids, np.floor(M * float(scale)).astype(np.int64)
+
+
+def kmeans_fp_sql(
+    vectors_sql: str,
+    seed_pred: str,
+    dim: int,
+    iterations: int = 3,
+    scale: int = 10**6,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`kmeans_fp`: T rounds unroll into chained
+    CTEs (the domain_rank_sql discipline), each spelling the identical
+    int64 arithmetic — FLOOR(x·scale) quantization, Σ(qv−qc)² argmin
+    with lower-cid ties, truncating ``//`` update, empty-cluster carry.
+    ``seed_pred`` selects the seed rows (e.g. ``vec_id < 8``)."""
+    ctes = [
+        f"""vq AS (
+  SELECT {vec_id} AS vid, s.i AS dim,
+         CAST(FLOOR(CAST({vec_col}[s.i] AS DOUBLE) * {scale}.0) AS BIGINT) AS q
+  FROM ({vectors_sql}) v, (SELECT UNNEST(RANGE(1, {dim + 1})) AS i) s),
+c0 AS (SELECT vid AS cid, dim, q FROM vq WHERE {seed_pred.replace(vec_id, 'vid')})"""
+    ]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vid, cid FROM (
+    SELECT vq.vid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY vq.vid
+             ORDER BY SUM((vq.q - c.q) * (vq.q - c.q)) ASC, c.cid ASC) AS r
+    FROM vq JOIN c{p} c USING (dim) GROUP BY vq.vid, c.cid) WHERE r = 1),
+m{t} AS (
+  -- DuckDB SUM(BIGINT) widens to HUGEINT: cast back so q stays int64
+  SELECT a.cid, vq.dim, CAST(SUM(vq.q) // COUNT(*) AS BIGINT) AS q,
+         COUNT(*) AS n
+  FROM a{t} a JOIN vq ON vq.vid = a.vid GROUP BY a.cid, vq.dim),
+c{t} AS (
+  SELECT c.cid, c.dim, COALESCE(m.q, c.q) AS q,
+         COALESCE(m.n, CAST(0 AS BIGINT)) AS n
+  FROM c{p} c LEFT JOIN m{t} m ON m.cid = c.cid AND m.dim = c.dim)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT cid AS centroid_id, CAST(dim AS INTEGER) AS dim, q, n "
+        f"FROM c{iterations}"
+    )

@@ -2271,3 +2271,34 @@ def test_semdedup_exists_rule_and_zero_norm(spark):
     )
     kept = {r["vec_id"] for r in semdedup(vecs, cents, threshold=0.98).collect()}
     assert kept == {0, 3}  # 1 dies to 0; 2 dies to 1 (even though 1 died)
+
+
+def test_kmeans_fp_partition_invariance_and_empty_cluster(spark):
+    """Fixed-point k-means is bit-identical under ANY partitioning (the
+    operator's whole reason to exist: int64 sums commute exactly), an
+    empty cluster carries its previous quantized centroid with n=0, and
+    _tdiv matches Spark DIV / DuckDB // truncation on negative sums."""
+    from shapefile_rs_spark.operators.similarity import _tdiv, kmeans_fp
+
+    assert _tdiv(-7, 2) == -3 and _tdiv(7, 2) == 3 and _tdiv(-6, 2) == -3
+    rows = [
+        (i, [float(i % 3) - 1.0 + 0.01 * i, 0.5 - 0.02 * i]) for i in range(20)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # centroid 99 sits far outside the data: captures nothing, must carry
+    cents = spark.createDataFrame(
+        [(0, [-1.0, 0.5]), (1, [1.0, 0.3]), (99, [1000.0, 1000.0])],
+        "centroid_id bigint, c_embedding array<double>",
+    )
+    a = sorted(
+        tuple(r) for r in kmeans_fp(vecs.repartition(1), cents, iterations=2).collect()
+    )
+    b = sorted(
+        tuple(r) for r in kmeans_fp(vecs.repartition(7), cents, iterations=2).collect()
+    )
+    assert a == b
+    far = [t for t in a if t[0] == 99]
+    assert all(n == 0 for (_, _, _, n) in far)
+    assert [q for (_, _, q, _) in far] == [1000000000, 1000000000]  # floor(1000·10⁶)
+    with pytest.raises(ValueError, match="iterations"):
+        kmeans_fp(vecs, cents, iterations=0)

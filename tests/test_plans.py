@@ -534,3 +534,19 @@ def test_semdedup_single_cell_shuffle(spark, sf_dir):
     assert "hashpartitioning(centroid_id" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_kmeans_fp_result_is_local_values(spark, sf_dir):
+    """kmeans_fp's returned frame is a driver-built VALUES relation (the
+    knn_cells control-frame pattern): the iterative jobs already ran, so
+    the RESULT plan must be a LocalTableScan with no parquet scan and no
+    exchange — consumers pay nothing to reuse the centroids."""
+    from shapefile_rs_spark.operators.similarity import kmeans_fp
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_embedding")
+    )
+    plan = _plan(kmeans_fp(emb, cents, iterations=1))
+    assert "LocalTableScan" in plan
+    assert "Scan parquet" not in plan and "Exchange" not in plan
