@@ -794,6 +794,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "vector", "stream", "hash")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BM25 top-10 (rational-idf variant, int64 micro-unit scores —
+    engine-bit-exact, see operators/retrieval.py) for a 4-term query over
+    the documents table.  Heavy map-only string scan → split=True."""
+    from shapefile_rs_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir, split=True), _BM25_TERMS, k=10)
+
+
 def q_kmeans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point k-means: 3 Lloyd rounds over the embeddings with the
     first-8-rows seed, every step int64 (floor-quantize, exact squared-
@@ -1936,6 +1948,9 @@ ROTATION = {
     # parked in round 6 for kmeans_fp (green r1-r5; quality_prune /
     # quality_prune2 keep ranked text-quality metrics in-window):
     "text_quality": 5,
+    # parked in round 6 for bm25 (green r1-r5; a pure JVM-codegen scan —
+    # its regex/masking machinery stays exercised by the pytest suite):
+    "pii_redact": 5,
 }
 
 
@@ -1972,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rank": q_domain_rank,
         "ann_ivfpq": q_ann_ivfpq,
         "kmeans_fp": q_kmeans_fp,
+        "bm25": q_bm25,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -1995,10 +2011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
         "semdedup": q_semdedup,
-        "pii_redact": q_pii_redact,
         # --- positions past DRIVER_GATE_WINDOW: parked (see ROTATION above).
         # Each keeps its local check_oracles.py gate; must rotate back within
         # 2 rounds (test_registry_rotation_guard enforces).
+        "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
         "char_minhash": q_char_minhash,
@@ -2612,6 +2628,7 @@ FROM stepped
         "domain_rank": _domain_rank_oracle(),
         "ann_ivfpq": _ann_ivfpq_oracle(),
         "kmeans_fp": _kmeans_fp_oracle(),
+        "bm25": _bm25_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2749,6 +2766,14 @@ SELECT query_id, vec_id, rnk FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rnk
   FROM scored) WHERE rnk <= 5
 """
+
+
+def _bm25_oracle() -> str:
+    from shapefile_rs_spark.operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql(
+        "SELECT doc_id, text FROM documents", _BM25_TERMS, k=10
+    )
 
 
 def _kmeans_fp_oracle() -> str:

@@ -2302,3 +2302,30 @@ def test_kmeans_fp_partition_invariance_and_empty_cluster(spark):
     assert [q for (_, _, q, _) in far] == [1000000000, 1000000000]  # floor(1000·10⁶)
     with pytest.raises(ValueError, match="iterations"):
         kmeans_fp(vecs, cents, iterations=0)
+
+
+def test_bm25_tf_counting_and_validation(spark):
+    """The doubled-space tf trick counts ADJACENT duplicates exactly (the
+    case plain non-overlapping search undercounts: 'a a a' is 3, not 2),
+    whitespace runs normalize, matching is whole-token and
+    case-insensitive; term validation rejects non-token queries."""
+    import pytest as _pytest
+
+    from shapefile_rs_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (0, "a a a"),              # adjacent dups: tf(a)=3
+        (1, "a\t a\n\nb aa ba"),   # runs + lookalikes: tf(a)=2, not aa/ba
+        (2, "A b"),                # lowercased: tf(a)=1
+        (3, "b b b b"),            # no a at all
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["rnk"] for r in bm25_topk(docs, ["a"], k=4).collect()}
+    # identical dl=3 for docs 0-2 ⇒ ranks follow tf: 3 > 2 > 1; doc 3
+    # scores exactly 0 (zero tf ⇒ zero contribution) and ranks last
+    assert out == {0: 1, 1: 2, 2: 3, 3: 4}
+    for bad in [[], ["a", "a"], ["Spark"], ["a b"], ["café"]]:
+        with _pytest.raises(ValueError):
+            bm25_topk(docs, bad)
+    with _pytest.raises(ValueError, match="empty corpus"):
+        bm25_topk(docs.filter(F.col("doc_id") < 0), ["a"])

@@ -550,3 +550,21 @@ def test_kmeans_fp_result_is_local_values(spark, sf_dir):
     plan = _plan(kmeans_fp(emb, cents, iterations=1))
     assert "LocalTableScan" in plan
     assert "Scan parquet" not in plan and "Exchange" not in plan
+
+
+def test_bm25_scoring_plan_take_ordered(spark, sf_dir):
+    """bm25's returned plan: ONE map-only scoring scan finished by
+    TakeOrderedAndProject (Spark's distributed partial top-k — no global
+    sort of the corpus); the only exchange is the SinglePartition feed of
+    the k-row rank window.  The stats pass already ran at build time as
+    its own job (a 1-row control frame), so it never re-enters this
+    plan — the scalar-aggregate re-scan trap stays closed."""
+    from shapefile_rs_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ["spark", "vector"], k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1
+    # TakeOrdered's single-partition output already satisfies the k-row
+    # rank window: ZERO exchanges in the whole plan
+    assert plan.count("Exchange") == 0
