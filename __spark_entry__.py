@@ -794,6 +794,17 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (target = English docs) over the hashed
+    bag-of-tokens — rational ratio weights in exact integer micro-units
+    (see operators/curation.py:dsir_weights)."""
+    from shapefile_rs_spark.operators.curation import dsir_weights
+
+    return dsir_weights(
+        _docs(spark, sf_dir, split=True), target_pred=F.col("lang") == "en"
+    )
+
+
 _BM25_TERMS = ("spark", "vector", "stream", "hash")
 
 
@@ -1951,6 +1962,9 @@ ROTATION = {
     # parked in round 6 for bm25 (green r1-r5; a pure JVM-codegen scan —
     # its regex/masking machinery stays exercised by the pytest suite):
     "pii_redact": 5,
+    # parked in round 6 for dsir (green r1-r5; minhash_lsh keeps the
+    # shingle-similarity family in-window):
+    "ngram_jaccard": 5,
 }
 
 
@@ -1988,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "kmeans_fp": q_kmeans_fp,
         "bm25": q_bm25,
+        "dsir": q_dsir,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -2005,7 +2020,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
         "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "ann_lsh": q_ann_lsh,
@@ -2017,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
+        "ngram_jaccard": q_ngram_jaccard,
         "char_minhash": q_char_minhash,
         "url_canon": q_url_canon,
         "doc_repetition": q_doc_repetition,
@@ -2629,6 +2644,7 @@ FROM stepped
         "ann_ivfpq": _ann_ivfpq_oracle(),
         "kmeans_fp": _kmeans_fp_oracle(),
         "bm25": _bm25_oracle(),
+        "dsir": _dsir_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2766,6 +2782,14 @@ SELECT query_id, vec_id, rnk FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rnk
   FROM scored) WHERE rnk <= 5
 """
+
+
+def _dsir_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import dsir_weights_sql
+
+    return dsir_weights_sql(
+        "SELECT doc_id, lang, text FROM documents", "lang = 'en'"
+    )
 
 
 def _bm25_oracle() -> str:

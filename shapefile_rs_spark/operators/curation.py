@@ -1548,3 +1548,129 @@ FROM (
   WHERE toks > 0
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed bag-of-tokens, exact integers)
+# ---------------------------------------------------------------------------
+
+_DSIR_GUARD_BITS = 40
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    scale: int = 10**6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, w_micro): DSIR-style importance weight per document —
+    how much more the TARGET distribution likes this doc's hashed
+    bag-of-tokens than the raw corpus does (Xie et al., "Data Selection
+    for Language Models via Importance Resampling": hashed n-gram
+    features, target/raw likelihood ratio as the resampling weight).
+
+    Exactness contract (the bm25/kmeans_fp discipline): the classic DSIR
+    weight is Σ_tokens log(p_target(f)/p_raw(f)) — log is libm, so this
+    operator uses the RATIONAL per-feature ratio with add-half Laplace
+    smoothing, scaled to micro-units ENTIRELY in integer arithmetic:
+
+        w_f = ⌊ (2·t_f+1)·(2·Q+B) · scale  //  (2·q_f+1)·(2·T+B) ⌋
+
+    (t_f/q_f = target/raw occurrences of feature f, T/Q their totals,
+    B = n_buckets).  The driver computes w_f in PYTHON ints (arbitrary
+    precision — the numerator can pass int64 at corpus scale); the
+    DuckDB twin does the same product in HUGEINT.  A per-doc weight is
+    then Σ_tokens w_{f(token)} — pure int64 summation, bit-identical
+    under any partial aggregation.  Features are 60-bit md5-prefix token
+    hashes mod B (the simhash token-hash spelling, reproducible in
+    DuckDB).
+
+    Scale shape: pass 1 tokenizes once (explode → groupBy(f) with
+    map-side combine — the exchange carries ≤ B·partitions rows) and
+    collects the B-row feature table (a control frame); pass 2
+    re-tokenizes, broadcast-joins the B-row weight table, and partially
+    aggregates per doc — both passes map-only + one doc-keyed exchange,
+    nothing quadratic.  A loud guard rejects weights ≥ 2^40: with
+    tokens-per-doc < 2^20 the per-doc int64 sum provably can't overflow
+    ANSI-loudly mid-job."""
+    if n_buckets < 2 or n_buckets > 1 << 20:
+        raise ValueError(f"n_buckets {n_buckets} outside [2, 2^20]")
+    tok = docs.select(
+        F.col(id_col),
+        F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("_is_t"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_w"),
+    ).withColumn(
+        "_f",
+        F.conv(F.substring(F.md5(F.encode(F.col("_w"), "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
+        % n_buckets,
+    )
+    cnt = (
+        tok.groupBy("_f")
+        .agg(F.sum("_is_t").alias("_t"), F.count(F.lit(1)).alias("_q"))
+        .collect()
+    )
+    t = {int(r["_f"]): int(r["_t"]) for r in cnt}
+    q = {int(r["_f"]): int(r["_q"]) for r in cnt}
+    T, Q = sum(t.values()), sum(q.values())
+    w = {}
+    for f in range(n_buckets):
+        num = (2 * t.get(f, 0) + 1) * (2 * Q + n_buckets) * scale
+        den = (2 * q.get(f, 0) + 1) * (2 * T + n_buckets)
+        w[f] = num // den  # both positive: truncation == floor
+        if w[f] >> _DSIR_GUARD_BITS:
+            raise ValueError(
+                f"bucket {f} weight {w[f]} ≥ 2^{_DSIR_GUARD_BITS}: per-doc "
+                "int64 sums could overflow — raise n_buckets or rescale"
+            )
+    spark = docs.sparkSession
+    vals = ", ".join(
+        f"(CAST({f} AS BIGINT), CAST({w[f]} AS BIGINT))" for f in range(n_buckets)
+    )
+    wdf = spark.sql(f"SELECT * FROM VALUES {vals} AS t(_f, _w_f)")
+    return (
+        tok.join(F.broadcast(wdf), "_f")
+        .groupBy(id_col)
+        .agg(F.sum("_w_f").alias("w_micro"))
+    )
+
+
+def dsir_weights_sql(
+    docs_sql: str,
+    target_pred_sql: str,
+    n_buckets: int = 256,
+    scale: int = 10**6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` — the weight products run in
+    HUGEINT (DuckDB's int128), matching the driver's Python-int math."""
+    return f"""
+WITH tok0 AS (
+  SELECT {id_col},
+         CASE WHEN {target_pred_sql} THEN 1 ELSE 0 END AS is_t,
+         unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS w
+  FROM ({docs_sql}) d
+), tok AS (
+  SELECT {id_col}, is_t,
+         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % {n_buckets} AS f
+  FROM tok0
+), cnt AS (
+  SELECT f, CAST(SUM(is_t) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS q
+  FROM tok GROUP BY f
+), tot AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS tt, CAST(SUM(q) AS BIGINT) AS qq FROM cnt
+), wt AS (
+  SELECT r.range AS f,
+         CAST((CAST(2 * COALESCE(c.t, 0) + 1 AS HUGEINT)
+               * (2 * tot.qq + {n_buckets}) * {scale})
+              // (CAST(2 * COALESCE(c.q, 0) + 1 AS HUGEINT)
+               * (2 * tot.tt + {n_buckets})) AS BIGINT) AS w_f
+  FROM range({n_buckets}) r LEFT JOIN cnt c ON c.f = r.range CROSS JOIN tot
+)
+SELECT tok.{id_col}, CAST(SUM(wt.w_f) AS BIGINT) AS w_micro
+FROM tok JOIN wt ON wt.f = tok.f
+GROUP BY tok.{id_col}
+"""

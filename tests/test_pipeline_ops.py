@@ -2329,3 +2329,31 @@ def test_bm25_tf_counting_and_validation(spark):
             bm25_topk(docs, bad)
     with _pytest.raises(ValueError, match="empty corpus"):
         bm25_topk(docs.filter(F.col("doc_id") < 0), ["a"])
+
+
+def test_dsir_weights_semantics(spark):
+    """Target-heavy docs weigh more than raw-typical docs; weights are
+    identical at any partitioning (int64 sums commute); the 2^40 guard
+    fires on degenerate bucket counts (a 1-token corpus concentrates the
+    whole ratio mass in one bucket at high B)."""
+    from shapefile_rs_spark.operators.curation import dsir_weights
+
+    rows = (
+        [(i, "en", "target jargon " * 10) for i in range(5)]
+        + [(i + 5, "de", "common filler " * 10) for i in range(40)]
+        + [(100, "de", "target jargon " * 10)]  # raw doc that LOOKS target
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    w = {
+        r["doc_id"]: r["w_micro"]
+        for r in dsir_weights(docs, F.col("lang") == "en", n_buckets=64).collect()
+    }
+    assert w[100] == w[0]  # weight depends on CONTENT, not the label
+    assert w[100] > w[5]  # target-like text outweighs raw-typical text
+    w2 = {
+        r["doc_id"]: r["w_micro"]
+        for r in dsir_weights(
+            docs.repartition(7), F.col("lang") == "en", n_buckets=64
+        ).collect()
+    }
+    assert w == w2

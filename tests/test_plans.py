@@ -568,3 +568,16 @@ def test_bm25_scoring_plan_take_ordered(spark, sf_dir):
     # TakeOrdered's single-partition output already satisfies the k-row
     # rank window: ZERO exchanges in the whole plan
     assert plan.count("Exchange") == 0
+
+
+def test_dsir_scoring_plan_broadcast_weights(spark, sf_dir):
+    """dsir's scoring plan: tokenize scan → BROADCAST join against the
+    256-row weight VALUES relation → partial-aggregated doc sum — no
+    sort-merge join, ONE doc-keyed exchange."""
+    from shapefile_rs_spark.operators.curation import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dsir_weights(docs, F.col("lang") == "en"))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
