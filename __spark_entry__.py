@@ -794,6 +794,29 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-diversity quota — operator COMPOSITION: assign_centroids
+    puts every document's embedding in a cell, host_cap (keyed by the
+    cell instead of the host) keeps the top-40 by n_chars per cell — the
+    cluster-balanced sampling move that stops one semantic mode from
+    dominating a curated corpus.  vec_id ↔ doc_id by fixture design."""
+    from shapefile_rs_spark.operators.curation import host_cap
+    from shapefile_rs_spark.operators.similarity import assign_centroids
+
+    a = assign_centroids(_emb(spark, sf_dir), _emb_centroids(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars").cast("long").alias("n_chars")
+    )
+    joined = a.join(docs, "vec_id")
+    capped = host_cap(
+        joined, cap=40, host_col="centroid_id", id_col="vec_id",
+        order_col="n_chars",
+    )
+    return capped.select(
+        "vec_id", "centroid_id", F.col("host_rank").alias("cell_rank")
+    )
+
+
 def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (target = English docs) over the hashed
     bag-of-tokens — rational ratio weights in exact integer micro-units
@@ -1965,6 +1988,10 @@ ROTATION = {
     # parked in round 6 for dsir (green r1-r5; minhash_lsh keeps the
     # shingle-similarity family in-window):
     "ngram_jaccard": 5,
+    # parked in round 6 for cluster_cap (green r1-r5; tile_assign /
+    # tile_pyramid keep the tiling family covered via the local gate,
+    # cell_census stays in-window):
+    "tile_rollup": 5,
 }
 
 
@@ -2003,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fp": q_kmeans_fp,
         "bm25": q_bm25,
         "dsir": q_dsir,
+        "cluster_cap": q_cluster_cap,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -2017,7 +2045,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapes_headers": q_shapes_headers,
         "shapes_attrs": q_shapes_attrs,
         "dedup_exact": q_dedup_exact,
-        "tile_rollup": q_tile_rollup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf": q_ann_ivf,
@@ -2032,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_ngram_jaccard,
+        "tile_rollup": q_tile_rollup,
         "char_minhash": q_char_minhash,
         "url_canon": q_url_canon,
         "doc_repetition": q_doc_repetition,
@@ -2645,6 +2673,7 @@ FROM stepped
         "kmeans_fp": _kmeans_fp_oracle(),
         "bm25": _bm25_oracle(),
         "dsir": _dsir_oracle(),
+        "cluster_cap": _cluster_cap_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2781,6 +2810,29 @@ SELECT query_id, vec_id, rnk FROM (
   SELECT query_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rnk
   FROM scored) WHERE rnk <= 5
+"""
+
+
+def _cluster_cap_oracle() -> str:
+    return """
+WITH cb AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < 8
+), va AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e.vec_id, cb.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cb.ce)
+               DESC, cb.cid ASC) AS r
+    FROM embeddings e CROSS JOIN cb) WHERE r = 1)
+SELECT vec_id, centroid_id, cell_rank FROM (
+  SELECT va.vec_id, va.centroid_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY va.centroid_id
+           ORDER BY CAST(d.n_chars AS BIGINT) DESC NULLS LAST, va.vec_id ASC
+         ) AS INTEGER) AS cell_rank
+  FROM va JOIN documents d ON d.doc_id = va.vec_id
+) WHERE cell_rank <= 40
 """
 
 
