@@ -828,6 +828,24 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incr_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-shaped DSIR: weight the doc_id%5==0 batch against the
+    committed stats registry of the rest of the corpus — provably equal
+    to full-corpus dsir restricted to batch docs (the oracle IS the
+    full-corpus query filtered to the batch)."""
+    from shapefile_rs_spark.operators.curation import (
+        dsir_registry,
+        dsir_weights_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    registry = dsir_registry(corpus, F.col("lang") == "en")
+    weights, _ = dsir_weights_incremental(batch, registry, F.col("lang") == "en")
+    return weights
+
+
 _BM25_TERMS = ("spark", "vector", "stream", "hash")
 
 
@@ -1992,6 +2010,9 @@ ROTATION = {
     # tile_pyramid keep the tiling family covered via the local gate,
     # cell_census stays in-window):
     "tile_rollup": 5,
+    # parked in round 6 for incr_dsir (green r1-r5; cell_census keeps the
+    # cell-index family in-window):
+    "tile_assign": 5,
 }
 
 
@@ -2031,10 +2052,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "dsir": q_dsir,
         "cluster_cap": q_cluster_cap,
+        "incr_dsir": q_incr_dsir,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
-        "tile_assign": q_tile_assign,
         "knn": q_knn,
         "knn_join": q_knn_join,
         "polygon_stats": q_polygon_stats,
@@ -2060,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_ngram_jaccard,
         "tile_rollup": q_tile_rollup,
+        "tile_assign": q_tile_assign,
         "char_minhash": q_char_minhash,
         "url_canon": q_url_canon,
         "doc_repetition": q_doc_repetition,
@@ -2674,6 +2696,7 @@ FROM stepped
         "bm25": _bm25_oracle(),
         "dsir": _dsir_oracle(),
         "cluster_cap": _cluster_cap_oracle(),
+        "incr_dsir": _incr_dsir_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2811,6 +2834,15 @@ SELECT query_id, vec_id, rnk FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rnk
   FROM scored) WHERE rnk <= 5
 """
+
+
+def _incr_dsir_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import dsir_weights_sql
+
+    full = dsir_weights_sql(
+        "SELECT doc_id, lang, text FROM documents", "lang = 'en'"
+    )
+    return f"SELECT * FROM ({full}) WHERE doc_id % 5 = 0"
 
 
 def _cluster_cap_oracle() -> str:

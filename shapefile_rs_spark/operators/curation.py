@@ -1595,9 +1595,28 @@ def dsir_weights(
     nothing quadratic.  A loud guard rejects weights ≥ 2^40: with
     tokens-per-doc < 2^20 the per-doc int64 sum provably can't overflow
     ANSI-loudly mid-job."""
+    tok = _dsir_tokens(docs, target_pred, n_buckets, id_col, text_col)
+    cnt = tok.groupBy("_f").agg(
+        F.sum("_is_t").alias("_t"), F.count(F.lit(1)).alias("_q")
+    ).collect()
+    t = {int(r["_f"]): int(r["_t"]) for r in cnt}
+    q = {int(r["_f"]): int(r["_q"]) for r in cnt}
+    w = _dsir_weight_table(t, q, n_buckets, scale)
+    return _dsir_score(tok, w, id_col)
+
+
+def _dsir_tokens(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, _is_t, _f): one row per token occurrence with its hashed
+    feature bucket — the shared tokenize+hash scan of the dsir family."""
     if n_buckets < 2 or n_buckets > 1 << 20:
         raise ValueError(f"n_buckets {n_buckets} outside [2, 2^20]")
-    tok = docs.select(
+    return docs.select(
         F.col(id_col),
         F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("_is_t"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_w"),
@@ -1607,13 +1626,11 @@ def dsir_weights(
         .cast("long")
         % n_buckets,
     )
-    cnt = (
-        tok.groupBy("_f")
-        .agg(F.sum("_is_t").alias("_t"), F.count(F.lit(1)).alias("_q"))
-        .collect()
-    )
-    t = {int(r["_f"]): int(r["_t"]) for r in cnt}
-    q = {int(r["_f"]): int(r["_q"]) for r in cnt}
+
+
+def _dsir_weight_table(t: dict, q: dict, n_buckets: int, scale: int) -> dict:
+    """Bucket → micro-unit weight, in exact Python ints (the products pass
+    int64 at corpus scale; the DuckDB twin runs them in HUGEINT)."""
     T, Q = sum(t.values()), sum(q.values())
     w = {}
     for f in range(n_buckets):
@@ -1625,11 +1642,16 @@ def dsir_weights(
                 f"bucket {f} weight {w[f]} ≥ 2^{_DSIR_GUARD_BITS}: per-doc "
                 "int64 sums could overflow — raise n_buckets or rescale"
             )
-    spark = docs.sparkSession
+    return w
+
+
+def _dsir_score(tok: DataFrame, w: dict, id_col: str) -> DataFrame:
+    """Σ_tokens w_f per doc via a broadcast join against the B-row weight
+    VALUES relation — partial-aggregated, pure int64."""
     vals = ", ".join(
-        f"(CAST({f} AS BIGINT), CAST({w[f]} AS BIGINT))" for f in range(n_buckets)
+        f"(CAST({f} AS BIGINT), CAST({wf} AS BIGINT))" for f, wf in sorted(w.items())
     )
-    wdf = spark.sql(f"SELECT * FROM VALUES {vals} AS t(_f, _w_f)")
+    wdf = tok.sparkSession.sql(f"SELECT * FROM VALUES {vals} AS t(_f, _w_f)")
     return (
         tok.join(F.broadcast(wdf), "_f")
         .groupBy(id_col)
@@ -1674,3 +1696,87 @@ SELECT tok.{id_col}, CAST(SUM(wt.w_f) AS BIGINT) AS w_micro
 FROM tok JOIN wt ON wt.f = tok.f
 GROUP BY tok.{id_col}
 """
+
+
+def dsir_registry(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The committed DSIR stats registry: ``(f, t, q)`` — target and raw
+    token-occurrence counts per hashed feature bucket.  Counts are
+    ADDITIVE across batches with disjoint doc-id sets: per-bucket SUM of
+    two registries equals the from-scratch registry of the union (pinned
+    in pytest) — the property that makes importance weighting
+    incremental.  B-row state (a control frame, not data-sized): at
+    100 TB this is the cheapest registry in the incr_* family."""
+    return (
+        _dsir_tokens(docs, target_pred, n_buckets, id_col, text_col)
+        .groupBy(F.col("_f").alias("f"))
+        .agg(F.sum("_is_t").alias("t"), F.count(F.lit(1)).alias("q"))
+    )
+
+
+def dsir_weights_incremental(
+    batch: DataFrame,
+    registry: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    scale: int = 10**6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple:
+    """Recrawl-shaped :func:`dsir_weights`: weight a NEW batch against
+    the committed stats registry without re-reading the corpus.  The
+    batch's bucket counts merge with the registry's (per-bucket sums),
+    weights derive from the COMBINED statistics, and only batch docs are
+    scored — so the output is EXACTLY ``dsir_weights(corpus ∪ batch)``
+    restricted to the batch's docs (pinned in pytest; weights depend
+    only on global counts plus each doc's own tokens, so no corpus doc's
+    weight is needed and none is retracted — corpus weights drift as
+    statistics accrue, the DSIR analog of the incr_* retraction-free
+    zone, and a pipeline re-weights the corpus only at checkpoint
+    cadence).
+
+    Returns ``(weights, delta)``: ``weights`` is (id, w_micro) for batch
+    docs; ``delta`` is the batch's (f, t, q) rows — merge into the
+    registry by per-bucket SUM (disjoint-doc-id contract, shared with
+    the whole incr_* family).
+
+    Scale shape: ONE batch tokenize scan (localCheckpoint'ed — it feeds
+    the count aggregation and the scoring join), the B-row registry and
+    B-row batch delta collect as control frames, and scoring is the same
+    broadcast-join + partial aggregation as the batch path.  The corpus
+    is structurally unreachable: nothing in the plan can touch it."""
+    tok = _dsir_tokens(batch, target_pred, n_buckets, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    cnt = tok.groupBy("_f").agg(
+        F.sum("_is_t").alias("_t"), F.count(F.lit(1)).alias("_q")
+    ).collect()
+    bt = {int(r["_f"]): int(r["_t"]) for r in cnt}
+    bq = {int(r["_f"]): int(r["_q"]) for r in cnt}
+    reg = registry.select("f", "t", "q").collect()  # B-row control frame
+    t = {int(r["f"]): int(r["t"]) for r in reg}
+    q = {int(r["f"]): int(r["q"]) for r in reg}
+    for f in set(bt) | set(bq):
+        t[f] = t.get(f, 0) + bt.get(f, 0)
+        q[f] = q.get(f, 0) + bq.get(f, 0)
+    w = _dsir_weight_table(t, q, n_buckets, scale)
+    weights = _dsir_score(tok, w, id_col)
+    spark = batch.sparkSession
+    if bq:
+        dvals = ", ".join(
+            f"(CAST({f} AS BIGINT), CAST({bt.get(f, 0)} AS BIGINT), "
+            f"CAST({bq[f]} AS BIGINT))"
+            for f in sorted(bq)
+        )
+        delta = spark.sql(f"SELECT * FROM VALUES {dvals} AS t(f, t, q)")
+    else:
+        delta = spark.sql(
+            "SELECT CAST(NULL AS BIGINT) f, CAST(NULL AS BIGINT) t, "
+            "CAST(NULL AS BIGINT) q WHERE FALSE"
+        )
+    return weights, delta

@@ -2357,3 +2357,44 @@ def test_dsir_weights_semantics(spark):
         ).collect()
     }
     assert w == w2
+
+
+def test_dsir_incremental_matches_from_scratch(spark):
+    """The incr_dsir contract: batch weights against the corpus registry
+    EQUAL full-corpus dsir restricted to batch docs; registry counts are
+    ADDITIVE (per-bucket sum-merge of two halves == from-scratch)."""
+    from shapefile_rs_spark.operators.curation import (
+        dsir_registry,
+        dsir_weights,
+        dsir_weights_incremental,
+    )
+
+    rows = [
+        (i, "en" if i % 3 == 0 else "de", f"tok{i % 7} tok{i % 5} common word")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    pred = F.col("lang") == "en"
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    reg = dsir_registry(corpus, pred, n_buckets=32)
+    weights, delta = dsir_weights_incremental(batch, reg, pred, n_buckets=32)
+    inc = {r["doc_id"]: r["w_micro"] for r in weights.collect()}
+    full = {
+        r["doc_id"]: r["w_micro"]
+        for r in dsir_weights(docs, pred, n_buckets=32).collect()
+        if r["doc_id"] % 4 == 0
+    }
+    assert inc == full
+    # additivity: registry(corpus) ⊕ delta(batch) == registry(all)
+    merged = {}
+    for r in reg.collect():
+        merged[r["f"]] = (r["t"], r["q"])
+    for r in delta.collect():
+        t0, q0 = merged.get(r["f"], (0, 0))
+        merged[r["f"]] = (t0 + r["t"], q0 + r["q"])
+    scratch = {
+        r["f"]: (r["t"], r["q"])
+        for r in dsir_registry(docs, pred, n_buckets=32).collect()
+    }
+    assert merged == scratch

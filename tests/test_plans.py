@@ -581,3 +581,24 @@ def test_dsir_scoring_plan_broadcast_weights(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") == 1
     assert "partial_sum" in plan or "partial sum" in plan.lower()
+
+
+def test_incr_dsir_batch_plan_never_touches_corpus(spark, sf_dir):
+    """dsir_weights_incremental's scoring plan consumes the checkpointed
+    batch tokenization (ExistingRDD) and the weight VALUES relation —
+    the corpus is structurally unreachable (no parquet scan at all once
+    the registry control frame is collected)."""
+    from shapefile_rs_spark.operators.curation import (
+        dsir_registry,
+        dsir_weights_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    reg = dsir_registry(corpus, F.col("lang") == "en")
+    weights, _ = dsir_weights_incremental(batch, reg, F.col("lang") == "en")
+    plan = _plan(weights)
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
