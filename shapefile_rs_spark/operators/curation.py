@@ -1614,8 +1614,12 @@ def _dsir_tokens(
 ) -> DataFrame:
     """(id, _is_t, _f): one row per token occurrence with its hashed
     feature bucket — the shared tokenize+hash scan of the dsir family."""
-    if n_buckets < 2 or n_buckets > 1 << 20:
-        raise ValueError(f"n_buckets {n_buckets} outside [2, 2^20]")
+    # ceiling 2^16: the weight table ships as a VALUES literal (and a
+    # broadcast) — a 2^16-row SQL text is the same order as the sanctioned
+    # closure_max_centroids matrix; past that the parser, not the plan,
+    # becomes the bottleneck
+    if n_buckets < 2 or n_buckets > 1 << 16:
+        raise ValueError(f"n_buckets {n_buckets} outside [2, 2^16]")
     return docs.select(
         F.col(id_col),
         F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("_is_t"),
@@ -1761,6 +1765,13 @@ def dsir_weights_incremental(
     reg = registry.select("f", "t", "q").collect()  # B-row control frame
     t = {int(r["f"]): int(r["t"]) for r in reg}
     q = {int(r["f"]): int(r["q"]) for r in reg}
+    bad = [f for f in q if not 0 <= f < n_buckets]
+    if bad:
+        raise ValueError(
+            f"registry buckets {bad[:3]}… outside [0, {n_buckets}): the "
+            "registry was built with a different n_buckets — counts would "
+            "silently drop from the weight table"
+        )
     for f in set(bt) | set(bq):
         t[f] = t.get(f, 0) + bt.get(f, 0)
         q[f] = q.get(f, 0) + bq.get(f, 0)

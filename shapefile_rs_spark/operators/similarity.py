@@ -1075,10 +1075,18 @@ def kmeans_fp(
     )
 
 
-def _quantized_matrix(df: DataFrame, id_col: str, vec_col: str, scale: int):
+def _quantized_matrix(
+    df: DataFrame, id_col: str, vec_col: str, scale: int, limit: int = 65536
+):
     """(ids, int64 matrix) of floor(x·scale) per component, rows sorted
-    by id — the kmeans_fp quantization, applied once to the seed."""
-    rows = sorted(df.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    by id — the kmeans_fp quantization, applied once to the seed.  The
+    limit+1 collect is the size probe AND the fetch (one job, the
+    _collect_matrix convention): a data-sized 'seed' is a caller bug and
+    fails loudly instead of spilling the driver."""
+    rows = df.select(id_col, vec_col).limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(f"kmeans seed exceeds {limit} rows — not a control frame")
+    rows = sorted(rows, key=lambda r: r[0])
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     M = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
     return ids, np.floor(M * float(scale)).astype(np.int64)
