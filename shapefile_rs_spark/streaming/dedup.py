@@ -275,3 +275,68 @@ def maintain_line_registry(
         .groupBy("line")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def maintain_dsir_registry(
+    docs_stream: DataFrame,
+    pipeline_root: str,
+    checkpoint_dir: str,
+    target_pred,
+    stage: str = "dsir",
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "dsir_registry_maintenance",
+):
+    """Keep the COMMITTED DSIR stats registry fresh as recrawl batches
+    land — the :func:`maintain_line_registry` pattern for
+    :func:`..operators.curation.dsir_weights_incremental`, at DOC grain:
+    each micro-batch's per-(doc, bucket) counts
+    (:func:`..operators.curation.dsir_doc_bucket_counts`) append through
+    ``append_delta``'s keyed anti-join on ``(_id, f)``, so a replayed or
+    re-SENT batch appends nothing and the registry stays
+    content-idempotent without any doc-id disjointness contract (the
+    batch operator's sum-merged ``delta`` needs that contract; committed
+    per-doc rows do not).
+
+    The registry the incremental weighting collects is the pair stage
+    aggregated per bucket — a B-row frame after one count shuffle over
+    doc×bucket-sized state, the price of exactly-once counting under
+    at-least-once delivery.  Stage name carries n_buckets so a bucket
+    change starts a fresh stage instead of mixing incompatible feature
+    spaces.  Runs availableNow and blocks until the backlog drains;
+    returns the aggregated ``(f, t, q)`` registry frame, or None when no
+    batch ever landed."""
+    from ..lineage import CheckpointedPipeline
+    from ..operators.curation import dsir_doc_bucket_counts
+
+    stage = f"{stage}-b{n_buckets}"
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipe = CheckpointedPipeline(batch_df.sparkSession, pipeline_root)
+        pipe.append_delta(
+            stage,
+            dsir_doc_bucket_counts(
+                batch_df, target_pred, n_buckets, id_col=id_col, text_col=text_col
+            ),
+            ["_id", "f"],
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_append)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pipe = CheckpointedPipeline(docs_stream.sparkSession, pipeline_root)
+    if not pipe.completed(stage):
+        return None  # zero non-empty batches and no prior stage
+    return (
+        pipe.spark.read.parquet(pipe.stage_path(stage))
+        .groupBy("f")
+        .agg(F.sum("t").alias("t"), F.sum("q").alias("q"))
+    )

@@ -366,3 +366,72 @@ def test_maintain_line_registry_content_idempotent(spark, sf_dir, tmp_path):
     )
     cleaned, _delta = line_prune_incremental(sample, reg, max_docs=2)
     assert cleaned.filter(F.col("n_kept") < F.col("n_lines")).count() > 0
+
+
+def test_maintain_dsir_registry_content_idempotent(spark, sf_dir, tmp_path):
+    """The committed DSIR stats registry follows ingestion at DOC grain:
+    wave 1 commits its per-(doc, bucket) counts; wave 2 plus a
+    byte-identical RE-SENT copy of wave 1 appends only wave 2's rows —
+    counts never double — and the aggregated registry equals the
+    from-scratch registry of both waves; incremental weighting reads it
+    directly and matches full-corpus dsir on the new batch."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators.curation import (
+        dsir_registry,
+        dsir_weights,
+        dsir_weights_incremental,
+    )
+    from shapefile_rs_spark.streaming.dedup import maintain_dsir_registry
+
+    pred = F.col("lang") == "en"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0).limit(40)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    land = tmp_path / "landing"
+    land.mkdir()
+    root = str(tmp_path / "pipe")
+    ck = tmp_path / "ck"
+    schema = wave1.schema
+
+    wave1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for f in (tmp_path / "w1").glob("*.parquet"):
+        shutil.copy(f, land / "batch_a.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    reg = maintain_dsir_registry(stream, root, str(ck / "1"), pred, n_buckets=32)
+    s1 = {
+        (r["f"], r["t"], r["q"])
+        for r in dsir_registry(wave1, pred, n_buckets=32).collect()
+    }
+    assert {(r["f"], r["t"], r["q"]) for r in reg.collect()} == s1
+
+    wave2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for f in (tmp_path / "w2").glob("*.parquet"):
+        shutil.copy(f, land / "batch_b.parquet")
+    shutil.copy(land / "batch_a.parquet", land / "batch_a_resend.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    reg = maintain_dsir_registry(stream, root, str(ck / "2"), pred, n_buckets=32)
+    both = wave1.unionByName(wave2)
+    scratch = {
+        (r["f"], r["t"], r["q"])
+        for r in dsir_registry(both, pred, n_buckets=32).collect()
+    }
+    assert {(r["f"], r["t"], r["q"]) for r in reg.collect()} == scratch
+
+    # incremental weighting against the MAINTAINED registry == full dsir
+    batch = docs.subtract(both).limit(10)
+    weights, _ = dsir_weights_incremental(batch, reg, pred, n_buckets=32)
+    inc = {r["doc_id"]: r["w_micro"] for r in weights.collect()}
+    bids = set(inc)
+    full = {
+        r["doc_id"]: r["w_micro"]
+        for r in dsir_weights(
+            both.unionByName(batch), pred, n_buckets=32
+        ).collect()
+        if r["doc_id"] in bids
+    }
+    assert inc == full and len(inc) == 10
