@@ -45,6 +45,10 @@ checkpoints sit on the critical path, not as dead side writes):
 5b. ``mixture`` — (``--mix-budget N``) mix_temp's temperature-scaled
    per-language allocation table over the curated corpus — the
    strata-sized planning artifact a trainer's sampler reads.
+5c. ``dsir``    — (``--dsir-target LANG``) per-doc exact-integer DSIR
+   importance weights of the curated text against the target language's
+   hashed token distribution — the resampling artifact the sampler
+   multiplies against the mixture allocation.
 6. ``sigs`` + ``bands`` — (``--sig-stage``) the curated corpus's MinHash
    signature parquet and its pre-banded ``(_id, band, band_key)`` twin,
    the published artifacts future recrawl batches LSH-join against
@@ -149,6 +153,15 @@ def build_args(argv=None):
         "curated corpus's BPE token counts — the strata-sized planning "
         "artifact a trainer's sampler reads; 0 disables",
     )
+    p.add_argument(
+        "--dsir-target",
+        default="",
+        help="also commit the 'dsir' stage: per-doc importance weights "
+        "(exact-integer micro-units) of the curated corpus against the "
+        "named target language's hashed token distribution — the "
+        "resampling artifact a trainer's sampler reads next to the "
+        "mixture table; empty disables",
+    )
     p.add_argument("--minhash-k", type=int, default=3)
     p.add_argument("--num-hashes", type=int, default=12)
     p.add_argument(
@@ -180,6 +193,7 @@ def run(spark, args) -> dict:
         + ("dedup", "decontam", "curated")
         + (("packed",) if args.pack_capacity else ())
         + (("mixture",) if args.mix_budget else ())
+        + (("dsir",) if args.dsir_target else ())
         + (("sigs", "bands") if args.sig_stage else ())
     )
     already_done = [s for s in stage_names if pipe.completed(s)]
@@ -358,6 +372,23 @@ def run(spark, args) -> dict:
             )
 
         pipe.run_stage("mixture", stage_mixture)
+
+    if args.dsir_target:
+        # per-doc resampling weights over the CURATED text (post-redact/
+        # boiler): the sampler multiplies these against the mixture
+        # allocation — committed like every artifact, so a resumed run
+        # never re-tokenizes
+        def stage_dsir():
+            from shapefile_rs_spark.operators.curation import dsir_weights
+
+            # curated already carries the redacted/boiler-cleaned text AS
+            # `text` — weight exactly what ships
+            return dsir_weights(
+                curated.select("doc_id", "lang", "text"),
+                target_pred=F.col("lang") == args.dsir_target,
+            )
+
+        pipe.run_stage("dsir", stage_dsir)
 
     from shapefile_rs_spark.operators.dedup import release_sig_caches
 

@@ -273,3 +273,33 @@ def test_curation_job_boiler_and_mixture_stages(spark, sf_dir, tmp_path):
     assert sum(r["alloc_tokens"] for r in rows) <= 100000
     res2 = run(spark, build_args(argv))
     assert {"boiler", "mixture"} <= set(res2["resumed_stages"])
+
+
+def test_curation_job_commits_dsir_stage(spark, sf_dir, tmp_path):
+    """--dsir-target commits the per-doc importance-weight artifact over
+    the CURATED corpus (exactly the curated doc set, int64 micro-units),
+    and it equals dsir_weights run directly on the curated stage — the
+    job wires the operator, it doesn't reimplement it."""
+    from pyspark.sql import functions as F
+
+    from run_curation import build_args, run
+    from shapefile_rs_spark.operators.curation import dsir_weights
+
+    out = str(tmp_path / "cur_dsir")
+    args = build_args(
+        ["--sf-dir", sf_dir, "--out", out, "--cpus", "4", "--dsir-target", "en"]
+    )
+    res = run(spark, args)
+    assert "dsir" in res["stages"]
+    curated = spark.read.parquet(f"{out}/stages/curated/data")
+    weights = spark.read.parquet(f"{out}/stages/dsir/data")
+    assert weights.count() == curated.count() == res["docs_out"]
+    direct = {
+        r["doc_id"]: r["w_micro"]
+        for r in dsir_weights(
+            curated.select("doc_id", "lang", "text"),
+            target_pred=F.col("lang") == "en",
+        ).collect()
+    }
+    committed = {r["doc_id"]: r["w_micro"] for r in weights.collect()}
+    assert committed == direct
