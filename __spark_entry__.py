@@ -794,6 +794,75 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 4),
+     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+SELECT query_id, vec_id, rnk FROM (
+  SELECT q.query_id, v.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(ve, qe) DESC, v.vec_id ASC) AS rnk
+  FROM v CROSS JOIN q
+) WHERE rnk <= 5
+"""
+
+_ANN_IVF_SQL = """
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+     va AS (SELECT vec_id, centroid_id FROM (
+         SELECT v.vec_id, c.centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(ve, ce) DESC, c.centroid_id ASC) AS r
+         FROM v CROSS JOIN c) WHERE r = 1),
+     q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 4),
+     qa AS (SELECT va.vec_id AS query_id, va.centroid_id FROM va WHERE va.vec_id < 4)
+SELECT query_id, vec_id, rnk FROM (
+  SELECT q.query_id, v.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(ve, qe) DESC, v.vec_id ASC) AS rnk
+  FROM q JOIN qa USING (query_id)
+         JOIN va ON va.centroid_id = qa.centroid_id
+         JOIN v ON v.vec_id = va.vec_id
+) WHERE rnk <= 5
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality telemetry as a first-class query: per-query overlap
+    between IVF top-5 and EXACT cosine top-5 (recall@5 numerator) — the
+    self-evaluation a production ANN deployment runs continuously; both
+    sides reuse the existing operators, the oracle composes the two
+    existing oracle SQLs."""
+    ivf = q_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
+    exact = (
+        q_ann_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ivf.join(exact, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 whitespace tokens by occurrence
+    count (ties → lexicographic) — the tokenizer-training first pass.
+    Scale shape: explode → count (map-side combine: the exchange carries
+    ≤ vocab·partitions rows, never token occurrences) → TakeOrdered
+    partial top-k; exact int64 counts."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    counted = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counted.orderBy(F.col("n").desc(), F.col("token").asc()).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
 def q_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-diversity quota — operator COMPOSITION: assign_centroids
     puts every document's embedding in a cell, host_cap (keyed by the
@@ -2013,6 +2082,12 @@ ROTATION = {
     # parked in round 6 for incr_dsir (green r1-r5; cell_census keeps the
     # cell-index family in-window):
     "tile_assign": 5,
+    # parked in round 6 for vocab_topk (green r1-r5; knn_join + knn_rings +
+    # knn_haversine keep the kNN family covered, knn_join in-window):
+    "knn": 5,
+    # parked in round 6 for ann_recall (green r1-r5; minhash_lsh +
+    # dedup_exact keep the dedup family in-window):
+    "dedup_clusters": 5,
 }
 
 
@@ -2053,10 +2128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "cluster_cap": q_cluster_cap,
         "incr_dsir": q_incr_dsir,
+        "vocab_topk": q_vocab_topk,
+        "ann_recall": q_ann_recall,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
-        "knn": q_knn,
         "knn_join": q_knn_join,
         "polygon_stats": q_polygon_stats,
         "convex_hull": q_convex_hull,
@@ -2067,7 +2143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapes_attrs": q_shapes_attrs,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
         "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "ann_lsh": q_ann_lsh,
@@ -2082,6 +2157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "tile_rollup": q_tile_rollup,
         "tile_assign": q_tile_assign,
+        "knn": q_knn,
+        "dedup_clusters": q_dedup_clusters,
         "char_minhash": q_char_minhash,
         "url_canon": q_url_canon,
         "doc_repetition": q_doc_repetition,
@@ -2403,37 +2480,8 @@ SELECT doc_id,
        {dd.ngram_jaccard_sql(dd.word_shingles_sql('text', 3), dd.word_shingles_sql("(text || ' near dup suffix')", 3))} AS jaccard
 FROM documents
 """,
-        "ann_topk": """
-WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-           FROM embeddings WHERE vec_id < 4),
-     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
-SELECT query_id, vec_id, rnk FROM (
-  SELECT q.query_id, v.vec_id,
-         ROW_NUMBER() OVER (PARTITION BY q.query_id
-           ORDER BY list_cosine_similarity(ve, qe) DESC, v.vec_id ASC) AS rnk
-  FROM v CROSS JOIN q
-) WHERE rnk <= 5
-""",
-        "ann_ivf": """
-WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
-           FROM embeddings WHERE vec_id < 8),
-     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-     va AS (SELECT vec_id, centroid_id FROM (
-         SELECT v.vec_id, c.centroid_id,
-                ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                  ORDER BY list_cosine_similarity(ve, ce) DESC, c.centroid_id ASC) AS r
-         FROM v CROSS JOIN c) WHERE r = 1),
-     q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 4),
-     qa AS (SELECT va.vec_id AS query_id, va.centroid_id FROM va WHERE va.vec_id < 4)
-SELECT query_id, vec_id, rnk FROM (
-  SELECT q.query_id, v.vec_id,
-         ROW_NUMBER() OVER (PARTITION BY q.query_id
-           ORDER BY list_cosine_similarity(ve, qe) DESC, v.vec_id ASC) AS rnk
-  FROM q JOIN qa USING (query_id)
-         JOIN va ON va.centroid_id = qa.centroid_id
-         JOIN v ON v.vec_id = va.vec_id
-) WHERE rnk <= 5
-""",
+        "ann_topk": _ANN_TOPK_SQL,
+        "ann_ivf": _ANN_IVF_SQL,
         "ann_ivf2": """
 WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
            FROM embeddings WHERE vec_id < 8),
@@ -2697,6 +2745,8 @@ FROM stepped
         "dsir": _dsir_oracle(),
         "cluster_cap": _cluster_cap_oracle(),
         "incr_dsir": _incr_dsir_oracle(),
+        "vocab_topk": _VOCAB_TOPK_SQL,
+        "ann_recall": _ann_recall_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2833,6 +2883,30 @@ SELECT query_id, vec_id, rnk FROM (
   SELECT query_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rnk
   FROM scored) WHERE rnk <= 5
+"""
+
+
+_VOCAB_TOPK_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), counted AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+)
+SELECT token, n,
+       ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+FROM (SELECT * FROM counted ORDER BY n DESC, token ASC LIMIT 50)
+"""
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+SELECT a.query_id,
+       CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+FROM ({_ANN_IVF_SQL}) a
+LEFT JOIN ({_ANN_TOPK_SQL}) b
+  ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+GROUP BY a.query_id
 """
 
 
