@@ -916,6 +916,9 @@ def q_incr_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TERMS = ("spark", "vector", "stream", "hash")
+_LM_VOCAB_CAP = 1024
+_BPE_MERGES = 8
+_BPE_MAX_WORDS = 512
 
 
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,6 +928,29 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.retrieval import bm25_topk
 
     return bm25_topk(_docs(spark, sf_dir, split=True), _BM25_TERMS, k=10)
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM quality scoring (the CCNet/RefinedWeb
+    perplexity-filter stage, libm-free): train the capped bigram model on
+    the corpus itself, score every >=2-token document by its mean
+    fixed-point micro-probability — int64 end to end, engine-bit-exact
+    (operators/lm.py module docstring has the full contract)."""
+    from shapefile_rs_spark.operators.lm import lm_score
+
+    return lm_score(_docs(spark, sf_dir), vocab_cap=_LM_VOCAB_CAP)
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning (Sennrich): one corpus scan to the capped
+    word-frequency table, then 8 deterministic highest-pair merges over
+    the vocab frame — the corpus never iterates.  Output is the learned
+    merge table (rank, lhs, rhs, pair_count), all int64/string."""
+    from shapefile_rs_spark.operators.lm import bpe_learn
+
+    return bpe_learn(
+        _docs(spark, sf_dir), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+    )
 
 
 def q_kmeans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,6 +2114,11 @@ ROTATION = {
     # parked in round 6 for ann_recall (green r1-r5; minhash_lsh +
     # dedup_exact keep the dedup family in-window):
     "dedup_clusters": 5,
+    # parked in round 6 for lm_score/bpe_learn (green r1-r5; the shapes
+    # family keeps decode/roundtrip/headers in-window, the ANN family
+    # keeps ann_lsh/ann_lsh_mp/ann_pq/ann_ivfpq/ann_recall):
+    "shapes_attrs": 5,
+    "ann_ivf": 5,
 }
 
 
@@ -2130,6 +2161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dsir": q_incr_dsir,
         "vocab_topk": q_vocab_topk,
         "ann_recall": q_ann_recall,
+        "lm_score": q_lm_score,
+        "bpe_learn": q_bpe_learn,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -2140,10 +2173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapes_decode": q_shapes_decode,
         "shapes_roundtrip": q_shapes_roundtrip,
         "shapes_headers": q_shapes_headers,
-        "shapes_attrs": q_shapes_attrs,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
-        "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
@@ -2151,6 +2182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- positions past DRIVER_GATE_WINDOW: parked (see ROTATION above).
         # Each keeps its local check_oracles.py gate; must rotate back within
         # 2 rounds (test_registry_rotation_guard enforces).
+        "shapes_attrs": q_shapes_attrs,
+        "ann_ivf": q_ann_ivf,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2747,6 +2780,8 @@ FROM stepped
         "incr_dsir": _incr_dsir_oracle(),
         "vocab_topk": _VOCAB_TOPK_SQL,
         "ann_recall": _ann_recall_oracle(),
+        "lm_score": _lm_score_oracle(),
+        "bpe_learn": _bpe_learn_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2948,6 +2983,18 @@ def _dsir_oracle() -> str:
     return dsir_weights_sql(
         "SELECT doc_id, lang, text FROM documents", "lang = 'en'"
     )
+
+
+def _lm_score_oracle() -> str:
+    from shapefile_rs_spark.operators.lm import lm_score_sql
+
+    return lm_score_sql(vocab_cap=_LM_VOCAB_CAP)
+
+
+def _bpe_learn_oracle() -> str:
+    from shapefile_rs_spark.operators.lm import bpe_learn_sql
+
+    return bpe_learn_sql(n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS)
 
 
 def _bm25_oracle() -> str:

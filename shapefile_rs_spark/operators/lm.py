@@ -1,0 +1,381 @@
+"""Language-model operators over the documents table — the two classic
+vocabulary/likelihood stages of a web-scale training-data pipeline:
+
+* :func:`lm_score` — CCNet-style n-gram LM quality scoring: train a
+  bigram model ON the corpus (one aggregation pass), then score every
+  document by its mean per-bigram model probability.  Low score = text
+  the corpus-level model finds surprising (gibberish, boilerplate salad,
+  wrong-language) — the perplexity-filter role of the KenLM stage in
+  CCNet/RefinedWeb, re-expressed without libm.
+* :func:`bpe_learn` — byte-pair-encoding merge learning (Sennrich-style):
+  aggregate the corpus to a capped word-frequency table, then iteratively
+  merge the highest-count adjacent symbol pair.  The word table — not the
+  corpus — is what iterates, which is exactly why BPE training scales:
+  the 100 TB corpus is touched ONCE (the word-count shuffle), and every
+  merge round runs over the ≤``max_words`` vocabulary frame.
+
+Engine-exactness contract (the repo's hash gate needs bit-identical
+values in Spark and DuckDB):
+
+* **No libm.**  A real perplexity is exp(-mean log p); ln/exp are not
+  pinned across math libraries (CLAUDE.md float recipe).  The score here
+  is the mean FIXED-POINT probability: each bigram contributes
+  ``c(w1,w2) * 1_000_000 DIV c(w1)`` micro-units (int64, truncating
+  division — Spark ``DIV`` == DuckDB ``//`` on non-negative counts), the
+  per-document mean is an int64 sum followed by one more truncating
+  division.  Monotone in the same direction as negative perplexity for
+  filtering purposes; the deviation from log-scoring is documented here
+  and in SURVEY §2.
+* **Stupid-backoff shape** (Brants et al., "Large Language Models in
+  Machine Translation", 2007 — the count-based backoff Google built for
+  exactly this distributed setting): a bigram outside the capped model
+  backs off to ``(c(w2) * 1_000_000 DIV total_tokens) DIV 10`` (α = 0.1
+  as an integer division), and an unknown unigram floors at 1 micro-unit.
+  All selection is deterministic: model caps take the top-V by
+  (count DESC, token ASC).
+* **Int64 everywhere.**  Sums commute; no float enters any aggregate.
+  The ×1_000_000 quantization bounds the model at ~9.2e12 occurrences of
+  a single token (int64 ceiling / scale) — asserted loudly at train time
+  rather than silently wrapping.
+
+Scale shape (100 TB):
+
+* ``lm_score`` pass 1 aggregates bigram + unigram counts — the canonical
+  word-count shuffle with map-side partial aggregation; the capped model
+  (top-V rows) is then BROADCAST, so pass 2's scoring join never
+  shuffles the corpus; the only corpus-keyed exchange is the final
+  per-document aggregation (AQE-sized).
+* ``bpe_learn`` round N's pair-count runs over the ≤``max_words``
+  vocabulary frame (kilobytes at fixture scale, a few hundred MB at a
+  real 1M-type vocabulary) — each round is a small self-contained job;
+  the winning pair is a 1-row driver collect (the knn_cells
+  control-frame pattern), and the merge application is one codegen
+  ``replace`` over the vocab frame, localCheckpointed so round N+1 does
+  not recompute rounds 1..N.
+
+Reference parity note: the shapefile reference has no LM surface; these
+operators extend the engine's training-data-pipeline family (SURVEY §2.3
+"beyond-reference" block) alongside dedup/ANN/DSIR/BM25.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .retrieval import _ws_pattern
+
+_SCALE = 1_000_000
+_INT64_MAX = (1 << 63) - 1
+
+# tokens admitted into the BPE word table: the merge application embeds
+# symbols into SQL string literals, so the charset is locked to
+# [a-z0-9] — no quote, backslash, or regex metacharacter can enter a
+# needle (the literal-injection guard; documented in bpe_learn).
+_BPE_WORD_RE = "^[a-z0-9]+$"
+
+
+def _tokens_expr(text_col: str, engine: str) -> str:
+    """Whitespace tokens of lower(trim(text)) — token_count's spelling."""
+    if engine == "spark":
+        return f"split(trim(lower({text_col})), '{_ws_pattern('spark')}')"
+    return f"string_split_regex(trim(lower({text_col})), '{_ws_pattern('duckdb')}')"
+
+
+# ---------------------------------------------------------------------------
+# lm_score — bigram stupid-backoff quality scoring
+# ---------------------------------------------------------------------------
+
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair.  arrays_zip over
+    two slices (head, tail) keeps the whole extraction in codegen
+    built-ins; a transform(sequence(...)) lambda would drop the stage to
+    the interpreted HOF path (CLAUDE.md)."""
+    toks = docs.select(
+        F.col(id_col), F.expr(_tokens_expr(text_col, "spark")).alias("t")
+    ).where(F.size("t") >= 2)
+    pairs = toks.select(
+        id_col,
+        F.slice("t", 1, F.size("t") - 1).alias("head"),
+        F.expr("slice(t, 2, size(t) - 1)").alias("tail"),
+    ).select(id_col, F.explode(F.arrays_zip("head", "tail")).alias("p"))
+    return pairs.select(id_col, F.col("p.head").alias("w1"), F.col("p.tail").alias("w2"))
+
+
+def lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_cap: int = 1024,
+) -> DataFrame:
+    """Per-document mean fixed-point bigram probability (micro-units).
+
+    Returns (id_col, n_bigrams, lm_micro) for every document with ≥2
+    tokens; ``lm_micro = Σ contrib DIV n_bigrams`` where contrib is the
+    stupid-backoff micro-probability defined in the module docstring.
+    """
+    # pass 1a: unigram counts — the canonical word-count shuffle.  The
+    # frame is referenced three times below (totals, unigram model,
+    # bigram model's left-context counts); an eager localCheckpoint
+    # materializes the ONE corpus scan, where lazy reuse would re-plan
+    # and re-scan per reference (the CLAUDE.md double-reference trap).
+    uni_all = (
+        docs.select(F.explode(F.expr(_tokens_expr(text_col, "spark"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+        .localCheckpoint(eager=True)
+    )
+    tot_row = uni_all.agg(
+        F.sum("c_uni").alias("total"), F.max("c_uni").alias("cmax")
+    ).collect()[0]
+    total_tokens, cmax = int(tot_row["total"]), int(tot_row["cmax"])
+    if cmax > _INT64_MAX // _SCALE:
+        raise ValueError(
+            f"token count {cmax} would overflow int64 under x{_SCALE} "
+            "quantization — shrink the corpus shard or the scale"
+        )
+    uni_model = uni_all.orderBy(F.desc("c_uni"), F.asc("w")).limit(vocab_cap)
+
+    # pass 1b: bigram counts + the EXACT (uncapped) left-context count,
+    # capped to the model — TakeOrdered, no global sort.  Checkpointed so
+    # the scoring job's plan holds a single corpus scan (tests pin this):
+    # broadcasting a lazy model subtree would re-run its corpus scan
+    # inside the scoring job.
+    big_model = (
+        _bigrams(docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+        .join(uni_all.withColumnRenamed("w", "w1"), "w1")
+        .orderBy(F.desc("c_big"), F.asc("w1"), F.asc("w2"))
+        .limit(vocab_cap)
+        .select("w1", "w2", "c_big", F.col("c_uni").alias("c_w1"))
+        .localCheckpoint(eager=True)
+    )
+
+    pairs = _bigrams(docs, id_col, text_col)
+    scored = (
+        pairs.join(F.broadcast(big_model), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni_model.withColumnRenamed("w", "w2")), ["w2"], "left"
+        )
+        # coalesce, not when(): when() over an exploded column breaks
+        # whole-stage codegen (the 20x CLAUDE.md hazard)
+        .select(
+            id_col,
+            F.coalesce(
+                F.expr(f"(c_big * {_SCALE}) DIV c_w1"),
+                F.expr(f"((c_uni * {_SCALE}) DIV {total_tokens}) DIV 10"),
+                F.lit(1).cast("long"),
+            ).alias("contrib"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("contrib").alias("contrib_sum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("contrib_sum DIV n_bigrams").alias("lm_micro"),
+        )
+    )
+
+
+def lm_score_sql(
+    docs_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_cap: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`lm_score` — identical counts, caps,
+    tie-breaks, and truncating integer arithmetic."""
+    toks = _tokens_expr(text_col, "duckdb")
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, {toks} AS t FROM {docs_table}
+),
+uni_all AS (
+  SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c_uni
+  FROM tok, UNNEST(t) AS u(w)
+  GROUP BY u.w
+),
+totals AS (
+  SELECT CAST(SUM(c_uni) AS BIGINT) AS total FROM uni_all
+),
+uni_model AS (
+  SELECT w, c_uni FROM uni_all ORDER BY c_uni DESC, w ASC LIMIT {vocab_cap}
+),
+big AS (
+  SELECT {id_col}, t[i] AS w1, t[i+1] AS w2
+  FROM tok, UNNEST(generate_series(1, len(t)-1)) AS g(i)
+  WHERE len(t) >= 2
+),
+big_all AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big FROM big GROUP BY w1, w2
+),
+big_model AS (
+  SELECT b.w1, b.w2, b.c_big, u.c_uni AS c_w1
+  FROM big_all b JOIN uni_all u ON u.w = b.w1
+  ORDER BY b.c_big DESC, b.w1 ASC, b.w2 ASC LIMIT {vocab_cap}
+),
+contribs AS (
+  SELECT big.{id_col},
+         COALESCE(
+           (bm.c_big * {_SCALE}) // bm.c_w1,
+           ((um.c_uni * {_SCALE}) // (SELECT total FROM totals)) // 10,
+           CAST(1 AS BIGINT)
+         ) AS contrib
+  FROM big
+  LEFT JOIN big_model bm ON bm.w1 = big.w1 AND bm.w2 = big.w2
+  LEFT JOIN uni_model um ON um.w = big.w2
+)
+SELECT {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(contrib) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_micro
+FROM contribs
+GROUP BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn — byte-pair-encoding merge learning over the word table
+# ---------------------------------------------------------------------------
+
+
+def _doubled_sym_expr(word_col: str, engine: str) -> str:
+    """The doubled-space symbol string of a word: 'ab' -> '  a  b  '.
+    Every symbol is flanked by its own private space, so left-to-right
+    non-overlapping replace() of ' L  R ' -> ' LR ' applies a BPE merge
+    exactly (consecutive pairs merge like the sequential scan, and a
+    freshly merged symbol cannot glue onto its neighbour) — the bm25
+    doubled-space move reused for symbols."""
+    if engine == "spark":
+        return f"concat('  ', regexp_replace({word_col}, '(.)', '$1  '))"
+    return f"'  ' || regexp_replace({word_col}, '(.)', '\\1  ', 'g')"
+
+
+def bpe_learn(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_words: int = 512,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus.
+
+    Returns (merge_rank, lhs, rhs, pair_count): merge_rank 1..n_merges in
+    learning order, (lhs, rhs) the merged symbol pair, pair_count its
+    weighted occurrence count at selection time.  Ties break on
+    (count DESC, lhs ASC, rhs ASC) — fully deterministic.
+
+    The corpus is scanned ONCE (word-count aggregation, capped at the
+    top-``max_words`` by (count DESC, word ASC)); every merge round runs
+    over the capped vocabulary frame.  Words are restricted to
+    ``[a-z0-9]+`` so learned symbols can be embedded as SQL string
+    literals with no escaping surface (the needle-injection guard).
+    """
+    spark = docs.sparkSession
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    words = (
+        docs.select(F.explode(F.expr(_tokens_expr(text_col, "spark"))).alias("w"))
+        .where(F.col("w").rlike(_BPE_WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(max_words)
+        .select(F.expr(_doubled_sym_expr("w", "spark")).alias("s"), "cnt")
+    )
+    # the capped vocab frame is consumed once per round; eager
+    # localCheckpoint keeps round N+1 from recomputing rounds 1..N
+    # (and re-scanning the corpus n_merges times)
+    vocab = words.localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                F.expr(f"split(trim(s), '{_ws_pattern('spark')}')").alias("t"), "cnt"
+            )
+            .where(F.size("t") >= 2)
+            .select(
+                F.slice("t", 1, F.size("t") - 1).alias("head"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("tail"),
+                "cnt",
+            )
+            .select(F.explode(F.arrays_zip("head", "tail")).alias("p"), "cnt")
+            .groupBy(F.col("p.head").alias("l"), F.col("p.tail").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            raise ValueError(
+                f"corpus exhausted after {rank - 1} merges — no adjacent "
+                f"pair left; lower n_merges (= {n_merges})"
+            )
+        l, r, c = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["c"])
+        merges.append((rank, l, r, c))
+        vocab = vocab.select(
+            F.expr(f"replace(s, ' {l}  {r} ', ' {l}{r} ')").alias("s"), "cnt"
+        ).localCheckpoint(eager=True)
+
+    # tiny control result -> VALUES literal (the knn_cells rebuild move;
+    # createDataFrame(rows) costs seconds on this host)
+    rows = ", ".join(f"({rk}, '{l}', '{r}', {c}L)" for rk, l, r, c in merges)
+    return spark.sql(
+        "SELECT merge_rank, lhs, rhs, pair_count FROM VALUES "
+        f"{rows} AS t(merge_rank, lhs, rhs, pair_count)"
+    )
+
+
+def bpe_learn_sql(
+    docs_table: str = "documents",
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_words: int = 512,
+) -> str:
+    """DuckDB twin of :func:`bpe_learn`: the k merge rounds unrolled as
+    chained CTEs (w0 -> p1/m1 -> w1 -> ...), each selecting the max pair
+    with the identical (count DESC, lhs, rhs) tie-break and applying the
+    identical doubled-space replace."""
+    toks = _tokens_expr(text_col, "duckdb")
+    parts = [
+        f"""WITH wc AS MATERIALIZED (
+  SELECT u.w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT {toks} AS t FROM {docs_table}), UNNEST(t) AS u(w)
+  WHERE regexp_matches(u.w, '{_BPE_WORD_RE}')
+  GROUP BY u.w
+  ORDER BY cnt DESC, u.w ASC LIMIT {max_words}
+),
+w0 AS MATERIALIZED (
+  SELECT {_doubled_sym_expr('w', 'duckdb')} AS s, cnt FROM wc
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT t[j] AS l, t[j+1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT string_split_regex(trim(s), '{_ws_pattern('duckdb')}') AS t, cnt
+        FROM w{i - 1}) x,
+       UNNEST(generate_series(1, len(t)-1)) AS g(j)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT replace(s,
+                 ' ' || (SELECT l FROM m{i}) || '  ' || (SELECT r FROM m{i}) || ' ',
+                 ' ' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || ' ') AS s,
+         cnt
+  FROM w{i - 1}
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + "\n" + selects

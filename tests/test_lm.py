@@ -1,0 +1,130 @@
+"""LM operators: bigram stupid-backoff scoring (lm_score) and BPE merge
+learning (bpe_learn) — semantics, engine-exact DuckDB twins, scale-shape
+plan pins (operators/lm.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from shapefile_rs_spark.operators.lm import (
+    bpe_learn,
+    bpe_learn_sql,
+    lm_score,
+    lm_score_sql,
+)
+
+
+def test_lm_score_semantics(spark):
+    """Hand-computed fixed-point contributions: in-model bigram, unigram
+    backoff, and the floor; <2-token docs drop out entirely."""
+    rows = [
+        (0, "a b a b a"),          # bigrams: ab×2, ba×2
+        (1, "a b zzz"),            # ab (in model), b->zzz (backoff path)
+        (2, "solo"),               # 1 token: excluded
+        (3, "  "),                 # empty after trim: excluded
+        (4, "zzz zzz zzz zzz"),    # makes zzz a common UNIGRAM
+    ]
+    # corpus: tokens a×4 b×3 zzz×5 solo×1 ''×1 -> total 14
+    # bigrams: ab×3 ba×2 (b,zzz)×1 (zzz,zzz)×3
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in lm_score(docs, vocab_cap=16).collect()}
+    assert set(out) == {0, 1, 4}
+    # p(ab)=3e6 DIV 4=750000, p(ba)=2e6 DIV 3=666666
+    assert out[0]["n_bigrams"] == 4
+    assert out[0]["lm_micro"] == (750_000 * 2 + 666_666 * 2) // 4
+    # cap=16: (b,zzz) IS in the bigram model: p=1e6 DIV 3=333333
+    assert out[1]["lm_micro"] == (750_000 + 333_333) // 2
+    # cap=3 bigram model = {ab(3), (zzz,zzz)(3), ba(2)} — (b,zzz) evicted;
+    # unigram model = {zzz(5), a(4), b(3)} keeps zzz, so b->zzz backs off
+    # to ((5*1e6) DIV 14) DIV 10 = 35714
+    out2 = {r["doc_id"]: r for r in lm_score(docs, vocab_cap=3).collect()}
+    assert out2[1]["lm_micro"] == (750_000 + 35_714) // 2
+    assert out2[0]["lm_micro"] == (750_000 * 2 + 666_666 * 2) // 4
+    # cap=1: bigram model = {ab} (count tie 3 breaks to w1 'a' < 'zzz'),
+    # unigram model = {zzz} — doc 0's ba pairs miss BOTH and floor at 1
+    out3 = {r["doc_id"]: r for r in lm_score(docs, vocab_cap=1).collect()}
+    assert out3[0]["lm_micro"] == (750_000 * 2 + 1 * 2) // 4
+    assert out3[1]["lm_micro"] == (750_000 + 35_714) // 2
+
+
+def test_lm_score_oracle_twin(spark, sf_dir):
+    """Bit-exact vs the DuckDB twin on the real fixture corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["lm_micro"])
+        for r in lm_score(docs).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {tuple(r) for r in con.sql(lm_score_sql()).fetchall()}
+    assert got == want and len(got) > 0
+
+
+def test_lm_score_scoring_plan_shape(spark, sf_dir):
+    """Scale-shape pin: the scoring job scans the corpus ONCE (training
+    is materialized into checkpointed models), and both model joins are
+    broadcast — no corpus-keyed shuffle before the per-doc aggregation."""
+    from shapefile_rs_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = executed_plan(lm_score(docs))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_learn_semantics(spark):
+    """Known merge sequence, weighted counts, adjacent-run handling, and
+    symbol composition across rounds."""
+    # word table: 'abab' cnt 3, 'aaa' cnt 2, 'xy' cnt 1.
+    # round 1 pairs: (a,b)=2·3=6, (b,a)=1·3=3, (a,a)=2·2=4, (x,y)=1
+    #   -> winner (a,b) 6.
+    # round 2: 'ab ab' gives (ab,ab)=3; 'a a a' still gives (a,a)=4
+    #   -> winner (a,a) 4.
+    # round 3: 'aa a' (left-to-right merge) gives (aa,a)=2; (ab,ab)=3
+    #   -> winner (ab,ab) 3.
+    rows = [(0, "abab abab abab aaa aaa xy")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bpe_learn(docs, n_merges=3, max_words=8).collect()
+    got = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in out]
+    assert got == [(1, "a", "b", 6), (2, "a", "a", 4), (3, "ab", "ab", 3)]
+    # exhaustion raises loudly, not silently short
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_learn(docs, n_merges=10, max_words=8)
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_learn(docs, n_merges=0)
+
+
+def test_bpe_learn_charset_guard_and_cap(spark):
+    """Non-[a-z0-9] tokens (the SQL-literal injection surface) never
+    enter the word table; the word cap keeps the top-W by (cnt, word)."""
+    rows = [
+        (0, "it's \"quoted\" café a'b ab ab cd"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bpe_learn(docs, n_merges=1, max_words=8).collect()
+    # only 'ab' (x2) and 'cd' survive the charset filter; winner (a,b)=2
+    assert [(r["lhs"], r["rhs"], r["pair_count"]) for r in out] == [("a", "b", 2)]
+    # max_words=1 keeps just 'ab' (count 2 beats cd's 1)
+    out2 = bpe_learn(docs, n_merges=1, max_words=1).collect()
+    assert [(r["lhs"], r["rhs"], r["pair_count"]) for r in out2] == [("a", "b", 2)]
+
+
+def test_bpe_learn_oracle_twin(spark, sf_dir):
+    """Bit-exact vs the DuckDB unrolled-CTE twin on the fixture corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_learn(docs).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(bpe_learn_sql()).fetchall())
+    assert sorted(got) == want and len(got) == 8
+    # learned symbols grow: at least one late merge consumes an earlier
+    # merge's output (multi-char side) — the composition property
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got)
