@@ -953,6 +953,22 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn-then-encode: the 8 bpe_learn merges applied to every doc as
+    literal codegen replaces (no model join), counting exact BPE symbols
+    per document — the tokenizer's counting pass, map-only + one doc agg.
+    The oracle re-derives the same merges inside SQL."""
+    from shapefile_rs_spark.operators.lm import bpe_encode, bpe_learn
+
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn(
+            _docs(spark, sf_dir), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+        ).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode(_docs(spark, sf_dir), merges)
+
+
 def q_kmeans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point k-means: 3 Lloyd rounds over the embeddings with the
     first-8-rows seed, every step int64 (floor-quantize, exact squared-
@@ -2119,6 +2135,9 @@ ROTATION = {
     # keeps ann_lsh/ann_lsh_mp/ann_pq/ann_ivfpq/ann_recall):
     "shapes_attrs": 5,
     "ann_ivf": 5,
+    # parked in round 6 for bpe_encode (green r1-r5; near-dup family stays
+    # repped in-window by minhash_lsh/simhash_pairs/semdedup/incr_neardup):
+    "embed_neardup": 5,
 }
 
 
@@ -2163,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "lm_score": q_lm_score,
         "bpe_learn": q_bpe_learn,
+        "bpe_encode": q_bpe_encode,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -2175,7 +2195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapes_headers": q_shapes_headers,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
-        "embed_neardup": q_embed_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
         "semdedup": q_semdedup,
@@ -2184,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2 rounds (test_registry_rotation_guard enforces).
         "shapes_attrs": q_shapes_attrs,
         "ann_ivf": q_ann_ivf,
+        "embed_neardup": q_embed_neardup,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2782,6 +2802,7 @@ FROM stepped
         "ann_recall": _ann_recall_oracle(),
         "lm_score": _lm_score_oracle(),
         "bpe_learn": _bpe_learn_oracle(),
+        "bpe_encode": _bpe_encode_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -2995,6 +3016,12 @@ def _bpe_learn_oracle() -> str:
     from shapefile_rs_spark.operators.lm import bpe_learn_sql
 
     return bpe_learn_sql(n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS)
+
+
+def _bpe_encode_oracle() -> str:
+    from shapefile_rs_spark.operators.lm import bpe_encode_sql
+
+    return bpe_encode_sql(n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS)
 
 
 def _bm25_oracle() -> str:

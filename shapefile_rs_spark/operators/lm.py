@@ -60,6 +60,8 @@ operators extend the engine's training-data-pipeline family (SURVEY §2.3
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -330,6 +332,78 @@ def bpe_learn(
         "SELECT merge_rank, lhs, rhs, pair_count FROM VALUES "
         f"{rows} AS t(merge_rank, lhs, rhs, pair_count)"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges and count the resulting symbols per doc.
+
+    Returns (id_col, n_words, n_bpe_sym): n_words = the document's
+    ``[a-z0-9]+`` tokens (the trainable charset — same filter as
+    :func:`bpe_learn`), n_bpe_sym = total symbols after applying
+    ``merges`` in learning order to each word's doubled-space char
+    string.  The encode is ONE map-only pass: each merge is a literal
+    codegen ``replace`` baked into the projection (no model join at
+    all), followed by the per-doc aggregation — the cheapest possible
+    100 TB shape for a tokenizer's counting pass.  Docs with zero
+    trainable tokens drop out (no bigrams to score — mirrored by the
+    oracle).
+    """
+    for l, r in merges:
+        if not (_re.match(_BPE_WORD_RE, l) and _re.match(_BPE_WORD_RE, r)):
+            raise ValueError(f"merge symbols must be [a-z0-9]+: {(l, r)}")
+    expr = _doubled_sym_expr("w", "spark")
+    for l, r in merges:
+        expr = f"replace({expr}, ' {l}  {r} ', ' {l}{r} ')"
+    n_sym = f"size(split(trim({expr}), '{_ws_pattern('spark')}'))"
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.expr(_tokens_expr(text_col, "spark"))).alias("w"),
+        )
+        .where(F.col("w").rlike(_BPE_WORD_RE))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.expr(n_sym)).alias("n_bpe_sym"),
+        )
+    )
+
+
+def bpe_encode_sql(
+    docs_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_words: int = 512,
+) -> str:
+    """DuckDB twin of learn-then-encode: re-derives the merges with
+    :func:`bpe_learn_sql`'s CTE chain, then applies them to every word
+    as nested replaces whose needles are scalar subqueries on m1..mN."""
+    chain = bpe_learn_sql(docs_table, text_col, n_merges, max_words)
+    chain = chain[: chain.index("\nSELECT 1 AS merge_rank") + 1].rstrip().rstrip(",")
+    toks = _tokens_expr(text_col, "duckdb")
+    expr = _doubled_sym_expr("w", "duckdb")
+    for i in range(1, n_merges + 1):
+        needle = f"' ' || (SELECT l FROM m{i}) || '  ' || (SELECT r FROM m{i}) || ' '"
+        repl = f"' ' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || ' '"
+        expr = f"replace({expr}, {needle}, {repl})"
+    n_sym = f"len(string_split_regex(trim({expr}), '{_ws_pattern('duckdb')}'))"
+    return f"""{chain}
+SELECT {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM({n_sym}) AS BIGINT) AS n_bpe_sym
+FROM (
+  SELECT {id_col}, u.w
+  FROM (SELECT {id_col}, {toks} AS t FROM {docs_table}), UNNEST(t) AS u(w)
+  WHERE regexp_matches(u.w, '{_BPE_WORD_RE}')
+)
+GROUP BY {id_col}
+"""
 
 
 def bpe_learn_sql(

@@ -112,6 +112,30 @@ def test_bpe_learn_charset_guard_and_cap(spark):
     assert [(r["lhs"], r["rhs"], r["pair_count"]) for r in out2] == [("a", "b", 2)]
 
 
+def test_bpe_encode_semantics(spark):
+    """Symbol counts shrink exactly by one per merge application; merges
+    compose left-to-right; non-trainable tokens are excluded from both
+    counts; merge symbols are charset-validated."""
+    from shapefile_rs_spark.operators.lm import bpe_encode
+
+    rows = [(0, "abab aaa it's xy"), (1, "zz")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # no merges: symbols == chars of trainable tokens
+    out0 = {r["doc_id"]: r for r in bpe_encode(docs, []).collect()}
+    assert (out0[0]["n_words"], out0[0]["n_bpe_sym"]) == (3, 9)  # abab+aaa+xy
+    assert (out0[1]["n_words"], out0[1]["n_bpe_sym"]) == (1, 2)
+    # (a,b) then (ab,ab): 'abab' -> 'ab ab' -> 'abab' = 1 symbol;
+    # 'aaa' unaffected (3), 'xy' 2, 'zz' 2
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(docs, [("a", "b"), ("ab", "ab")]).collect()
+    }
+    assert out[0]["n_bpe_sym"] == 1 + 3 + 2
+    assert out[1]["n_bpe_sym"] == 2
+    with pytest.raises(ValueError, match="a-z0-9"):
+        bpe_encode(docs, [("a", "b'c")])
+
+
 def test_bpe_learn_oracle_twin(spark, sf_dir):
     """Bit-exact vs the DuckDB unrolled-CTE twin on the fixture corpus."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -128,3 +152,34 @@ def test_bpe_learn_oracle_twin(spark, sf_dir):
     # learned symbols grow: at least one late merge consumes an earlier
     # merge's output (multi-char side) — the composition property
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got)
+
+
+def test_bpe_encode_oracle_twin(spark, sf_dir):
+    """Learn-then-encode matches the SQL twin that re-derives the merges
+    inside DuckDB and applies them as nested scalar-subquery replaces."""
+    from shapefile_rs_spark.operators.lm import (
+        bpe_encode,
+        bpe_encode_sql,
+        bpe_learn,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn(docs).orderBy("merge_rank").collect()
+    ]
+    got = {
+        (r["doc_id"], r["n_words"], r["n_bpe_sym"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {tuple(r) for r in con.sql(bpe_encode_sql()).fetchall()}
+    assert got == want and len(got) > 0
+    # encoding with the learned merges strictly compresses vs no merges
+    base = {
+        r["doc_id"]: r["n_bpe_sym"] for r in bpe_encode(docs, []).collect()
+    }
+    assert all(n < base[i] for (i, _, n) in got)
