@@ -969,6 +969,30 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(_docs(spark, sf_dir), merges)
 
 
+def q_incr_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-shaped LM scoring: score the doc_id%5==0 batch against
+    the committed unigram/bigram count registry of the rest of the
+    corpus — provably equal to full-corpus lm_score restricted to batch
+    docs (the oracle IS the full-corpus query filtered to the batch);
+    counts are additive, so the registry maintains by per-key SUM."""
+    from shapefile_rs_spark.operators.lm import (
+        lm_bigram_counts,
+        lm_score_incremental,
+        lm_unigram_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    scores, _, _ = lm_score_incremental(
+        batch,
+        lm_unigram_counts(corpus),
+        lm_bigram_counts(corpus),
+        vocab_cap=_LM_VOCAB_CAP,
+    )
+    return scores
+
+
 def q_kmeans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point k-means: 3 Lloyd rounds over the embeddings with the
     first-8-rows seed, every step int64 (floor-quantize, exact squared-
@@ -2138,6 +2162,9 @@ ROTATION = {
     # parked in round 6 for bpe_encode (green r1-r5; near-dup family stays
     # repped in-window by minhash_lsh/simhash_pairs/semdedup/incr_neardup):
     "embed_neardup": 5,
+    # parked in round 6 for incr_lm (green r1-r5; ring semantics stay
+    # repped in-window by shapes_decode/shapes_roundtrip/convex_hull):
+    "polygon_stats": 5,
 }
 
 
@@ -2183,11 +2210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
+        "incr_lm": q_incr_lm,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "knn_join": q_knn_join,
-        "polygon_stats": q_polygon_stats,
         "convex_hull": q_convex_hull,
         "cell_census": q_cell_census,
         "shapes_decode": q_shapes_decode,
@@ -2204,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapes_attrs": q_shapes_attrs,
         "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
+        "polygon_stats": q_polygon_stats,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2803,6 +2831,7 @@ FROM stepped
         "lm_score": _lm_score_oracle(),
         "bpe_learn": _bpe_learn_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
+        "incr_lm": _incr_lm_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -3016,6 +3045,15 @@ def _bpe_learn_oracle() -> str:
     from shapefile_rs_spark.operators.lm import bpe_learn_sql
 
     return bpe_learn_sql(n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS)
+
+
+def _incr_lm_oracle() -> str:
+    from shapefile_rs_spark.operators.lm import lm_score_sql
+
+    return (
+        f"SELECT * FROM ({lm_score_sql(vocab_cap=_LM_VOCAB_CAP)}) "
+        "WHERE doc_id % 5 = 0"
+    )
 
 
 def _bpe_encode_oracle() -> str:

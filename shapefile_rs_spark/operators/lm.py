@@ -105,29 +105,44 @@ def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return pairs.select(id_col, F.col("p.head").alias("w1"), F.col("p.tail").alias("w2"))
 
 
-def lm_score(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    vocab_cap: int = 1024,
+def lm_unigram_counts(
+    docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Per-document mean fixed-point bigram probability (micro-units).
-
-    Returns (id_col, n_bigrams, lm_micro) for every document with ≥2
-    tokens; ``lm_micro = Σ contrib DIV n_bigrams`` where contrib is the
-    stupid-backoff micro-probability defined in the module docstring.
-    """
-    # pass 1a: unigram counts — the canonical word-count shuffle.  The
-    # frame is referenced three times below (totals, unigram model,
-    # bigram model's left-context counts); an eager localCheckpoint
-    # materializes the ONE corpus scan, where lazy reuse would re-plan
-    # and re-scan per reference (the CLAUDE.md double-reference trap).
-    uni_all = (
+    """Uncapped unigram counts (w, c_uni) — the canonical word-count
+    shuffle; vocabulary-sized, the registry's unigram half."""
+    return (
         docs.select(F.explode(F.expr(_tokens_expr(text_col, "spark"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_uni"))
-        .localCheckpoint(eager=True)
     )
+
+
+def lm_bigram_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Uncapped bigram counts (w1, w2, c_big) — the registry's bigram
+    half."""
+    return (
+        _bigrams(docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+    )
+
+
+def _lm_score_from_counts(
+    docs: DataFrame,
+    uni_all: DataFrame,
+    big_all: DataFrame,
+    vocab_cap: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score ``docs`` against models derived from the given UNCAPPED
+    count frames.  ``uni_all`` must be materialized (checkpointed or a
+    committed stage scan) — it is referenced three times (totals,
+    unigram model, bigram left-context join); a lazy corpus-derived
+    frame would re-scan the corpus per reference (the CLAUDE.md
+    double-reference trap)."""
     tot_row = uni_all.agg(
         F.sum("c_uni").alias("total"), F.max("c_uni").alias("cmax")
     ).collect()[0]
@@ -139,16 +154,13 @@ def lm_score(
         )
     uni_model = uni_all.orderBy(F.desc("c_uni"), F.asc("w")).limit(vocab_cap)
 
-    # pass 1b: bigram counts + the EXACT (uncapped) left-context count,
-    # capped to the model — TakeOrdered, no global sort.  Checkpointed so
-    # the scoring job's plan holds a single corpus scan (tests pin this):
-    # broadcasting a lazy model subtree would re-run its corpus scan
-    # inside the scoring job.
+    # bigram counts + the EXACT (uncapped) left-context count, capped to
+    # the model — TakeOrdered, no global sort.  Checkpointed so the
+    # scoring job's plan holds a single data-sized scan (tests pin
+    # this): broadcasting a lazy model subtree would re-run its count
+    # aggregation inside the scoring job.
     big_model = (
-        _bigrams(docs, id_col, text_col)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_big"))
-        .join(uni_all.withColumnRenamed("w", "w1"), "w1")
+        big_all.join(uni_all.withColumnRenamed("w", "w1"), "w1")
         .orderBy(F.desc("c_big"), F.asc("w1"), F.asc("w2"))
         .limit(vocab_cap)
         .select("w1", "w2", "c_big", F.col("c_uni").alias("c_w1"))
@@ -184,6 +196,85 @@ def lm_score(
             F.expr("contrib_sum DIV n_bigrams").alias("lm_micro"),
         )
     )
+
+
+def lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_cap: int = 1024,
+) -> DataFrame:
+    """Per-document mean fixed-point bigram probability (micro-units).
+
+    Returns (id_col, n_bigrams, lm_micro) for every document with ≥2
+    tokens; ``lm_micro = Σ contrib DIV n_bigrams`` where contrib is the
+    stupid-backoff micro-probability defined in the module docstring.
+    Three corpus scans total (unigram count, bigram count, scoring) —
+    the algorithm's minimum without a grouping-sets fusion.
+    """
+    uni_all = lm_unigram_counts(docs, text_col).localCheckpoint(eager=True)
+    return _lm_score_from_counts(
+        docs,
+        uni_all,
+        lm_bigram_counts(docs, id_col, text_col),
+        vocab_cap,
+        id_col,
+        text_col,
+    )
+
+
+def lm_score_incremental(
+    batch: DataFrame,
+    uni_reg: DataFrame,
+    big_reg: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_cap: int = 1024,
+) -> tuple:
+    """Recrawl-shaped :func:`lm_score`: score a NEW batch against the
+    committed count registry without re-reading the corpus.
+
+    The batch's unigram/bigram counts merge with the registry's
+    (per-key SUM — counts are additive, so sum-merge == from-scratch,
+    pinned in pytest), models derive from the COMBINED counts, and only
+    batch docs are scored — the output is EXACTLY
+    ``lm_score(corpus ∪ batch)`` restricted to the batch's docs (a
+    doc's score depends only on global counts plus its own bigrams;
+    corpus scores drift as statistics accrue and re-score at checkpoint
+    cadence — the incr_* retraction-free zone).
+
+    Returns ``(scores, uni_delta, big_delta)``: ``scores`` is the batch
+    rows of the lm_score contract; the deltas are the batch's own count
+    frames — merge into the registry by per-key SUM (disjoint-doc-id
+    contract, shared with the whole incr_* family).
+
+    Scale shape: the corpus TEXT is structurally unreachable — the plan
+    touches only the registry (vocabulary-sized, the committed stage)
+    and the batch; the merge aggregations are vocabulary-keyed, not
+    corpus-keyed.  Registry/batch vocab frames merge with map-side
+    combine; everything downstream is the lm_score scoring shape.
+    """
+    uni_delta = lm_unigram_counts(batch, text_col).localCheckpoint(eager=True)
+    big_delta = lm_bigram_counts(batch, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    uni_comb = (
+        uni_reg.select("w", "c_uni")
+        .unionByName(uni_delta)
+        .groupBy("w")
+        .agg(F.sum("c_uni").alias("c_uni"))
+        .localCheckpoint(eager=True)
+    )
+    big_comb = (
+        big_reg.select("w1", "w2", "c_big")
+        .unionByName(big_delta)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c_big").alias("c_big"))
+    )
+    scores = _lm_score_from_counts(
+        batch, uni_comb, big_comb, vocab_cap, id_col, text_col
+    )
+    return scores, uni_delta, big_delta
 
 
 def lm_score_sql(

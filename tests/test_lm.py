@@ -112,6 +112,56 @@ def test_bpe_learn_charset_guard_and_cap(spark):
     assert [(r["lhs"], r["rhs"], r["pair_count"]) for r in out2] == [("a", "b", 2)]
 
 
+def test_lm_score_incremental_matches_from_scratch(spark, sf_dir):
+    """The incr_* contract: batch scores against the merged registry ==
+    full-corpus lm_score restricted to batch docs; count deltas are
+    additive (sum-merge == from-scratch); the scoring plan cannot reach
+    the corpus (registry frames are materialized — only the batch scan
+    appears)."""
+    from shapefile_rs_spark.operators.lm import (
+        lm_bigram_counts,
+        lm_score,
+        lm_score_incremental,
+        lm_unigram_counts,
+    )
+    from shapefile_rs_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    uni_reg = lm_unigram_counts(corpus).localCheckpoint(eager=True)
+    big_reg = lm_bigram_counts(corpus).localCheckpoint(eager=True)
+    scores, uni_d, big_d = lm_score_incremental(batch, uni_reg, big_reg)
+    got = {tuple(r) for r in scores.collect()}
+    want = {
+        tuple(r)
+        for r in lm_score(docs).filter(F.col("doc_id") % 5 == 0).collect()
+    }
+    assert got == want and len(got) > 0
+    # the batch scan is the ONLY data-sized scan in the scoring plan
+    # (post-collect the AQE string repeats scans in its Initial Plan
+    # section — count the final section only)
+    plan = executed_plan(scores).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    # additivity: registry ∪ delta sum-merged == from-scratch counts
+    merged = (
+        uni_reg.unionByName(uni_d)
+        .groupBy("w")
+        .agg(F.sum("c_uni").alias("c_uni"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in lm_unigram_counts(docs).collect()
+    }
+    merged_big = (
+        big_reg.unionByName(big_d)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c_big").alias("c_big"))
+    )
+    assert {tuple(r) for r in merged_big.collect()} == {
+        tuple(r) for r in lm_bigram_counts(docs).collect()
+    }
+
+
 def test_bpe_encode_semantics(spark):
     """Symbol counts shrink exactly by one per merge application; merges
     compose left-to-right; non-trainable tokens are excluded from both
