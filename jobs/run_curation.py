@@ -49,6 +49,10 @@ checkpoints sit on the critical path, not as dead side writes):
    importance weights of the curated text against the target language's
    hashed token distribution — the resampling artifact the sampler
    multiplies against the mixture allocation.
+5d. ``lm``      — (``--lm-vocab-cap V``) per-doc bigram stupid-backoff
+   LM scores (exact-integer micro-probabilities) of the curated text
+   against a model trained on the curated corpus itself — the
+   perplexity-filter artifact a final quality gate thresholds.
 6. ``sigs`` + ``bands`` — (``--sig-stage``) the curated corpus's MinHash
    signature parquet and its pre-banded ``(_id, band, band_key)`` twin,
    the published artifacts future recrawl batches LSH-join against
@@ -162,6 +166,15 @@ def build_args(argv=None):
         "resampling artifact a trainer's sampler reads next to the "
         "mixture table; empty disables",
     )
+    p.add_argument(
+        "--lm-vocab-cap",
+        type=int,
+        default=0,
+        help="also commit the 'lm' stage: per-doc bigram stupid-backoff "
+        "LM scores (exact-integer micro-units, model capped at this "
+        "vocabulary size) over the curated corpus — the perplexity-"
+        "filter artifact a final quality gate thresholds; 0 disables",
+    )
     p.add_argument("--minhash-k", type=int, default=3)
     p.add_argument("--num-hashes", type=int, default=12)
     p.add_argument(
@@ -194,6 +207,7 @@ def run(spark, args) -> dict:
         + (("packed",) if args.pack_capacity else ())
         + (("mixture",) if args.mix_budget else ())
         + (("dsir",) if args.dsir_target else ())
+        + (("lm",) if args.lm_vocab_cap else ())
         + (("sigs", "bands") if args.sig_stage else ())
     )
     already_done = [s for s in stage_names if pipe.completed(s)]
@@ -389,6 +403,20 @@ def run(spark, args) -> dict:
             )
 
         pipe.run_stage("dsir", stage_dsir)
+
+    if args.lm_vocab_cap:
+        # LM quality scores over the CURATED text: the model trains on
+        # what ships, so the score is a self-perplexity — low scorers are
+        # the corpus's own outliers (the CCNet filter run at the end of
+        # the pipeline instead of the start)
+        def stage_lm():
+            from shapefile_rs_spark.operators.lm import lm_score
+
+            return lm_score(
+                curated.select("doc_id", "text"), vocab_cap=args.lm_vocab_cap
+            )
+
+        pipe.run_stage("lm", stage_lm)
 
     from shapefile_rs_spark.operators.dedup import release_sig_caches
 

@@ -340,3 +340,74 @@ def maintain_dsir_registry(
         .groupBy("f")
         .agg(F.sum("t").alias("t"), F.sum("q").alias("q"))
     )
+
+
+def maintain_lm_registry(
+    docs_stream: DataFrame,
+    pipeline_root: str,
+    checkpoint_dir: str,
+    uni_stage: str = "lm_uni",
+    big_stage: str = "lm_big",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "lm_registry_maintenance",
+):
+    """Keep the COMMITTED LM count registry fresh as recrawl batches land
+    — the :func:`maintain_dsir_registry` pattern for
+    :func:`..operators.lm.lm_score_incremental`, at DOC grain and in TWO
+    halves: each micro-batch appends its per-doc unigram rows
+    (:func:`..operators.lm.lm_doc_unigram_counts`, anti-join key
+    ``(_id, w)``) and bigram rows
+    (:func:`..operators.lm.lm_doc_bigram_counts`, key
+    ``(_id, w1, w2)``), so a replayed or re-SENT batch appends nothing
+    to either half and the registry stays content-idempotent without a
+    doc-id disjointness contract (the batch operator's sum-merged deltas
+    need that contract; committed per-doc rows do not).
+
+    The registries :func:`..operators.lm.lm_score_incremental` consumes
+    are the two pair stages aggregated per token / token pair —
+    vocabulary-sized frames after one count shuffle over doc×vocab
+    state, the price of exactly-once counting under at-least-once
+    delivery.  Runs availableNow and blocks until the backlog drains;
+    returns ``(uni_reg, big_reg)`` or None when no batch ever landed.
+    """
+    from ..lineage import CheckpointedPipeline
+    from ..operators.lm import lm_doc_bigram_counts, lm_doc_unigram_counts
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipe = CheckpointedPipeline(batch_df.sparkSession, pipeline_root)
+        pipe.append_delta(
+            uni_stage,
+            lm_doc_unigram_counts(batch_df, id_col=id_col, text_col=text_col),
+            ["_id", "w"],
+        )
+        pipe.append_delta(
+            big_stage,
+            lm_doc_bigram_counts(batch_df, id_col=id_col, text_col=text_col),
+            ["_id", "w1", "w2"],
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_append)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pipe = CheckpointedPipeline(docs_stream.sparkSession, pipeline_root)
+    if not (pipe.completed(uni_stage) and pipe.completed(big_stage)):
+        return None  # zero non-empty batches and no prior stages
+    uni = (
+        pipe.spark.read.parquet(pipe.stage_path(uni_stage))
+        .groupBy("w")
+        .agg(F.sum("c").alias("c_uni"))
+    )
+    big = (
+        pipe.spark.read.parquet(pipe.stage_path(big_stage))
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c_big"))
+    )
+    return uni, big

@@ -303,3 +303,33 @@ def test_curation_job_commits_dsir_stage(spark, sf_dir, tmp_path):
     }
     committed = {r["doc_id"]: r["w_micro"] for r in weights.collect()}
     assert committed == direct
+
+
+def test_curation_job_commits_lm_stage(spark, sf_dir, tmp_path):
+    """--lm-vocab-cap commits the per-doc LM-score artifact over the
+    CURATED corpus, and it equals lm_score run directly on the curated
+    stage — the job wires the operator, it doesn't reimplement it.
+    (lm_score drops <2-token docs, so the row count is bounded by, not
+    equal to, the curated count.)"""
+    from run_curation import build_args, run
+    from shapefile_rs_spark.operators.lm import lm_score
+
+    out = str(tmp_path / "cur_lm")
+    args = build_args(
+        ["--sf-dir", sf_dir, "--out", out, "--cpus", "4", "--lm-vocab-cap", "512"]
+    )
+    res = run(spark, args)
+    assert "lm" in res["stages"]
+    curated = spark.read.parquet(f"{out}/stages/curated/data")
+    scores = spark.read.parquet(f"{out}/stages/lm/data")
+    assert 0 < scores.count() <= curated.count()
+    direct = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_micro"])
+        for r in lm_score(
+            curated.select("doc_id", "text"), vocab_cap=512
+        ).collect()
+    }
+    committed = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_micro"]) for r in scores.collect()
+    }
+    assert committed == direct

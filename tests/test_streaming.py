@@ -435,3 +435,73 @@ def test_maintain_dsir_registry_content_idempotent(spark, sf_dir, tmp_path):
         if r["doc_id"] in bids
     }
     assert inc == full and len(inc) == 10
+
+
+def test_maintain_lm_registry_content_idempotent(spark, sf_dir, tmp_path):
+    """Both halves of the committed LM count registry follow ingestion at
+    DOC grain: wave 1 commits its per-doc unigram/bigram rows; wave 2
+    plus a byte-identical RE-SENT copy of wave 1 appends only wave 2's
+    rows — counts never double — and the aggregated registries equal the
+    from-scratch counts of both waves; incremental scoring reads them
+    directly and matches full-corpus lm_score on the new batch."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shapefile_rs_spark.operators.lm import (
+        lm_bigram_counts,
+        lm_score,
+        lm_score_incremental,
+        lm_unigram_counts,
+    )
+    from shapefile_rs_spark.streaming.dedup import maintain_lm_registry
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0).limit(40)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    land = tmp_path / "landing"
+    land.mkdir()
+    root = str(tmp_path / "pipe")
+    ck = tmp_path / "ck"
+    schema = wave1.schema
+
+    wave1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for f in (tmp_path / "w1").glob("*.parquet"):
+        shutil.copy(f, land / "batch_a.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    uni, big = maintain_lm_registry(stream, root, str(ck / "1"))
+    assert {tuple(r) for r in uni.collect()} == {
+        tuple(r) for r in lm_unigram_counts(wave1).collect()
+    }
+    assert {tuple(r) for r in big.collect()} == {
+        tuple(r) for r in lm_bigram_counts(wave1).collect()
+    }
+
+    wave2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for f in (tmp_path / "w2").glob("*.parquet"):
+        shutil.copy(f, land / "batch_b.parquet")
+    shutil.copy(land / "batch_a.parquet", land / "batch_a_resend.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    uni, big = maintain_lm_registry(stream, root, str(ck / "2"))
+    both = wave1.unionByName(wave2)
+    assert {tuple(r) for r in uni.collect()} == {
+        tuple(r) for r in lm_unigram_counts(both).collect()
+    }
+    assert {tuple(r) for r in big.collect()} == {
+        tuple(r) for r in lm_bigram_counts(both).collect()
+    }
+
+    # incremental scoring against the MAINTAINED registries == full
+    # lm_score over corpus ∪ batch restricted to the batch
+    batch = docs.subtract(both).limit(10)
+    scores, _, _ = lm_score_incremental(batch, uni, big)
+    inc = {r["doc_id"]: (r["n_bigrams"], r["lm_micro"]) for r in scores.collect()}
+    bids = set(inc)
+    full = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_micro"])
+        for r in lm_score(both.unionByName(batch)).collect()
+        if r["doc_id"] in bids
+    }
+    assert inc == full and len(inc) == 10
