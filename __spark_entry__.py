@@ -674,6 +674,45 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup index-quality telemetry (the ann_recall move for MinHash):
+    per source doc, did LSH recover its PLANTED near-dup pair
+    (2d, 2d+1), and how many even-id candidate partners did it propose —
+    the recall/candidate-volume dial a production dedup deployment
+    watches.  The predicted pair list is localCheckpointed: both derived
+    frames (planted hits, partner counts) read it, and a lazy frame
+    would re-run the whole minhash pipeline per reference (the
+    CLAUDE.md self-join double-scan hazard)."""
+    pred = (
+        q_minhash_lsh(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    planted = pred.filter(
+        (F.col("id_a") % 2 == 0) & (F.col("id_b") == F.col("id_a") + 1)
+    ).select(F.expr("id_a DIV 2").alias("doc_id"), F.lit(1).alias("_hit"))
+    partners = (
+        pred.select(F.col("id_a").alias("id"))
+        .unionAll(pred.select(F.col("id_b").alias("id")))
+        .filter(F.col("id") % 2 == 0)
+        .select(F.expr("id DIV 2").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("pred_partners"))
+    )
+    return (
+        docs.join(planted, "doc_id", "left")
+        .join(partners, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_hit", F.lit(0)).cast("long").alias("planted_hit"),
+            F.coalesce("pred_partners", F.lit(0))
+            .cast("long")
+            .alias("pred_partners"),
+        )
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup clustering: connected components (min-label propagation
     + pointer jumping) over a deterministic chain-pair graph — docs chained
@@ -2165,6 +2204,9 @@ ROTATION = {
     # parked in round 6 for incr_lm (green r1-r5; ring semantics stay
     # repped in-window by shapes_decode/shapes_roundtrip/convex_hull):
     "polygon_stats": 5,
+    # parked in round 6 for dedup_recall (green r1-r5; the cell ladder
+    # stays exercised in-window by pip_join/pip_join_salted/knn_join):
+    "cell_census": 5,
 }
 
 
@@ -2211,12 +2253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
         "incr_lm": q_incr_lm,
+        "dedup_recall": q_dedup_recall,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "knn_join": q_knn_join,
         "convex_hull": q_convex_hull,
-        "cell_census": q_cell_census,
         "shapes_decode": q_shapes_decode,
         "shapes_roundtrip": q_shapes_roundtrip,
         "shapes_headers": q_shapes_headers,
@@ -2232,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "polygon_stats": q_polygon_stats,
+        "cell_census": q_cell_census,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2832,6 +2875,7 @@ FROM stepped
         "bpe_learn": _bpe_learn_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "incr_lm": _incr_lm_oracle(),
+        "dedup_recall": _dedup_recall_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "incr_para": _incr_para_oracle(),
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
@@ -3386,9 +3430,12 @@ GROUP BY 1
 """
 
 
-def _minhash_lsh_oracle(
+def _minhash_pairs_cte(
     num_hashes: int = _MINHASH_HASHES, bands: int = _MINHASH_BANDS
 ) -> str:
+    """The shared WITH-prefix producing the LSH candidate ``pairs`` CTE
+    over the planted dup corpus — one spelling for every oracle that
+    consumes the pair list (minhash_lsh, dedup_recall)."""
     rpb = num_hashes // bands
     sig = dd.minhash_signature_sql(
         dd.word_shingles_sql("text", _MINHASH_K), num_hashes
@@ -3409,13 +3456,41 @@ pairs AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
   WHERE l.id < r.id
-)
+)"""
+
+
+def _minhash_lsh_oracle(
+    num_hashes: int = _MINHASH_HASHES, bands: int = _MINHASH_BANDS
+) -> str:
+    return f"""{_minhash_pairs_cte(num_hashes, bands)}
 SELECT p.id_a, p.id_b,
        len(list_filter(range(0, {num_hashes}), i -> sa.sig[i + 1] = sb.sig[i + 1])) AS n_agree,
        (len(list_filter(range(0, {num_hashes}), i -> sa.sig[i + 1] = sb.sig[i + 1])) / {num_hashes}) AS est_jaccard
 FROM pairs p
 JOIN sigs sa ON sa.id = p.id_a
 JOIN sigs sb ON sb.id = p.id_b
+"""
+
+
+def _dedup_recall_oracle(
+    num_hashes: int = _MINHASH_HASHES, bands: int = _MINHASH_BANDS
+) -> str:
+    return f"""{_minhash_pairs_cte(num_hashes, bands)},
+planted AS (
+  SELECT id_a // 2 AS doc_id, 1 AS _hit FROM pairs
+  WHERE id_a % 2 = 0 AND id_b = id_a + 1
+),
+part0 AS (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs),
+partners AS (
+  SELECT id // 2 AS doc_id, CAST(COUNT(*) AS BIGINT) AS pred_partners
+  FROM part0 WHERE id % 2 = 0 GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p._hit, 0) AS BIGINT) AS planted_hit,
+       CAST(COALESCE(pa.pred_partners, 0) AS BIGINT) AS pred_partners
+FROM documents d
+LEFT JOIN planted p USING (doc_id)
+LEFT JOIN partners pa USING (doc_id)
 """
 
 

@@ -233,3 +233,24 @@ def test_bpe_encode_oracle_twin(spark, sf_dir):
         r["doc_id"]: r["n_bpe_sym"] for r in bpe_encode(docs, []).collect()
     }
     assert all(n < base[i] for (i, _, n) in got)
+
+
+def test_dedup_recall_telemetry(spark, sf_dir):
+    """The planted (2d, 2d+1) near-dup pairs are overwhelmingly
+    recovered by LSH at fixture scale (the telemetry's reason to exist),
+    and the result plan reads the checkpointed pair list — ONE documents
+    scan, no re-run of the minhash pipeline per derived frame."""
+    import __spark_entry__ as E
+    from shapefile_rs_spark.plans import executed_plan
+
+    out = E.q_dedup_recall(spark, sf_dir)
+    plan = executed_plan(out).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    rows = out.collect()
+    n = len(rows)
+    hits = sum(r["planted_hit"] for r in rows)
+    assert n > 0 and hits >= 0.9 * n, (hits, n)
+    # partner counts include at least the planted partner on every hit
+    assert all(
+        r["pred_partners"] >= r["planted_hit"] for r in rows
+    )
