@@ -774,6 +774,23 @@ def _emb_centroids(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
     )
 
 
+def q_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query embedding, the
+    top-3 most-cosine-similar corpus vectors with a DIFFERENT class
+    label — the negative sampler a contrastive trainer feeds; ranks-only
+    output (the ANN float convention), label mask inside the scoring
+    closure (one corpus scan, no per-label re-scan)."""
+    from shapefile_rs_spark.operators.similarity import cosine_topk_labeled
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_label"),
+    )
+    return cosine_topk_labeled(emb, queries, k=3)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.similarity import ivf_topk
 
@@ -843,6 +860,20 @@ SELECT query_id, vec_id, rnk FROM (
            ORDER BY list_cosine_similarity(ve, qe) DESC, v.vec_id ASC) AS rnk
   FROM v CROSS JOIN q
 ) WHERE rnk <= 5
+"""
+
+_HARDNEG_SQL = """
+WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                  CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 4),
+     v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+           FROM embeddings)
+SELECT query_id, vec_id, rnk FROM (
+  SELECT q.query_id, v.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(ve, qe) DESC, v.vec_id ASC) AS rnk
+  FROM v JOIN q ON v.label <> q.q_label
+) WHERE rnk <= 3
 """
 
 _ANN_IVF_SQL = """
@@ -2207,6 +2238,9 @@ ROTATION = {
     # parked in round 6 for dedup_recall (green r1-r5; the cell ladder
     # stays exercised in-window by pip_join/pip_join_salted/knn_join):
     "cell_census": 5,
+    # parked in round 6 for hardneg (green r1-r5; header decode stays
+    # repped in-window by shapes_decode/shapes_roundtrip):
+    "shapes_headers": 5,
 }
 
 
@@ -2254,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "incr_lm": q_incr_lm,
         "dedup_recall": q_dedup_recall,
+        "hardneg": q_hardneg,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
@@ -2261,7 +2296,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "shapes_decode": q_shapes_decode,
         "shapes_roundtrip": q_shapes_roundtrip,
-        "shapes_headers": q_shapes_headers,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "ann_lsh": q_ann_lsh,
@@ -2275,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "polygon_stats": q_polygon_stats,
         "cell_census": q_cell_census,
+        "shapes_headers": q_shapes_headers,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2605,6 +2640,7 @@ SELECT doc_id,
 FROM documents
 """,
         "ann_topk": _ANN_TOPK_SQL,
+        "hardneg": _HARDNEG_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "ann_ivf2": """
 WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce

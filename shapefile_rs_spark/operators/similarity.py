@@ -163,6 +163,84 @@ def cosine_topk(
     )
 
 
+def cosine_topk_labeled(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id: str = "query_id",
+    query_col: str = "q_embedding",
+    query_label: str = "q_label",
+) -> DataFrame:
+    """Hard-negative mining: :func:`cosine_topk` under a label
+    constraint — (query_id, vec_id, rnk) of the top-k most-similar
+    vectors whose ``label_col`` DIFFERS from the query's
+    ``query_label`` (the contrastive-training negative sampler: nearest
+    wrong-class neighbours are the hardest negatives).
+
+    Same scale shape as cosine_topk: one corpus scan, per-Arrow-batch
+    matmul + masked partial top-k (any global top-k row survives its
+    batch's top-k under the same order), k·q·partitions exchange, final
+    rank window over the small union.  The label mask runs INSIDE the
+    scoring closure — no per-label corpus re-scan, no join."""
+    q_rows = sorted(
+        queries.select(query_id, query_col, query_label).collect(),
+        key=lambda r: r[0],
+    )
+    qids = [r[0] for r in q_rows]
+    qlabels = [r[2] for r in q_rows]
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Qn = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
+    nq = len(qids)
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(vec_id, vectors.schema[vec_id].dataType),
+            StructField("_cos", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [query_id, vec_id, "_cos"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
+            S = Vn @ Qn.T
+            vids = pdf[vec_id].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            parts = []
+            for j in range(nq):
+                s = S[:, j]
+                keep = ~np.isnan(s) & (labels != qlabels[j])
+                order = np.lexsort((vids[keep], -s[keep]))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_id: [qids[j]] * len(order),
+                            vec_id: vids[keep][order],
+                            "_cos": s[keep][order],
+                        }
+                    )
+                )
+            yield pd.concat(parts)[cols] if parts else pd.DataFrame(columns=cols)
+
+    partials = vectors.select(vec_id, vec_col, label_col).mapInPandas(
+        score, schema=out_schema
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(vec_id).asc())
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, vec_id, "rnk")
+    )
+
+
 def hyperplane_buckets(
     vectors: DataFrame,
     planes: DataFrame,

@@ -254,3 +254,36 @@ def test_dedup_recall_telemetry(spark, sf_dir):
     assert all(
         r["pred_partners"] >= r["planted_hit"] for r in rows
     )
+
+
+def test_hardneg_label_constraint(spark, sf_dir):
+    """Hard negatives never share the query's label, match the numpy
+    brute force under the same (cos desc, vec_id) order, and differ from
+    unconstrained top-k whenever a same-label vector would have ranked."""
+    import numpy as np
+
+    import __spark_entry__ as E
+    from shapefile_rs_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    M = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Mn = M / np.sqrt((M * M).sum(axis=1))[:, None]
+
+    out = E.q_hardneg(spark, sf_dir).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"]))
+    assert set(got) == {0, 1, 2, 3}
+    for qid, hits in got.items():
+        # constraint: no negative shares the query's label
+        assert all(labels[v] != labels[qid] for _, v in hits)
+        # brute force with the same tie-break
+        qv = Mn[ids == qid][0]
+        s = Mn @ qv
+        mask = np.array([labels[i] != labels[qid] for i in ids])
+        order = np.lexsort((ids[mask], -s[mask]))[:3]
+        want = list(ids[mask][order])
+        assert [v for _, v in sorted(hits)] == want, (qid, hits, want)
