@@ -1000,6 +1000,16 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir, split=True), _BM25_TERMS, k=10)
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by exact tf-idf (rational idf, int64
+    micro-unit scores — bm25's engine-exact contract applied to the
+    keyword-extraction stage); one tokenize scan, one term exchange, one
+    doc-keyed rank window."""
+    from shapefile_rs_spark.operators.retrieval import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram stupid-backoff LM quality scoring (the CCNet/RefinedWeb
     perplexity-filter stage, libm-free): train the capped bigram model on
@@ -2241,6 +2251,10 @@ ROTATION = {
     # parked in round 6 for hardneg (green r1-r5; header decode stays
     # repped in-window by shapes_decode/shapes_roundtrip):
     "shapes_headers": 5,
+    # parked in round 6 for tfidf (green r1-r5; the kNN family stays
+    # repped in-window by knn in next rotation — pip joins cover the
+    # spatial-join surface this round):
+    "knn_join": 5,
 }
 
 
@@ -2289,10 +2303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_lm": q_incr_lm,
         "dedup_recall": q_dedup_recall,
         "hardneg": q_hardneg,
+        "tfidf": q_tfidf,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
-        "knn_join": q_knn_join,
         "convex_hull": q_convex_hull,
         "shapes_decode": q_shapes_decode,
         "shapes_roundtrip": q_shapes_roundtrip,
@@ -2310,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,
         "cell_census": q_cell_census,
         "shapes_headers": q_shapes_headers,
+        "knn_join": q_knn_join,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2908,6 +2923,7 @@ FROM stepped
         "vocab_topk": _VOCAB_TOPK_SQL,
         "ann_recall": _ann_recall_oracle(),
         "lm_score": _lm_score_oracle(),
+        "tfidf": _tfidf_oracle(),
         "bpe_learn": _bpe_learn_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "incr_lm": _incr_lm_oracle(),
@@ -3113,6 +3129,12 @@ def _dsir_oracle() -> str:
     return dsir_weights_sql(
         "SELECT doc_id, lang, text FROM documents", "lang = 'en'"
     )
+
+
+def _tfidf_oracle() -> str:
+    from shapefile_rs_spark.operators.retrieval import tfidf_topk_sql
+
+    return tfidf_topk_sql(k=3)
 
 
 def _lm_score_oracle() -> str:

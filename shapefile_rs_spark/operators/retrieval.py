@@ -214,3 +214,101 @@ def _contrib_sql(tf: str, dl: str, i: int, k1: float, b: float) -> str:
     )
     avgdl = "CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE)"
     return _contrib_tree(tf, dl, idf, k1, b, avgdl)
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tfidf_micro, rnk): each document's top-k keywords
+    by exact tf·idf — the keyword-extraction / feature stage of a
+    retrieval index build, under the module's engine-exact contract.
+
+    idf is the same rational document-rarity surrogate bm25 uses
+    ((N−df+0.5)/(df+0.5), no libm); tf·idf floors to int64 micro-units
+    through ONE multiply+divide IEEE tree, so ranks and scores are
+    bit-identical in any engine.  Ties → lexicographically smaller term.
+
+    Scale shape: one corpus tokenize scan into the (doc, term, tf)
+    frame (eager localCheckpoint — BOTH the df aggregation and the
+    scoring join read it; lazy reuse would re-scan the corpus), one
+    term-keyed exchange for df, one term-keyed join back, one doc-keyed
+    rank window with WindowGroupLimit pushdown.  No N×V cross join, no
+    driver-side vocab."""
+    dt = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"split(trim(lower({text_col})), '{_ws_pattern('spark')}')")
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    if n == 0:
+        raise ValueError("tfidf_topk over an empty corpus")
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        f"(({_dlit(float(n))} - CAST(df AS DOUBLE)) + {_dlit(0.5)}) / "
+        f"(CAST(df AS DOUBLE) + {_dlit(0.5)})"
+    )
+    scored = dt.join(dfreq, "term").select(
+        id_col,
+        "term",
+        F.expr(
+            f"CAST(FLOOR((CAST(tf AS DOUBLE) * ({idf})) * {_dlit(float(scale))}) "
+            "AS BIGINT)"
+        ).alias("tfidf_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tfidf_micro", "rnk")
+    )
+
+
+def tfidf_topk_sql(
+    docs_table: str = "documents",
+    k: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`tfidf_topk` — N derives in SQL (CAST of the
+    same integer is the same double below 2^53), everything else is the
+    identical operand tree."""
+    idf = (
+        f"((CAST((SELECT n FROM nn) AS DOUBLE) - CAST(df AS DOUBLE)) + {_dlit(0.5)}) / "
+        f"(CAST(df AS DOUBLE) + {_dlit(0.5)})"
+    )
+    return f"""
+WITH dt AS (
+  SELECT {id_col}, u.w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col},
+               string_split_regex(trim(lower({text_col})), '{_ws_pattern("duckdb")}') AS t
+        FROM {docs_table}),
+       UNNEST(t) AS u(w)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {docs_table}),
+scored AS (
+  SELECT dt.{id_col}, dt.term,
+         CAST(FLOOR((CAST(dt.tf AS DOUBLE) * ({idf})) * {_dlit(float(scale))})
+              AS BIGINT) AS tfidf_micro
+  FROM dt JOIN dfreq USING (term)
+)
+SELECT {id_col}, term, tfidf_micro, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}
+              ORDER BY tfidf_micro DESC, term ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""

@@ -287,3 +287,51 @@ def test_hardneg_label_constraint(spark, sf_dir):
         order = np.lexsort((ids[mask], -s[mask]))[:3]
         want = list(ids[mask][order])
         assert [v for _, v in sorted(hits)] == want, (qid, hits, want)
+
+
+def test_tfidf_semantics(spark):
+    """Hand-computed tf-idf: rare terms outrank common ones, tf scales
+    linearly, ties break to the lexicographically smaller term, and the
+    empty corpus raises."""
+    from shapefile_rs_spark.operators.retrieval import tfidf_topk
+
+    rows = [
+        (0, "common rare rare"),
+        (1, "common common zz"),
+        (2, "common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {}
+    for r in tfidf_topk(docs, k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["tfidf_micro"]))
+    # N=3; df(common)=3 -> idf=(3-3+0.5)/3.5=1/7; df(rare)=1 -> idf=2.5/1.5
+    # doc0: rare tf=2 -> floor(2*(2.5/1.5)*1e6)=3333333 > common 142857
+    assert out[0][0][1:] == ("rare", 3333333)
+    assert out[0][1][1:] == ("common", 142857)
+    # doc1: zz tf=1 idf=2.5/1.5 -> 1666666 > common tf=2 -> 285714
+    assert out[1][0][1:] == ("zz", 1666666)
+    assert out[1][1][1:] == ("common", 285714)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty corpus"):
+        tfidf_topk(docs.filter(F.col("doc_id") < 0))
+
+
+def test_tfidf_oracle_twin_and_plan(spark, sf_dir):
+    """Bit-exact vs the DuckDB twin; the (doc, term, tf) frame is
+    checkpointed, so the scoring plan holds NO corpus re-scan."""
+    import __spark_entry__ as E
+    from shapefile_rs_spark.operators.retrieval import tfidf_topk, tfidf_topk_sql
+    from shapefile_rs_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_topk(docs, k=3)
+    plan = executed_plan(out).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 0, plan  # dt is an ExistingRDD
+    got = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {tuple(r) for r in con.sql(tfidf_topk_sql(k=3)).fetchall()}
+    assert got == want and len(got) > 0
