@@ -1000,6 +1000,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir, split=True), _BM25_TERMS, k=10)
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order manifest: exact global
+    positions over an md5 permutation key via the two-phase sample-sort
+    rank (single all-rows stratum — no single-task global window)."""
+    from shapefile_rs_spark.operators.curation import epoch_order
+
+    return epoch_order(_docs(spark, sf_dir), seed="epoch1")
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by exact tf-idf (rational idf, int64
     micro-unit scores — bm25's engine-exact contract applied to the
@@ -2255,6 +2264,9 @@ ROTATION = {
     # repped in-window by knn in next rotation — pip joins cover the
     # spatial-join surface this round):
     "knn_join": 5,
+    # parked in round 6 for epoch_shuffle (rows-only r1-r5 gate rows all
+    # green; pytest goldens keep pinning the hull — SURVEY §2.4 note):
+    "convex_hull": 5,
 }
 
 
@@ -2304,10 +2316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall": q_dedup_recall,
         "hardneg": q_hardneg,
         "tfidf": q_tfidf,
+        "epoch_shuffle": q_epoch_shuffle,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
-        "convex_hull": q_convex_hull,
         "shapes_decode": q_shapes_decode,
         "shapes_roundtrip": q_shapes_roundtrip,
         "dedup_exact": q_dedup_exact,
@@ -2325,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_census": q_cell_census,
         "shapes_headers": q_shapes_headers,
         "knn_join": q_knn_join,
+        "convex_hull": q_convex_hull,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2924,6 +2937,7 @@ FROM stepped
         "ann_recall": _ann_recall_oracle(),
         "lm_score": _lm_score_oracle(),
         "tfidf": _tfidf_oracle(),
+        "epoch_shuffle": _epoch_shuffle_oracle(),
         "bpe_learn": _bpe_learn_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "incr_lm": _incr_lm_oracle(),
@@ -3129,6 +3143,12 @@ def _dsir_oracle() -> str:
     return dsir_weights_sql(
         "SELECT doc_id, lang, text FROM documents", "lang = 'en'"
     )
+
+
+def _epoch_shuffle_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import epoch_order_sql
+
+    return epoch_order_sql(seed="epoch1")
 
 
 def _tfidf_oracle() -> str:

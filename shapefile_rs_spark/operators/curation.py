@@ -1815,3 +1815,59 @@ def dsir_doc_bucket_counts(
             F.count(F.lit(1)).alias("q"),
         )
     )
+
+
+def epoch_order(
+    docs: DataFrame,
+    seed: str = "epoch1",
+    id_col: str = "doc_id",
+    mega_strata_threshold: int | str | None = "auto",
+) -> DataFrame:
+    """(id, epoch_pos): a deterministic global training-order manifest —
+    the once-per-epoch corpus shuffle a trainer streams in order.
+
+    The permutation key is ``md5(seed || ':' || id)`` (engine-portable,
+    reshuffled by changing ``seed``), and the EXACT global position
+    comes from :func:`quality_prune`'s two-phase sample-sort rank run on
+    a single all-rows stratum — the deliberate worst case that machinery
+    exists for (one stratum = the whole corpus): a range repartition
+    spreads the sort over many partitions and summed partition counts
+    price each offset, so no single task ever sees the full order.  A
+    plain ``row_number`` window over an unpartitioned sort — the naive
+    spelling — would serialize 100 TB through one task.
+
+    ``seed`` is embedded nowhere as SQL; it only feeds the md5 column.
+    """
+    keyed = docs.select(
+        F.col(id_col),
+        F.md5(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        ).alias("_ord"),
+        F.lit(0).alias("_all"),
+    )
+    ranked = quality_prune(
+        keyed,
+        frac=1.0,
+        strata_col="_all",
+        id_col=id_col,
+        order_col="_ord",
+        mega_strata_threshold=mega_strata_threshold,
+    )
+    return ranked.select(id_col, F.col("q_rank").alias("epoch_pos"))
+
+
+def epoch_order_sql(
+    docs_table: str = "documents",
+    seed: str = "epoch1",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`epoch_order` — the same md5 permutation key
+    ranked by the window spelling (rank = (key DESC, id ASC), matching
+    quality_prune's order)."""
+    key = f"md5('{seed}:' || CAST({id_col} AS VARCHAR))"
+    return f"""
+SELECT {id_col},
+       CAST(ROW_NUMBER() OVER (ORDER BY {key} DESC, {id_col} ASC) AS BIGINT)
+         AS epoch_pos
+FROM {docs_table}
+"""

@@ -335,3 +335,38 @@ def test_tfidf_oracle_twin_and_plan(spark, sf_dir):
     )
     want = {tuple(r) for r in con.sql(tfidf_topk_sql(k=3)).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_epoch_shuffle_manifest(spark, sf_dir):
+    """The epoch manifest is an exact permutation: positions are exactly
+    1..N, a different seed yields a different order, the same seed is
+    stable, and the ranks match the naive window spelling (the two-phase
+    path is pinned equal by quality_prune's own tests)."""
+    from shapefile_rs_spark.operators.curation import epoch_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    m1 = {r["doc_id"]: r["epoch_pos"] for r in epoch_order(docs).collect()}
+    assert sorted(m1.values()) == list(range(1, n + 1))
+    # deterministic: same seed, same order
+    m1b = {r["doc_id"]: r["epoch_pos"] for r in epoch_order(docs).collect()}
+    assert m1 == m1b
+    # reshuffled: another seed moves most docs
+    m2 = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_order(docs, seed="epoch2").collect()
+    }
+    assert sorted(m2.values()) == list(range(1, n + 1))
+    moved = sum(1 for d in m1 if m1[d] != m2[d])
+    assert moved > 0.9 * n, moved
+    # window spelling agrees (the naive oracle re-spelled in Spark)
+    want = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in spark.sql(
+            "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+            "md5(concat('epoch1:', CAST(doc_id AS STRING))) DESC, doc_id ASC)"
+            " AS BIGINT) AS epoch_pos FROM {d}",
+            d=docs,
+        ).collect()
+    }
+    assert m1 == want
