@@ -27,6 +27,8 @@ oracle gate pins the exact arithmetic.
 
 from __future__ import annotations
 
+import re
+
 from typing import Dict
 
 from pyspark.sql import Column, DataFrame
@@ -1836,8 +1838,16 @@ def epoch_order(
     plain ``row_number`` window over an unpartitioned sort — the naive
     spelling — would serialize 100 TB through one task.
 
-    ``seed`` is embedded nowhere as SQL; it only feeds the md5 column.
+    The seed charset is locked to ``[A-Za-z0-9_.-]`` — the SQL twin
+    embeds it as a string literal, so no quote or backslash may enter
+    (the bpe_learn needle-injection guard applied here).
+
+    Ceiling note: positions inherit quality_prune's int32 rank, so ONE
+    manifest caps at 2^31−1 documents (guarded loudly there); shard the
+    corpus and offset per shard past that — the output column is BIGINT
+    so downstream schemas survive the shard move unchanged.
     """
+    _check_epoch_seed(seed)
     keyed = docs.select(
         F.col(id_col),
         F.md5(
@@ -1853,7 +1863,20 @@ def epoch_order(
         order_col="_ord",
         mega_strata_threshold=mega_strata_threshold,
     )
-    return ranked.select(id_col, F.col("q_rank").alias("epoch_pos"))
+    return ranked.select(
+        id_col, F.col("q_rank").cast("long").alias("epoch_pos")
+    )
+
+
+_EPOCH_SEED_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
+def _check_epoch_seed(seed: str) -> None:
+    if not _EPOCH_SEED_RE.match(seed):
+        raise ValueError(
+            f"epoch seed {seed!r} outside [A-Za-z0-9_.-]+ — it is embedded "
+            "as a SQL string literal in the oracle twin"
+        )
 
 
 def epoch_order_sql(
@@ -1864,6 +1887,7 @@ def epoch_order_sql(
     """DuckDB twin of :func:`epoch_order` — the same md5 permutation key
     ranked by the window spelling (rank = (key DESC, id ASC), matching
     quality_prune's order)."""
+    _check_epoch_seed(seed)
     key = f"md5('{seed}:' || CAST({id_col} AS VARCHAR))"
     return f"""
 SELECT {id_col},

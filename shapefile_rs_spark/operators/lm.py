@@ -65,7 +65,7 @@ import re as _re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .retrieval import _ws_pattern
+from .retrieval import _tokens_expr, _ws_pattern
 
 _SCALE = 1_000_000
 _INT64_MAX = (1 << 63) - 1
@@ -75,13 +75,6 @@ _INT64_MAX = (1 << 63) - 1
 # [a-z0-9] — no quote, backslash, or regex metacharacter can enter a
 # needle (the literal-injection guard; documented in bpe_learn).
 _BPE_WORD_RE = "^[a-z0-9]+$"
-
-
-def _tokens_expr(text_col: str, engine: str) -> str:
-    """Whitespace tokens of lower(trim(text)) — token_count's spelling."""
-    if engine == "spark":
-        return f"split(trim(lower({text_col})), '{_ws_pattern('spark')}')"
-    return f"string_split_regex(trim(lower({text_col})), '{_ws_pattern('duckdb')}')"
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +170,8 @@ def _lm_score_from_counts(
     tot_row = uni_all.agg(
         F.sum("c_uni").alias("total"), F.max("c_uni").alias("cmax")
     ).collect()[0]
+    if tot_row["total"] is None:
+        raise ValueError("lm_score over an empty corpus (no tokens)")
     total_tokens, cmax = int(tot_row["total"]), int(tot_row["cmax"])
     if cmax > _INT64_MAX // _SCALE:
         raise ValueError(
@@ -503,11 +498,10 @@ def bpe_encode_sql(
     n_merges: int = 8,
     max_words: int = 512,
 ) -> str:
-    """DuckDB twin of learn-then-encode: re-derives the merges with
-    :func:`bpe_learn_sql`'s CTE chain, then applies them to every word
+    """DuckDB twin of learn-then-encode: re-derives the merges with the
+    shared :func:`_bpe_chain_cte` chain, then applies them to every word
     as nested replaces whose needles are scalar subqueries on m1..mN."""
-    chain = bpe_learn_sql(docs_table, text_col, n_merges, max_words)
-    chain = chain[: chain.index("\nSELECT 1 AS merge_rank") + 1].rstrip().rstrip(",")
+    chain = _bpe_chain_cte(docs_table, text_col, n_merges, max_words)
     toks = _tokens_expr(text_col, "duckdb")
     expr = _doubled_sym_expr("w", "duckdb")
     for i in range(1, n_merges + 1):
@@ -528,16 +522,19 @@ GROUP BY {id_col}
 """
 
 
-def bpe_learn_sql(
-    docs_table: str = "documents",
-    text_col: str = "text",
-    n_merges: int = 8,
-    max_words: int = 512,
+def _bpe_chain_cte(
+    docs_table: str,
+    text_col: str,
+    n_merges: int,
+    max_words: int,
 ) -> str:
-    """DuckDB twin of :func:`bpe_learn`: the k merge rounds unrolled as
-    chained CTEs (w0 -> p1/m1 -> w1 -> ...), each selecting the max pair
-    with the identical (count DESC, lhs, rhs) tie-break and applying the
-    identical doubled-space replace."""
+    """The shared WITH-prefix unrolling the merge rounds (wc/w0 ->
+    p1/m1/w1 -> ...) — one spelling for both :func:`bpe_learn_sql` and
+    :func:`bpe_encode_sql` (the _minhash_pairs_cte pattern; string
+    surgery on a sibling builder's output would break on any respelling).
+    Every CTE is MATERIALIZED: inlining would re-expand each round's
+    ~4 references to the previous round — a ~4^n blowup that exhausts
+    file handles on the parquet scan (measured)."""
     toks = _tokens_expr(text_col, "duckdb")
     parts = [
         f"""WITH wc AS MATERIALIZED (
@@ -570,8 +567,21 @@ w{i} AS MATERIALIZED (
   FROM w{i - 1}
 )"""
         )
+    return ",\n".join(parts)
+
+
+def bpe_learn_sql(
+    docs_table: str = "documents",
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_words: int = 512,
+) -> str:
+    """DuckDB twin of :func:`bpe_learn`: the unrolled merge-round chain,
+    each round selecting the max pair with the identical
+    (count DESC, lhs, rhs) tie-break and applying the identical
+    doubled-space replace."""
     selects = " UNION ALL ".join(
         f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    return ",\n".join(parts) + "\n" + selects
+    return _bpe_chain_cte(docs_table, text_col, n_merges, max_words) + "\n" + selects

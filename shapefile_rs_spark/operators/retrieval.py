@@ -59,6 +59,15 @@ def _ws_pattern(engine: str) -> str:
     return "\\\\s+" if engine == "spark" else "\\s+"
 
 
+def _tokens_expr(text_col: str, engine: str) -> str:
+    """Whitespace tokens of lower(trim(text)) — THE canonical token
+    spelling, one definition for both engines (token_count/lm/tfidf all
+    read it; a drifted copy would break the bit-exact oracle gate)."""
+    if engine == "spark":
+        return f"split(trim(lower({text_col})), '{_ws_pattern('spark')}')"
+    return f"string_split_regex(trim(lower({text_col})), '{_ws_pattern('duckdb')}')"
+
+
 def _padded_expr(text_col: str, engine: str) -> str:
     """SQL for the doubled-space padded form of ``text_col``."""
     return (
@@ -241,9 +250,7 @@ def tfidf_topk(
     dt = (
         docs.select(
             F.col(id_col),
-            F.explode(
-                F.expr(f"split(trim(lower({text_col})), '{_ws_pattern('spark')}')")
-            ).alias("term"),
+            F.explode(F.expr(_tokens_expr(text_col, "spark"))).alias("term"),
         )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -292,8 +299,7 @@ def tfidf_topk_sql(
     return f"""
 WITH dt AS (
   SELECT {id_col}, u.w AS term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM (SELECT {id_col},
-               string_split_regex(trim(lower({text_col})), '{_ws_pattern("duckdb")}') AS t
+  FROM (SELECT {id_col}, {_tokens_expr(text_col, "duckdb")} AS t
         FROM {docs_table}),
        UNNEST(t) AS u(w)
   GROUP BY 1, 2

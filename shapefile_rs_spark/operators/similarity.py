@@ -104,20 +104,24 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str, normalize: bool, l
     return ids, M
 
 
-def cosine_topk(
+def _cosine_topk_impl(
     vectors: DataFrame,
     queries: DataFrame,
     k: int,
-    vec_id: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id: str = "query_id",
-    query_col: str = "q_embedding",
+    vec_id: str,
+    vec_col: str,
+    query_id: str,
+    query_col: str,
+    label_col: str = None,
+    qlabels: list = None,
 ) -> DataFrame:
-    """(query_id, vec_id, rnk): exact top-k by cosine, ties → lower vec_id.
-
-    Scan-side partial top-k: any global top-k row is in its batch's top-k
-    under the same (cos desc, vec_id asc) order, so selecting k per batch
-    per query is lossless; the final window ranks the small union."""
+    """Shared exact-cosine top-k engine: per-Arrow-batch matmul + partial
+    top-k (any global top-k row survives its batch's top-k under the
+    same (cos desc, vec_id asc) order), k·q·partitions exchange, final
+    rank window.  With ``label_col``/``qlabels`` set, query j only ranks
+    corpus rows whose label is NON-NULL and differs from ``qlabels[j]``
+    — matching SQL ``v.label <> q.q_label`` semantics, where a NULL
+    corpus label compares to NULL and drops."""
     qids, Qn = _collect_matrix(queries, query_id, query_col, normalize=True)
     nq = len(qids)
     out_schema = StructType(
@@ -127,6 +131,7 @@ def cosine_topk(
             StructField("_cos", DoubleType()),
         ]
     )
+    in_cols = [vec_id, vec_col] + ([label_col] if label_col else [])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [query_id, vec_id, "_cos"]
@@ -138,10 +143,15 @@ def cosine_topk(
                 Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
             S = Vn @ Qn.T  # B×q, one matmul per Arrow batch
             vids = pdf[vec_id].to_numpy()
+            if label_col is not None:
+                labels = pdf[label_col].to_numpy()
+                label_ok = pd.notnull(labels)
             parts = []
             for j in range(nq):
                 s = S[:, j]
                 keep = ~np.isnan(s)  # zero-norm vectors can't rank
+                if label_col is not None:
+                    keep &= label_ok & (labels != qlabels[j])
                 order = np.lexsort((vids[keep], -s[keep]))[:k]
                 parts.append(
                     pd.DataFrame(
@@ -154,12 +164,28 @@ def cosine_topk(
                 )
             yield pd.concat(parts)[cols] if parts else pd.DataFrame(columns=cols)
 
-    partials = vectors.select(vec_id, vec_col).mapInPandas(score, schema=out_schema)
+    partials = vectors.select(*in_cols).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(vec_id).asc())
     return (
         partials.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(query_id, vec_id, "rnk")
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_col: str = "q_embedding",
+) -> DataFrame:
+    """(query_id, vec_id, rnk): exact top-k by cosine, ties → lower
+    vec_id (scan-side partial top-k; see :func:`_cosine_topk_impl`)."""
+    return _cosine_topk_impl(
+        vectors, queries, k, vec_id, vec_col, query_id, query_col
     )
 
 
@@ -180,64 +206,32 @@ def cosine_topk_labeled(
     ``query_label`` (the contrastive-training negative sampler: nearest
     wrong-class neighbours are the hardest negatives).
 
-    Same scale shape as cosine_topk: one corpus scan, per-Arrow-batch
-    matmul + masked partial top-k (any global top-k row survives its
-    batch's top-k under the same order), k·q·partitions exchange, final
-    rank window over the small union.  The label mask runs INSIDE the
-    scoring closure — no per-label corpus re-scan, no join."""
-    q_rows = sorted(
-        queries.select(query_id, query_col, query_label).collect(),
-        key=lambda r: r[0],
+    Same scale shape as cosine_topk (one corpus scan, masked per-batch
+    partial top-k — no per-label re-scan, no join); the mask runs inside
+    the shared scoring closure.  NULL corpus labels never rank (the SQL
+    ``<>`` NULL semantics of the oracle twin); a NULL QUERY label is an
+    input error and raises loudly — SQL would silently return zero
+    negatives for that query."""
+    lab_rows = sorted(
+        queries.select(query_id, query_label).collect(), key=lambda r: r[0]
     )
-    qids = [r[0] for r in q_rows]
-    qlabels = [r[2] for r in q_rows]
-    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    with np.errstate(invalid="ignore", divide="ignore"):
-        Qn = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
-    nq = len(qids)
-    out_schema = StructType(
-        [
-            StructField(query_id, queries.schema[query_id].dataType),
-            StructField(vec_id, vectors.schema[vec_id].dataType),
-            StructField("_cos", DoubleType()),
-        ]
-    )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [query_id, vec_id, "_cos"]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
-            S = Vn @ Qn.T
-            vids = pdf[vec_id].to_numpy()
-            labels = pdf[label_col].to_numpy()
-            parts = []
-            for j in range(nq):
-                s = S[:, j]
-                keep = ~np.isnan(s) & (labels != qlabels[j])
-                order = np.lexsort((vids[keep], -s[keep]))[:k]
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            query_id: [qids[j]] * len(order),
-                            vec_id: vids[keep][order],
-                            "_cos": s[keep][order],
-                        }
-                    )
-                )
-            yield pd.concat(parts)[cols] if parts else pd.DataFrame(columns=cols)
-
-    partials = vectors.select(vec_id, vec_col, label_col).mapInPandas(
-        score, schema=out_schema
-    )
-    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(vec_id).asc())
-    return (
-        partials.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id, vec_id, "rnk")
+    if any(r[1] is None for r in lab_rows):
+        bad = [r[0] for r in lab_rows if r[1] is None]
+        raise ValueError(
+            f"queries {bad[:3]} carry a NULL {query_label!r} — every "
+            "comparison would be NULL and the query would get no negatives"
+        )
+    qlabels = [r[1] for r in lab_rows]
+    return _cosine_topk_impl(
+        vectors,
+        queries,
+        k,
+        vec_id,
+        vec_col,
+        query_id,
+        query_col,
+        label_col=label_col,
+        qlabels=qlabels,
     )
 
 

@@ -370,3 +370,45 @@ def test_epoch_shuffle_manifest(spark, sf_dir):
         ).collect()
     }
     assert m1 == want
+
+
+def test_review_fix_regressions(spark, sf_dir):
+    """Pins for the round's review findings: NULL corpus labels never
+    rank (SQL <> semantics), NULL query labels raise, empty-corpus
+    lm_score raises loudly, epoch seeds are charset-guarded, and
+    epoch_pos is BIGINT."""
+    from pyspark.sql.types import LongType
+
+    from shapefile_rs_spark.operators.curation import epoch_order, epoch_order_sql
+    from shapefile_rs_spark.operators.lm import lm_score
+    from shapefile_rs_spark.operators.similarity import cosine_topk_labeled
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7), (1, [1.0, 0.01], 7), (2, [1.0, 0.02], None),
+         (3, [0.0, 1.0], 8)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7)],
+        "query_id bigint, q_embedding array<double>, q_label int",
+    )
+    got = [r["vec_id"] for r in cosine_topk_labeled(vecs, qs, k=3).collect()]
+    # vec 1 shares the label (out), vec 2 has NULL label (out, <> is NULL)
+    assert got == [3], got
+    qs_null = spark.createDataFrame(
+        [(0, [1.0, 0.0], None)],
+        "query_id bigint, q_embedding array<double>, q_label int",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        cosine_topk_labeled(vecs, qs_null, k=3)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="empty corpus"):
+        lm_score(docs.filter(F.col("doc_id") < 0))
+
+    with pytest.raises(ValueError, match="seed"):
+        epoch_order(docs, seed="x'; DROP TABLE documents; --")
+    with pytest.raises(ValueError, match="seed"):
+        epoch_order_sql(seed="it's")
+    out = epoch_order(docs.limit(10))
+    assert isinstance(out.schema["epoch_pos"].dataType, LongType)
