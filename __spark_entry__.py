@@ -1000,6 +1000,16 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir, split=True), _BM25_TERMS, k=10)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation survivor funnel: per-gate doc counts (length -> tokens
+    -> language -> no-PII) from ONE corpus scan of CASE-indicator sums
+    — the observability artifact a pipeline owner reads before touching
+    any threshold."""
+    from shapefile_rs_spark.operators.curation import curation_funnel
+
+    return curation_funnel(_docs(spark, sf_dir))
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch training-order manifest: exact global
     positions over an md5 permutation key via the two-phase sample-sort
@@ -2267,6 +2277,9 @@ ROTATION = {
     # parked in round 6 for epoch_shuffle (rows-only r1-r5 gate rows all
     # green; pytest goldens keep pinning the hull — SURVEY §2.4 note):
     "convex_hull": 5,
+    # parked in round 6 for funnel (green r1-r5; decode byte-identity
+    # stays pinned in-window by shapes_roundtrip + the pytest goldens):
+    "shapes_decode": 5,
 }
 
 
@@ -2317,10 +2330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hardneg": q_hardneg,
         "tfidf": q_tfidf,
         "epoch_shuffle": q_epoch_shuffle,
+        "funnel": q_funnel,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
-        "shapes_decode": q_shapes_decode,
         "shapes_roundtrip": q_shapes_roundtrip,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
@@ -2338,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapes_headers": q_shapes_headers,
         "knn_join": q_knn_join,
         "convex_hull": q_convex_hull,
+        "shapes_decode": q_shapes_decode,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2938,6 +2952,7 @@ FROM stepped
         "lm_score": _lm_score_oracle(),
         "tfidf": _tfidf_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
+        "funnel": _funnel_oracle(),
         "bpe_learn": _bpe_learn_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "incr_lm": _incr_lm_oracle(),
@@ -3143,6 +3158,12 @@ def _dsir_oracle() -> str:
     return dsir_weights_sql(
         "SELECT doc_id, lang, text FROM documents", "lang = 'en'"
     )
+
+
+def _funnel_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import curation_funnel_sql
+
+    return curation_funnel_sql()
 
 
 def _epoch_shuffle_oracle() -> str:

@@ -1895,3 +1895,84 @@ SELECT {id_col},
          AS epoch_pos
 FROM {docs_table}
 """
+
+
+_FUNNEL_LANGS = ("en", "de", "fr")
+
+
+def curation_funnel(
+    docs: DataFrame,
+    min_chars: int = 200,
+    min_tokens: int = 30,
+    langs: tuple = _FUNNEL_LANGS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(stage, n_docs): the curation pipeline's survivor funnel in ONE
+    corpus scan — how many documents survive each successive gate
+    (length → token count → language → no-PII).  The observability
+    artifact a pipeline owner reads before touching any threshold:
+    which stage is doing the cutting.
+
+    All five counters are CASE-indicator sums inside a single
+    aggregation (map-side combined; the scan is never repeated per
+    stage), unpivoted to rows with ``stack`` — at 100 TB this costs
+    exactly one pass and a 5-row result."""
+    from .retrieval import _tokens_expr
+
+    t = F.col(text_col)
+    p1 = F.col("n_chars") >= min_chars
+    p2 = F.expr(f"size({_tokens_expr(text_col, 'spark')})") >= min_tokens
+    p3 = F.col("lang").isin(*langs)
+    p4 = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))) == 0
+
+    def ind(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("c0"),
+        ind(p1).alias("c1"),
+        ind(p1 & p2).alias("c2"),
+        ind(p1 & p2 & p3).alias("c3"),
+        ind(p1 & p2 & p3 & p4).alias("c4"),
+    )
+    return agg.selectExpr(
+        "stack(5, 'total', c0, 'min_chars', c1, 'min_tokens', c2, "
+        "'lang', c3, 'no_pii', c4) AS (stage, n_docs)"
+    )
+
+
+def curation_funnel_sql(
+    docs_table: str = "documents",
+    min_chars: int = 200,
+    min_tokens: int = 30,
+    langs: tuple = _FUNNEL_LANGS,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`curation_funnel` — the same indicator sums
+    over one MATERIALIZED aggregate row, unpivoted by UNION ALL."""
+    from .retrieval import _tokens_expr
+
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    p1 = f"(n_chars >= {min_chars})"
+    p2 = f"(len({_tokens_expr(text_col, 'duckdb')}) >= {min_tokens})"
+    p3 = f"(lang IN ({lang_list}))"
+    p4 = f"(len(regexp_extract_all({text_col}, '{EMAIL_RE}')) = 0)"
+
+    def ind(cond):
+        return f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+
+    return f"""
+WITH f AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+         {ind(p1)} AS c1,
+         {ind(f"{p1} AND {p2}")} AS c2,
+         {ind(f"{p1} AND {p2} AND {p3}")} AS c3,
+         {ind(f"{p1} AND {p2} AND {p3} AND {p4}")} AS c4
+  FROM {docs_table}
+)
+SELECT 'total' AS stage, c0 AS n_docs FROM f
+UNION ALL SELECT 'min_chars', c1 FROM f
+UNION ALL SELECT 'min_tokens', c2 FROM f
+UNION ALL SELECT 'lang', c3 FROM f
+UNION ALL SELECT 'no_pii', c4 FROM f
+"""

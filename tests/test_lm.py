@@ -412,3 +412,26 @@ def test_review_fix_regressions(spark, sf_dir):
         epoch_order_sql(seed="it's")
     out = epoch_order(docs.limit(10))
     assert isinstance(out.schema["epoch_pos"].dataType, LongType)
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """Funnel counts are monotone non-increasing by construction, the
+    total equals the corpus count, each stage's count equals the direct
+    filter count, and the whole thing is ONE scan."""
+    from shapefile_rs_spark.operators.curation import curation_funnel
+    from shapefile_rs_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation_funnel(docs)
+    plan = executed_plan(out).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    got = {r["stage"]: r["n_docs"] for r in out.collect()}
+    order = ["total", "min_chars", "min_tokens", "lang", "no_pii"]
+    vals = [got[s] for s in order]
+    assert vals[0] == docs.count()
+    assert all(a >= b for a, b in zip(vals, vals[1:])), vals
+    direct = docs.filter(
+        (F.col("n_chars") >= 200)
+        & (F.expr("size(split(trim(lower(text)), '\\\\s+'))") >= 30)
+    ).count()
+    assert got["min_tokens"] == direct
