@@ -53,6 +53,10 @@ checkpoints sit on the critical path, not as dead side writes):
    LM scores (exact-integer micro-probabilities) of the curated text
    against a model trained on the curated corpus itself — the
    perplexity-filter artifact a final quality gate thresholds.
+5e. ``order``   — (``--epoch-seed S``) the curated corpus's deterministic
+   training-order manifest (exact global positions over an md5(S:id)
+   permutation, two-phase sample-sort rank — no single-task window);
+   re-running with a new seed is the next epoch's shuffle.
 6. ``sigs`` + ``bands`` — (``--sig-stage``) the curated corpus's MinHash
    signature parquet and its pre-banded ``(_id, band, band_key)`` twin,
    the published artifacts future recrawl batches LSH-join against
@@ -175,6 +179,14 @@ def build_args(argv=None):
         "vocabulary size) over the curated corpus — the perplexity-"
         "filter artifact a final quality gate thresholds; 0 disables",
     )
+    p.add_argument(
+        "--epoch-seed",
+        default="",
+        help="also commit the 'order' stage: the curated corpus's "
+        "deterministic training-order manifest under this epoch seed "
+        "(exact global positions, two-phase sample-sort rank); empty "
+        "disables",
+    )
     p.add_argument("--minhash-k", type=int, default=3)
     p.add_argument("--num-hashes", type=int, default=12)
     p.add_argument(
@@ -208,6 +220,7 @@ def run(spark, args) -> dict:
         + (("mixture",) if args.mix_budget else ())
         + (("dsir",) if args.dsir_target else ())
         + (("lm",) if args.lm_vocab_cap else ())
+        + (("order",) if args.epoch_seed else ())
         + (("sigs", "bands") if args.sig_stage else ())
     )
     already_done = [s for s in stage_names if pipe.completed(s)]
@@ -417,6 +430,16 @@ def run(spark, args) -> dict:
             )
 
         pipe.run_stage("lm", stage_lm)
+
+    if args.epoch_seed:
+        # the trainer's read order over the curated corpus — committed so
+        # a resumed run (or a second trainer) streams the identical epoch
+        def stage_order():
+            from shapefile_rs_spark.operators.curation import epoch_order
+
+            return epoch_order(curated.select("doc_id"), seed=args.epoch_seed)
+
+        pipe.run_stage("order", stage_order)
 
     from shapefile_rs_spark.operators.dedup import release_sig_caches
 

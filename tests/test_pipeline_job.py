@@ -333,3 +333,28 @@ def test_curation_job_commits_lm_stage(spark, sf_dir, tmp_path):
         r["doc_id"]: (r["n_bigrams"], r["lm_micro"]) for r in scores.collect()
     }
     assert committed == direct
+
+
+def test_curation_job_commits_order_stage(spark, sf_dir, tmp_path):
+    """--epoch-seed commits the training-order manifest over the CURATED
+    corpus: an exact 1..N permutation of exactly the curated doc ids,
+    equal to epoch_order run directly on the curated stage."""
+    from run_curation import build_args, run
+    from shapefile_rs_spark.operators.curation import epoch_order
+
+    out = str(tmp_path / "cur_order")
+    args = build_args(
+        ["--sf-dir", sf_dir, "--out", out, "--cpus", "4", "--epoch-seed", "ep1"]
+    )
+    res = run(spark, args)
+    assert "order" in res["stages"]
+    curated = spark.read.parquet(f"{out}/stages/curated/data")
+    manifest = spark.read.parquet(f"{out}/stages/order/data")
+    n = curated.count()
+    rows = manifest.collect()
+    assert sorted(r["epoch_pos"] for r in rows) == list(range(1, n + 1))
+    direct = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_order(curated.select("doc_id"), seed="ep1").collect()
+    }
+    assert {r["doc_id"]: r["epoch_pos"] for r in rows} == direct
