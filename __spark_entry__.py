@@ -1040,6 +1040,17 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir), vocab_cap=_LM_VOCAB_CAP)
 
 
+def q_lm_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-conditioned LM scoring — the literal CCNet setup: model
+    trained ONLY on the lang='en' subset, every document scored against
+    it (high = looks like the target)."""
+    from shapefile_rs_spark.operators.lm import lm_score_target
+
+    return lm_score_target(
+        _docs(spark, sf_dir), F.col("lang") == "en", vocab_cap=_LM_VOCAB_CAP
+    )
+
+
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge learning (Sennrich): one corpus scan to the capped
     word-frequency table, then 8 deterministic highest-pair merges over
@@ -2280,6 +2291,10 @@ ROTATION = {
     # parked in round 6 for funnel (green r1-r5; decode byte-identity
     # stays pinned in-window by shapes_roundtrip + the pytest goldens):
     "shapes_decode": 5,
+    # parked in round 6 for lm_target (green r1-r5; the dedup family is
+    # repped in-window by minhash_lsh/span_dedup/para_dedup/dup_coverage/
+    # dedup_keep_best/dedup_recall):
+    "dedup_exact": 5,
 }
 
 
@@ -2331,11 +2346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "epoch_shuffle": q_epoch_shuffle,
         "funnel": q_funnel,
+        "lm_target": q_lm_target,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "shapes_roundtrip": q_shapes_roundtrip,
-        "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
@@ -2352,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "convex_hull": q_convex_hull,
         "shapes_decode": q_shapes_decode,
+        "dedup_exact": q_dedup_exact,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2953,6 +2969,7 @@ FROM stepped
         "tfidf": _tfidf_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "funnel": _funnel_oracle(),
+        "lm_target": _lm_target_oracle(),
         "bpe_learn": _bpe_learn_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "incr_lm": _incr_lm_oracle(),
@@ -3176,6 +3193,12 @@ def _tfidf_oracle() -> str:
     from shapefile_rs_spark.operators.retrieval import tfidf_topk_sql
 
     return tfidf_topk_sql(k=3)
+
+
+def _lm_target_oracle() -> str:
+    from shapefile_rs_spark.operators.lm import lm_score_sql
+
+    return lm_score_sql(vocab_cap=_LM_VOCAB_CAP, train_where="lang = 'en'")
 
 
 def _lm_score_oracle() -> str:

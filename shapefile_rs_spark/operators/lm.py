@@ -303,22 +303,56 @@ def lm_score_incremental(
     return scores, uni_delta, big_delta
 
 
+def lm_score_target(
+    docs: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_cap: int = 1024,
+) -> DataFrame:
+    """Target-conditioned :func:`lm_score` — the literal CCNet setup:
+    the bigram model trains ONLY on the target subset
+    (``docs.filter(target_pred)``, e.g. a trusted language/domain), and
+    EVERY document scores against it.  High scorers look like the
+    target; low scorers are the docs the filter drops.  Same
+    engine-exact contract and scan shape as lm_score (two target-subset
+    count scans + one full scoring scan — the target filter is pushed
+    into the count scans)."""
+    target = docs.filter(target_pred)
+    uni_all = lm_unigram_counts(target, text_col).localCheckpoint(eager=True)
+    return _lm_score_from_counts(
+        docs,
+        uni_all,
+        lm_bigram_counts(target, id_col, text_col),
+        vocab_cap,
+        id_col,
+        text_col,
+    )
+
+
 def lm_score_sql(
     docs_table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab_cap: int = 1024,
+    train_where: str = "TRUE",
 ) -> str:
-    """DuckDB twin of :func:`lm_score` — identical counts, caps,
-    tie-breaks, and truncating integer arithmetic."""
+    """DuckDB twin of :func:`lm_score` (default ``train_where``) and of
+    :func:`lm_score_target` (``train_where`` = the target predicate over
+    ``docs_table`` columns) — identical counts, caps, tie-breaks, and
+    truncating integer arithmetic; the model CTEs read only the
+    train-filtered tokens, the scoring CTE reads all documents."""
     toks = _tokens_expr(text_col, "duckdb")
     return f"""
 WITH tok AS (
   SELECT {id_col}, {toks} AS t FROM {docs_table}
 ),
+tok_train AS (
+  SELECT {toks} AS t FROM {docs_table} WHERE {train_where}
+),
 uni_all AS (
   SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c_uni
-  FROM tok, UNNEST(t) AS u(w)
+  FROM tok_train, UNNEST(t) AS u(w)
   GROUP BY u.w
 ),
 totals AS (
@@ -332,8 +366,13 @@ big AS (
   FROM tok, UNNEST(generate_series(1, len(t)-1)) AS g(i)
   WHERE len(t) >= 2
 ),
+big_train AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM tok_train, UNNEST(generate_series(1, len(t)-1)) AS g(i)
+  WHERE len(t) >= 2
+),
 big_all AS (
-  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big FROM big GROUP BY w1, w2
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big FROM big_train GROUP BY w1, w2
 ),
 big_model AS (
   SELECT b.w1, b.w2, b.c_big, u.c_uni AS c_w1

@@ -435,3 +435,27 @@ def test_curation_funnel_monotone(spark, sf_dir):
         & (F.expr("size(split(trim(lower(text)), '\\\\s+'))") >= 30)
     ).count()
     assert got["min_tokens"] == direct
+
+
+def test_lm_score_target_semantics(spark, sf_dir):
+    """Target conditioning changes scores in the expected direction:
+    under an en-trained model, en docs outscore the rest on average;
+    the default (train on everything) equals plain lm_score; an empty
+    target raises loudly."""
+    from shapefile_rs_spark.operators.lm import lm_score, lm_score_target
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = {
+        r["doc_id"]: r["lm_micro"]
+        for r in lm_score_target(docs, F.col("lang") == "en").collect()
+    }
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    en = [v for d, v in tgt.items() if langs[d] == "en"]
+    other = [v for d, v in tgt.items() if langs[d] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    # train_pred == everything ≡ plain lm_score
+    allsc = {tuple(r) for r in lm_score_target(docs, F.lit(True)).collect()}
+    assert allsc == {tuple(r) for r in lm_score(docs).collect()}
+    with pytest.raises(ValueError, match="empty corpus"):
+        lm_score_target(docs, F.col("lang") == "no-such-lang")
