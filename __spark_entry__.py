@@ -917,6 +917,24 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index-quality telemetry: per-query overlap between the ADC
+    top-5 and EXACT cosine top-5 (recall@5 numerator) — ann_recall's
+    move applied to the bytes-per-vector index, completing the recall
+    dial across both ANN families."""
+    pq = q_ann_pq(spark, sf_dir).select("query_id", "vec_id")
+    exact = (
+        q_ann_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        pq.join(exact, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-50 whitespace tokens by occurrence
     count (ties → lexicographic) — the tokenizer-training first pass.
@@ -2292,9 +2310,13 @@ ROTATION = {
     # stays pinned in-window by shapes_roundtrip + the pytest goldens):
     "shapes_decode": 5,
     # parked in round 6 for lm_target (green r1-r5; the dedup family is
-    # repped in-window by minhash_lsh/span_dedup/para_dedup/dup_coverage/
+    # repped in-window by span_dedup/para_dedup/dup_coverage/
     # dedup_keep_best/dedup_recall):
     "dedup_exact": 5,
+    # parked in round 6 for pq_recall (green r1-r5; the minhash family
+    # stays exercised in-window by simhash_pairs/incr_neardup/
+    # dedup_recall — dedup_recall RUNS the full minhash_lsh pipeline):
+    "minhash_lsh": 5,
 }
 
 
@@ -2347,11 +2369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "funnel": q_funnel,
         "lm_target": q_lm_target,
+        "pq_recall": q_pq_recall,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "shapes_roundtrip": q_shapes_roundtrip,
-        "minhash_lsh": q_minhash_lsh,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
         "semdedup": q_semdedup,
@@ -2368,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "shapes_decode": q_shapes_decode,
         "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2970,6 +2993,7 @@ FROM stepped
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "funnel": _funnel_oracle(),
         "lm_target": _lm_target_oracle(),
+        "pq_recall": _pq_recall_oracle(),
         "bpe_learn": _bpe_learn_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "incr_lm": _incr_lm_oracle(),
@@ -3131,6 +3155,17 @@ def _ann_recall_oracle() -> str:
 SELECT a.query_id,
        CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
 FROM ({_ANN_IVF_SQL}) a
+LEFT JOIN ({_ANN_TOPK_SQL}) b
+  ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+GROUP BY a.query_id
+"""
+
+
+def _pq_recall_oracle() -> str:
+    return f"""
+SELECT a.query_id,
+       CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+FROM ({_ann_pq_oracle()}) a
 LEFT JOIN ({_ANN_TOPK_SQL}) b
   ON b.query_id = a.query_id AND b.vec_id = a.vec_id
 GROUP BY a.query_id

@@ -459,3 +459,22 @@ def test_lm_score_target_semantics(spark, sf_dir):
     assert allsc == {tuple(r) for r in lm_score(docs).collect()}
     with pytest.raises(ValueError, match="empty corpus"):
         lm_score_target(docs, F.col("lang") == "no-such-lang")
+
+
+def test_pq_recall_telemetry(spark, sf_dir):
+    """pq_recall counts exactly |ADC top-5 ∩ exact top-5| per query,
+    recomputed directly from the two source queries."""
+    import __spark_entry__ as E
+
+    pq = E.q_ann_pq(spark, sf_dir).collect()
+    exact = E.q_ann_topk(spark, sf_dir).collect()
+    want = {}
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in pq:
+        want[r["query_id"]] = want.get(r["query_id"], 0) + (
+            1 if r["vec_id"] in ex.get(r["query_id"], set()) else 0
+        )
+    got = {r["query_id"]: r["hits"] for r in E.q_pq_recall(spark, sf_dir).collect()}
+    assert got == want and len(got) == 4
