@@ -1058,6 +1058,24 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir), vocab_cap=_LM_VOCAB_CAP)
 
 
+def q_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete CCNet filter as ONE query: lm_score's fixed-point
+    micro-probabilities feed quality_prune's exact per-language
+    percentile rank — keep the best half of every language by LM score.
+    Composition: the scored frame joins (doc_id, lang) and ranks with
+    the identical machinery quality_prune/quality_prune2 pin."""
+    from shapefile_rs_spark.operators.curation import quality_prune
+    from shapefile_rs_spark.operators.lm import lm_score
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "lang").join(
+        lm_score(docs, vocab_cap=_LM_VOCAB_CAP), "doc_id"
+    )
+    return quality_prune(
+        scored, frac=0.5, strata_col="lang", order_col="lm_micro"
+    )
+
+
 def q_lm_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-conditioned LM scoring — the literal CCNet setup: model
     trained ONLY on the lang='en' subset, every document scored against
@@ -2317,6 +2335,10 @@ ROTATION = {
     # stays exercised in-window by simhash_pairs/incr_neardup/
     # dedup_recall — dedup_recall RUNS the full minhash_lsh pipeline):
     "minhash_lsh": 5,
+    # parked in round 6 for lm_prune (gated green r5+r6-local; the
+    # hyperplane family stays in-window via ann_lsh_mp, which RUNS the
+    # same bucketing with the probe dial):
+    "ann_lsh": 5,
 }
 
 
@@ -2370,11 +2392,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "lm_target": q_lm_target,
         "pq_recall": q_pq_recall,
+        "lm_prune": q_lm_prune,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "shapes_roundtrip": q_shapes_roundtrip,
-        "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_mp,
         "semdedup": q_semdedup,
         # --- positions past DRIVER_GATE_WINDOW: parked (see ROTATION above).
@@ -2391,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapes_decode": q_shapes_decode,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
+        "ann_lsh": q_ann_lsh,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -2994,6 +3017,7 @@ FROM stepped
         "funnel": _funnel_oracle(),
         "lm_target": _lm_target_oracle(),
         "pq_recall": _pq_recall_oracle(),
+        "lm_prune": _lm_prune_oracle(),
         "bpe_learn": _bpe_learn_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "incr_lm": _incr_lm_oracle(),
@@ -3228,6 +3252,18 @@ def _tfidf_oracle() -> str:
     from shapefile_rs_spark.operators.retrieval import tfidf_topk_sql
 
     return tfidf_topk_sql(k=3)
+
+
+def _lm_prune_oracle() -> str:
+    from shapefile_rs_spark.operators.curation import quality_prune_sql
+    from shapefile_rs_spark.operators.lm import lm_score_sql
+
+    docs = (
+        "SELECT d.doc_id, d.lang, s.n_bigrams, s.lm_micro "
+        f"FROM documents d JOIN ({lm_score_sql(vocab_cap=_LM_VOCAB_CAP)}) s "
+        "USING (doc_id)"
+    )
+    return quality_prune_sql(docs, frac=0.5, order_col="lm_micro")
 
 
 def _lm_target_oracle() -> str:

@@ -478,3 +478,37 @@ def test_pq_recall_telemetry(spark, sf_dir):
         )
     got = {r["query_id"]: r["hits"] for r in E.q_pq_recall(spark, sf_dir).collect()}
     assert got == want and len(got) == 4
+
+
+def test_lm_prune_composition(spark, sf_dir):
+    """lm_prune keeps exactly ceil(0.5·n) docs per language, and every
+    kept doc's LM score is >= every dropped doc's within its language
+    (modulo the doc_id tie-break)."""
+    import math
+
+    import __spark_entry__ as E
+    from shapefile_rs_spark.operators.lm import lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = E.q_lm_prune(spark, sf_dir).collect()
+    scores = {
+        r["doc_id"]: r["lm_micro"] for r in lm_score(docs).collect()
+    }
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    per_lang = {}
+    for d, l in langs.items():
+        if d in scores:
+            per_lang.setdefault(l, []).append(d)
+    kept_by_lang = {}
+    for r in kept:
+        kept_by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang, ids in per_lang.items():
+        want_n = math.ceil(0.5 * len(ids))
+        k = kept_by_lang.get(lang, set())
+        assert len(k) == want_n, (lang, len(k), want_n)
+        worst_kept = min((scores[d], -d) for d in k)
+        best_dropped = max(
+            ((scores[d], -d) for d in ids if d not in k), default=None
+        )
+        if best_dropped is not None:
+            assert worst_kept > best_dropped
