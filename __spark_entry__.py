@@ -904,14 +904,21 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-evaluation a production ANN deployment runs continuously; both
     sides reuse the existing operators, the oracle composes the two
     existing oracle SQLs."""
-    ivf = q_ann_ivf(spark, sf_dir).select("query_id", "vec_id")
+    return _recall_overlap(q_ann_ivf(spark, sf_dir), spark, sf_dir)
+
+
+def _recall_overlap(candidates: DataFrame, spark, sf_dir: str) -> DataFrame:
+    """(query_id, hits): |candidates ∩ exact cosine top-k| per query —
+    the shared overlap counter behind every index-recall dial
+    (ann_recall, pq_recall)."""
     exact = (
         q_ann_topk(spark, sf_dir)
         .select("query_id", "vec_id")
         .withColumn("_hit", F.lit(1))
     )
     return (
-        ivf.join(exact, ["query_id", "vec_id"], "left")
+        candidates.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"], "left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
     )
@@ -922,17 +929,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 and EXACT cosine top-5 (recall@5 numerator) — ann_recall's
     move applied to the bytes-per-vector index, completing the recall
     dial across both ANN families."""
-    pq = q_ann_pq(spark, sf_dir).select("query_id", "vec_id")
-    exact = (
-        q_ann_topk(spark, sf_dir)
-        .select("query_id", "vec_id")
-        .withColumn("_hit", F.lit(1))
-    )
-    return (
-        pq.join(exact, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
-    )
+    return _recall_overlap(q_ann_pq(spark, sf_dir), spark, sf_dir)
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3174,26 +3171,24 @@ FROM (SELECT * FROM counted ORDER BY n DESC, token ASC LIMIT 50)
 """
 
 
-def _ann_recall_oracle() -> str:
+def _recall_oracle(candidates_sql: str) -> str:
+    """The shared overlap-count SQL template behind the recall dials."""
     return f"""
 SELECT a.query_id,
        CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
-FROM ({_ANN_IVF_SQL}) a
+FROM ({candidates_sql}) a
 LEFT JOIN ({_ANN_TOPK_SQL}) b
   ON b.query_id = a.query_id AND b.vec_id = a.vec_id
 GROUP BY a.query_id
 """
+
+
+def _ann_recall_oracle() -> str:
+    return _recall_oracle(_ANN_IVF_SQL)
 
 
 def _pq_recall_oracle() -> str:
-    return f"""
-SELECT a.query_id,
-       CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
-FROM ({_ann_pq_oracle()}) a
-LEFT JOIN ({_ANN_TOPK_SQL}) b
-  ON b.query_id = a.query_id AND b.vec_id = a.vec_id
-GROUP BY a.query_id
-"""
+    return _recall_oracle(_ann_pq_oracle())
 
 
 def _incr_dsir_oracle() -> str:

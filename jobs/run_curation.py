@@ -198,7 +198,15 @@ def build_args(argv=None):
         "as corpus_bands= and never re-band the corpus)",
     )
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.epoch_seed:
+        # fail in milliseconds, not after hours of upstream stages: the
+        # seed is embedded in the committed stage name and (in the
+        # oracle twin) a SQL literal
+        from shapefile_rs_spark.operators.curation import _check_epoch_seed
+
+        _check_epoch_seed(args.epoch_seed)
+    return args
 
 
 def run(spark, args) -> dict:
@@ -220,7 +228,7 @@ def run(spark, args) -> dict:
         + (("mixture",) if args.mix_budget else ())
         + (("dsir",) if args.dsir_target else ())
         + (("lm",) if args.lm_vocab_cap else ())
-        + (("order",) if args.epoch_seed else ())
+        + ((f"order-{args.epoch_seed}",) if args.epoch_seed else ())
         + (("sigs", "bands") if args.sig_stage else ())
     )
     already_done = [s for s in stage_names if pipe.completed(s)]
@@ -433,13 +441,16 @@ def run(spark, args) -> dict:
 
     if args.epoch_seed:
         # the trainer's read order over the curated corpus — committed so
-        # a resumed run (or a second trainer) streams the identical epoch
+        # a resumed run (or a second trainer) streams the identical epoch.
+        # The stage name CARRIES the seed (the dsir "-b{n_buckets}" move):
+        # a re-run with a new seed starts a fresh stage instead of
+        # silently returning the previous epoch's permutation.
         def stage_order():
             from shapefile_rs_spark.operators.curation import epoch_order
 
             return epoch_order(curated.select("doc_id"), seed=args.epoch_seed)
 
-        pipe.run_stage("order", stage_order)
+        pipe.run_stage(f"order-{args.epoch_seed}", stage_order)
 
     from shapefile_rs_spark.operators.dedup import release_sig_caches
 

@@ -1916,7 +1916,10 @@ def curation_funnel(
     All five counters are CASE-indicator sums inside a single
     aggregation (map-side combined; the scan is never repeated per
     stage), unpivoted to rows with ``stack`` — at 100 TB this costs
-    exactly one pass and a 5-row result."""
+    exactly one pass and a 5-row result.  Language tags are charset-
+    guarded (the epoch-seed move): the SQL twin embeds them as string
+    literals."""
+    _check_funnel_langs(langs)
     from .retrieval import _tokens_expr
 
     t = F.col(text_col)
@@ -1941,6 +1944,18 @@ def curation_funnel(
     )
 
 
+_FUNNEL_LANG_RE = re.compile(r"^[A-Za-z0-9_-]+$")
+
+
+def _check_funnel_langs(langs) -> None:
+    bad = [l for l in langs if not _FUNNEL_LANG_RE.match(l)]
+    if bad:
+        raise ValueError(
+            f"funnel language tags {bad!r} outside [A-Za-z0-9_-]+ — they "
+            "are embedded as SQL string literals in the oracle twin"
+        )
+
+
 def curation_funnel_sql(
     docs_table: str = "documents",
     min_chars: int = 200,
@@ -1950,6 +1965,7 @@ def curation_funnel_sql(
 ) -> str:
     """DuckDB twin of :func:`curation_funnel` — the same indicator sums
     over one MATERIALIZED aggregate row, unpivoted by UNION ALL."""
+    _check_funnel_langs(langs)
     from .retrieval import _tokens_expr
 
     lang_list = ", ".join(f"'{l}'" for l in langs)

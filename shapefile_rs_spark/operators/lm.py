@@ -340,19 +340,18 @@ def lm_score_sql(
     """DuckDB twin of :func:`lm_score` (default ``train_where``) and of
     :func:`lm_score_target` (``train_where`` = the target predicate over
     ``docs_table`` columns) — identical counts, caps, tie-breaks, and
-    truncating integer arithmetic; the model CTEs read only the
-    train-filtered tokens, the scoring CTE reads all documents."""
+    truncating integer arithmetic.  The predicate rides the single
+    tokenize/bigram CTEs as a boolean column (_train), so the model
+    filters cost no second pass; the scoring side reads all rows."""
     toks = _tokens_expr(text_col, "duckdb")
     return f"""
 WITH tok AS (
-  SELECT {id_col}, {toks} AS t FROM {docs_table}
-),
-tok_train AS (
-  SELECT {toks} AS t FROM {docs_table} WHERE {train_where}
+  SELECT {id_col}, ({train_where}) AS _train, {toks} AS t FROM {docs_table}
 ),
 uni_all AS (
   SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c_uni
-  FROM tok_train, UNNEST(t) AS u(w)
+  FROM tok, UNNEST(t) AS u(w)
+  WHERE _train
   GROUP BY u.w
 ),
 totals AS (
@@ -362,17 +361,13 @@ uni_model AS (
   SELECT w, c_uni FROM uni_all ORDER BY c_uni DESC, w ASC LIMIT {vocab_cap}
 ),
 big AS (
-  SELECT {id_col}, t[i] AS w1, t[i+1] AS w2
+  SELECT {id_col}, _train, t[i] AS w1, t[i+1] AS w2
   FROM tok, UNNEST(generate_series(1, len(t)-1)) AS g(i)
   WHERE len(t) >= 2
 ),
-big_train AS (
-  SELECT t[i] AS w1, t[i+1] AS w2
-  FROM tok_train, UNNEST(generate_series(1, len(t)-1)) AS g(i)
-  WHERE len(t) >= 2
-),
 big_all AS (
-  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big FROM big_train GROUP BY w1, w2
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+  FROM big WHERE _train GROUP BY w1, w2
 ),
 big_model AS (
   SELECT b.w1, b.w2, b.c_big, u.c_uni AS c_w1

@@ -413,6 +413,16 @@ def test_review_fix_regressions(spark, sf_dir):
     out = epoch_order(docs.limit(10))
     assert isinstance(out.schema["epoch_pos"].dataType, LongType)
 
+    from shapefile_rs_spark.operators.curation import (
+        curation_funnel,
+        curation_funnel_sql,
+    )
+
+    with pytest.raises(ValueError, match="language tags"):
+        curation_funnel(docs, langs=("en", "it's"))
+    with pytest.raises(ValueError, match="language tags"):
+        curation_funnel_sql(langs=("en", "it's"))
+
 
 def test_curation_funnel_monotone(spark, sf_dir):
     """Funnel counts are monotone non-increasing by construction, the

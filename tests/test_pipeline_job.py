@@ -347,9 +347,9 @@ def test_curation_job_commits_order_stage(spark, sf_dir, tmp_path):
         ["--sf-dir", sf_dir, "--out", out, "--cpus", "4", "--epoch-seed", "ep1"]
     )
     res = run(spark, args)
-    assert "order" in res["stages"]
+    assert "order-ep1" in res["stages"]
     curated = spark.read.parquet(f"{out}/stages/curated/data")
-    manifest = spark.read.parquet(f"{out}/stages/order/data")
+    manifest = spark.read.parquet(f"{out}/stages/order-ep1/data")
     n = curated.count()
     rows = manifest.collect()
     assert sorted(r["epoch_pos"] for r in rows) == list(range(1, n + 1))
@@ -358,3 +358,22 @@ def test_curation_job_commits_order_stage(spark, sf_dir, tmp_path):
         for r in epoch_order(curated.select("doc_id"), seed="ep1").collect()
     }
     assert {r["doc_id"]: r["epoch_pos"] for r in rows} == direct
+    # a NEW seed against the same --out is a FRESH stage (a re-run must
+    # not silently replay the old epoch's permutation) and a bad seed
+    # fails at parse time, before any stage runs
+    args2 = build_args(
+        ["--sf-dir", sf_dir, "--out", out, "--cpus", "4", "--epoch-seed", "ep2"]
+    )
+    res2 = run(spark, args2)
+    assert "order-ep2" in res2["stages"]
+    m2 = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in spark.read.parquet(f"{out}/stages/order-ep2/data").collect()
+    }
+    assert m2 != {r["doc_id"]: r["epoch_pos"] for r in rows}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed"):
+        build_args(
+            ["--sf-dir", sf_dir, "--out", out, "--epoch-seed", "it's"]
+        )
