@@ -932,6 +932,15 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_overlap(q_ann_pq(spark, sf_dir), spark, sf_dir)
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ index-quality telemetry: per-query overlap between the
+    doubly-approximate IVFPQ top-5 (cell pruning AND PQ scoring both
+    lose recall) and the EXACT cosine top-5 — the third leg of the
+    recall dial, so all three index families (IVF, PQ, IVFPQ) report
+    through the one shared overlap counter."""
+    return _recall_overlap(q_ann_ivfpq(spark, sf_dir), spark, sf_dir)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-50 whitespace tokens by occurrence
     count (ties → lexicographic) — the tokenizer-training first pass.
@@ -2336,6 +2345,10 @@ ROTATION = {
     # hyperplane family stays in-window via ann_lsh_mp, which RUNS the
     # same bucketing with the probe dial):
     "ann_lsh": 5,
+    # parked in round 6 for ivfpq_recall (green r1-r5; pip_join keeps
+    # the spatial-join family in-window, and the salted path's
+    # salted==unsalted equality is pinned by pytest):
+    "pip_join_salted": 5,
 }
 
 
@@ -2390,9 +2403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_target": q_lm_target,
         "pq_recall": q_pq_recall,
         "lm_prune": q_lm_prune,
+        "ivfpq_recall": q_ivfpq_recall,
         # --- long-stable rows, still inside the window.
         "pip_join": q_pip_join,
-        "pip_join_salted": q_pip_join_salted,
         "shapes_roundtrip": q_shapes_roundtrip,
         "ann_lsh_mp": q_ann_lsh_mp,
         "semdedup": q_semdedup,
@@ -2411,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "ann_lsh": q_ann_lsh,
+        "pip_join_salted": q_pip_join_salted,
         "pii_redact": q_pii_redact,
         "text_quality": q_text_quality,
         "decontaminate": q_decontaminate,
@@ -3015,6 +3029,7 @@ FROM stepped
         "lm_target": _lm_target_oracle(),
         "pq_recall": _pq_recall_oracle(),
         "lm_prune": _lm_prune_oracle(),
+        "ivfpq_recall": _recall_oracle(_ann_ivfpq_oracle()),
         "bpe_learn": _bpe_learn_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "incr_lm": _incr_lm_oracle(),
