@@ -60,9 +60,11 @@ def _fixture_dir(kind: str) -> tuple:
     return _FIXTURE_DIRS[kind], fresh
 
 
-def _geopages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine path: documents → html pages → parsed (lon, lat)."""
-    return geotag_pages(pages_from_documents(spark, sf_dir))
+def _geopages(spark: SparkSession, sf_dir: str, split: bool = False) -> DataFrame:
+    """The engine path: documents → html pages → parsed (lon, lat).
+    ``split=True`` parallelizes the synth/parse over the one-row-group
+    fixture parquet (see ``_docs``) — heavy consumers only."""
+    return geotag_pages(pages_from_documents(spark, sf_dir, split=split))
 
 
 # ---------------------------------------------------------------------------
@@ -313,7 +315,16 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram-priced cell join, no driver-side per-query state."""
     from shapefile_rs_spark.operators.knn import knn_join
 
-    pages = _geopages(spark, sf_dir).select("doc_id", "lon", "lat")
+    # ONE synth/parse pass shared by both sides: the raw parquet is a
+    # single row group (single-task synth), and without the checkpoint
+    # the point index AND the query side each re-run it (~2s each at
+    # sf1.0).  localCheckpoint is inside the timed region — no cross-run
+    # state.
+    pages = (
+        _geopages(spark, sf_dir)
+        .select("doc_id", "lon", "lat")
+        .localCheckpoint(eager=True)
+    )
     qs = pages.select(
         F.col("doc_id").alias("query_id"),
         F.col("lon").alias("q_lon"),

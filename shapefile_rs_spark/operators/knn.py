@@ -297,26 +297,38 @@ def knn_join(
 
     1. One aggregation builds the cell occupancy histogram (≤ 4^res rows —
        collectable by construction for res ≤ 8); a driver-side summed-area
-       table prices, PER CELL, the minimal Chebyshev radius whose ring
-       holds ≥ k points (one vectorized whole-grid pass per radius).  The
-       radius grid (≤512 KB) rides the ring UDF's closure; each query looks
-       up its start radius map-side, explodes its ring, joins the point
-       index, and window-ranks — guaranteed ≥ k candidates per query.
+       table prices, for every DISTINCT QUERY CELL (a second ≤ 4^res-row
+       aggregation), the minimal Chebyshev radius whose ring holds ≥ k
+       points.  Points are then REPLICATED to the query cells whose priced
+       ring reaches them (a driver-built CSR map riding a broadcast) and a
+       cogrouped per-cell numpy kernel computes every resident query's
+       exact top-k — candidate PAIRS are enumerated inside vectorized
+       numpy, never as Spark rows, so the shuffle carries
+       O(Σ ring populations) point rows instead of O(n_queries × ring
+       population) pair rows (the r6 plan shuffled 60M pair rows through a
+       window sort at sf1.0; this shape shuffles ~0.3M).  Dense (hot)
+       cells cost m·n numpy FLOPs but only m+n shuffled rows.
     2. Rows whose top-k is not yet PROVEN (kth > r·min_dim coverage bound)
        re-run once with r = ceil(kth/min_dim) — sufficient by construction
        (the round-1 kth is an upper bound on the true kth distance), so
        pass 2 terminates every query.  Typically a small minority of
        queries (those near cell boundaries/sparse regions) reach pass 2.
 
+    dist2 is bit-identical to the expression plan: the numpy kernel spells
+    the same IEEE operand tree ((lon-q_lon)·(lon-q_lon)+(lat-q_lat)·
+    (lat-q_lat), elementwise float64) and ties break on point_id exactly
+    like the ORDER BY.
+
     Output: (query_id, point_id, dist2, rank).  The only non-DataFrame
     state is the ≤4^res histogram — everything else shuffles on cell keys.
     """
     if res > 8:
         raise ValueError("knn_join histogram is exact up to res 8 (4^res cells)")
+    spark = points.sparkSession
     n_side = 1 << res
     min_dim = min(360.0 / n_side, 180.0 / n_side)
 
-    pts = points.withColumn(
+    pts = points.select(point_id, lon_col, lat_col).withColumn(
         "_pcell", C.cell_id_col(F.col(lon_col), F.col(lat_col), res)
     ).persist()
 
@@ -327,85 +339,204 @@ def knn_join(
     grid[hix, hiy] = [r["count"] for r in hist]
     sat = np.zeros((n_side + 1, n_side + 1), dtype=np.int64)
     sat[1:, 1:] = grid.cumsum(0).cumsum(1)
-
-    def ring_pop(ix, iy, r):
-        x0, x1 = max(ix - r, 0), min(ix + r, n_side - 1)
-        y0, y1 = max(iy - r, 0), min(iy + r, n_side - 1)
-        return int(sat[x1 + 1, y1 + 1] - sat[x0, y1 + 1] - sat[x1 + 1, y0] + sat[x0, y0])
-
     total = int(grid.sum())
+
+    # distinct query cells (≤ 4^res rows by construction, same bound as
+    # the histogram) — only these need pricing and replication targets
+    qx = queries.select(query_id, q_lon, q_lat).withColumn(
+        "_qcell", C.cell_id_col(F.col(q_lon), F.col(q_lat), res)
+    ).persist()
+    qcells = np.array(
+        sorted(r[0] for r in qx.select("_qcell").distinct().collect() if r[0] is not None),
+        dtype=np.int64,
+    )
+    _, qix, qiy = C.decode_cell(qcells)
+
     if total < k:
         # degenerate: fewer points than k — single global ring covers all
-        r_of = np.full((n_side, n_side), n_side, dtype=np.int64)
+        r1_of = {int(c): n_side for c in qcells}
     else:
-        # whole-grid radius pricing: one vectorized SAT pass per radius,
-        # assigning each cell the first r whose ring holds >= k points.
-        # The grid (n_side² int64, ≤512 KB at res 8) rides the UDF closure
-        # — no broadcast join, no VALUES parse.
-        gx, gy = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
-        r_of = np.full((n_side, n_side), -1, dtype=np.int64)
+        # price ONLY the query cells: one vectorized SAT pass per radius,
+        # assigning each query cell the first r whose ring holds >= k
+        # points (loop exits when every query cell is priced)
+        r_q = np.full(len(qcells), -1, dtype=np.int64)
         for r in range(n_side + 1):
-            x0 = np.clip(gx - r, 0, n_side - 1)
-            x1 = np.clip(gx + r, 0, n_side - 1)
-            y0 = np.clip(gy - r, 0, n_side - 1)
-            y1 = np.clip(gy + r, 0, n_side - 1)
+            x0 = np.clip(qix - r, 0, n_side - 1)
+            x1 = np.clip(qix + r, 0, n_side - 1)
+            y0 = np.clip(qiy - r, 0, n_side - 1)
+            y1 = np.clip(qiy + r, 0, n_side - 1)
             pop = sat[x1 + 1, y1 + 1] - sat[x0, y1 + 1] - sat[x1 + 1, y0] + sat[x0, y0]
-            newly = (r_of < 0) & (pop >= k)
-            r_of[newly] = r
-            if (r_of >= 0).all():
+            newly = (r_q < 0) & (pop >= k)
+            r_q[newly] = r
+            if (r_q >= 0).all():
                 break
-        r_of[r_of < 0] = n_side
+        r_q[r_q < 0] = n_side
+        r1_of = {int(c): max(1, int(r)) for c, r in zip(qcells, r_q)}
 
-    @F.pandas_udf("int")
-    def radius_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        ix, iy = C.lonlat_to_ixiy(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res)
-        return pd.Series(np.maximum(1, r_of[ix, iy]).astype(np.int32))
+    q_type = queries.schema[query_id].dataType.simpleString()
+    p_type = points.schema[point_id].dataType.simpleString()
+    pass_schema = (
+        f"{query_id} {q_type}, {point_id} {p_type}, dist2 double, rank int, "
+        f"{q_lon} double, {q_lat} double, _rm int, _n int, _kth double"
+    )
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def ring_cells(lon: pd.Series, lat: pd.Series, radius: pd.Series) -> pd.Series:
-        out = []
-        lon_v = lon.to_numpy(np.float64)
-        lat_v = lat.to_numpy(np.float64)
-        rad_v = radius.to_numpy()
-        base = C.cell_id(lon_v, lat_v, res)
-        for i in range(len(lon_v)):
-            out.append(C.k_ring(int(base[i]), int(rad_v[i])).tolist())
-        return pd.Series(out)
+    def cell_pass(q_side: DataFrame, cell_r: dict) -> DataFrame:
+        """q_side carries (query_id, q_lon, q_lat, _qcell); cell_r maps
+        query cell → Chebyshev radius.  Exact top-k per query via point
+        replication + cogrouped numpy (see the operator docstring)."""
+        src2tgt: dict = {}
+        for c, r in cell_r.items():
+            for s in C.k_ring(int(c), int(r)):
+                src2tgt.setdefault(int(s), []).append(int(c))
+        items = sorted(src2tgt.items())
+        srcs = np.array([s for s, _ in items], dtype=np.int64)
+        lens = np.array([len(t) for _, t in items], dtype=np.int64)
+        offs = np.zeros(len(items) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        tgts = np.array(
+            [t for _, ts in items for t in ts], dtype=np.int64
+        ) if items else np.empty(0, dtype=np.int64)
+        bc = spark.sparkContext.broadcast((srcs, offs, tgts))
 
-    def ranked_pass(qs: DataFrame) -> DataFrame:
-        """qs must carry (_r) per row; returns top-k + per-query stats."""
-        cand = qs.withColumn(
-            "_qcell", F.explode(ring_cells(F.col(q_lon), F.col(q_lat), F.col("_r")))
-        ).join(pts, F.col("_qcell") == pts["_pcell"], "inner").withColumn(
-            "dist2", dist2_col(F.col(lon_col), F.col(lat_col), F.col(q_lon), F.col(q_lat))
+        def replicate(batches):
+            srcs_, offs_, tgts_ = bc.value
+            for pdf in batches:
+                if not len(pdf) or not len(srcs_):
+                    continue
+                pc = pdf["_pcell"].to_numpy(np.int64)
+                pos = np.searchsorted(srcs_, pc)
+                pos_c = np.minimum(pos, len(srcs_) - 1)
+                ok = srcs_[pos_c] == pc
+                start = offs_[pos_c]
+                cnt = np.where(ok, offs_[pos_c + 1] - start, 0)
+                n_out = int(cnt.sum())
+                if n_out == 0:
+                    continue
+                rep_row = np.repeat(np.arange(len(pc)), cnt)
+                cs = np.cumsum(cnt)
+                within = np.arange(n_out) - np.repeat(cs - cnt, cnt)
+                tidx = np.repeat(start, cnt) + within
+                yield pd.DataFrame(
+                    {
+                        "_tcell": tgts_[tidx],
+                        point_id: pdf[point_id].to_numpy()[rep_row],
+                        lon_col: pdf[lon_col].to_numpy(np.float64)[rep_row],
+                        lat_col: pdf[lat_col].to_numpy(np.float64)[rep_row],
+                    }
+                )
+
+        repl = pts.mapInPandas(
+            replicate,
+            schema=f"_tcell long, {point_id} {p_type}, {lon_col} double, {lat_col} double",
         )
-        w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(point_id).asc())
-        wq = Window.partitionBy(query_id)
+
+        def group_fn(key, qg: pd.DataFrame, cg: pd.DataFrame) -> pd.DataFrame:
+            if not len(qg) or not len(cg):
+                # explicit dtypes: a bare empty dict column defaults to
+                # float64 and Arrow refuses float64→string/long casts
+                # (the assign_centroids carry_vec lesson)
+                return pd.DataFrame(
+                    {
+                        query_id: pd.Series([], dtype=object),
+                        point_id: pd.Series([], dtype=object),
+                        "dist2": pd.Series([], dtype=np.float64),
+                        "rank": pd.Series([], dtype=np.int32),
+                        q_lon: pd.Series([], dtype=np.float64),
+                        q_lat: pd.Series([], dtype=np.float64),
+                        "_rm": pd.Series([], dtype=np.int32),
+                        "_n": pd.Series([], dtype=np.int32),
+                        "_kth": pd.Series([], dtype=np.float64),
+                    }
+                )
+            qid = qg[query_id].to_numpy()
+            qlo = qg[q_lon].to_numpy(np.float64)
+            qla = qg[q_lat].to_numpy(np.float64)
+            pid = cg[point_id].to_numpy()
+            plo = cg[lon_col].to_numpy(np.float64)
+            pla = cg[lat_col].to_numpy(np.float64)
+            n_c = len(pid)
+            kk = min(n_c, k)
+            m = min(n_c, k + 64)
+            r_here = int(cell_r[int(key[0])])
+            out_q, out_p, out_d, out_kth = [], [], [], []
+            # chunk the query dimension so the B×C distance block stays
+            # ~16M elements (the assign_centroids memory-ceiling pattern)
+            chunk = max(1, 4_000_000 // n_c)
+            for s in range(0, len(qid), chunk):
+                # EXACT same IEEE operand tree as dist2_col / the oracle:
+                # (lon−q_lon)·(lon−q_lon)+(lat−q_lat)·(lat−q_lat), f64
+                dlon = plo[None, :] - qlo[s : s + chunk, None]
+                dlat = pla[None, :] - qla[s : s + chunk, None]
+                d2 = dlon * dlon + dlat * dlat
+                if m < n_c:
+                    part = np.argpartition(d2, m - 1, axis=1)[:, :m]
+                    sel_d = np.take_along_axis(d2, part, axis=1)
+                    sel_p = pid[part]
+                else:
+                    sel_d = d2
+                    sel_p = np.broadcast_to(pid, d2.shape)
+                # lexsort by (dist2, point_id): two stable argsorts compose
+                o1 = np.argsort(sel_p, axis=1, kind="stable")
+                sd = np.take_along_axis(sel_d, o1, axis=1)
+                sp = np.take_along_axis(
+                    sel_p if m < n_c else np.ascontiguousarray(sel_p), o1, axis=1
+                )
+                o2 = np.argsort(sd, axis=1, kind="stable")
+                sd = np.take_along_axis(sd, o2, axis=1)
+                sp = np.take_along_axis(sp, o2, axis=1)
+                top_d = sd[:, :kk].copy()
+                top_p = sp[:, :kk].copy()
+                if m < n_c:
+                    # boundary-tie guard: if the kth dist equals the m-th
+                    # smallest, an excluded candidate may tie with a
+                    # smaller id — full exact sort for those (rare) rows
+                    unsafe = np.nonzero(top_d[:, kk - 1] >= sd[:, m - 1])[0]
+                    for i in unsafe:
+                        o = np.lexsort((pid, d2[i]))[:kk]
+                        top_p[i] = pid[o]
+                        top_d[i] = d2[i][o]
+                out_q.append(np.repeat(qid[s : s + chunk], kk))
+                out_p.append(top_p.ravel())
+                out_d.append(top_d.ravel())
+                out_kth.append(np.repeat(top_d[:, kk - 1], kk))
+            n_q = len(qid)
+            return pd.DataFrame(
+                {
+                    query_id: np.concatenate(out_q),
+                    point_id: np.concatenate(out_p),
+                    "dist2": np.concatenate(out_d),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n_q),
+                    q_lon: np.repeat(qlo, kk),
+                    q_lat: np.repeat(qla, kk),
+                    "_rm": np.full(n_q * kk, r_here, dtype=np.int32),
+                    "_n": np.full(n_q * kk, kk, dtype=np.int32),
+                    "_kth": np.concatenate(out_kth),
+                }
+            )
+
         return (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .withColumn("_n", F.count(F.lit(1)).over(wq))
-            .withColumn("_kth", F.max("dist2").over(wq))
-            .select(query_id, point_id, "dist2", "rank", q_lon, q_lat, "_r", "_n", "_kth")
+            q_side.groupBy("_qcell")
+            .cogroup(repl.groupBy("_tcell"))
+            .applyInPandas(group_fn, schema=pass_schema)
         )
 
-    base_q = queries.select(query_id, q_lon, q_lat)
-    q1 = base_q.withColumn("_r", radius_of(F.col(q_lon), F.col(q_lat)))
-
-    pass1 = ranked_pass(q1).localCheckpoint(eager=True)  # output-sized
+    pass1 = cell_pass(qx, r1_of).localCheckpoint(eager=True)  # output-sized
     if total < k:
         # degenerate: pass 1 ran at r = n_side and saw EVERY point — the
         # _n >= k guarantee can never hold, and a pass 2 at ceil(kth/dim)
         # would SHRINK the ring and drop rows.  pass 1 is already complete.
         pts.unpersist()
+        qx.unpersist()
         return pass1.select(query_id, point_id, "dist2", "rank")
     proven = (F.col("_n") >= k) & (
-        F.col("_kth") <= (F.col("_r") * F.lit(min_dim)) * (F.col("_r") * F.lit(min_dim))
+        F.col("_kth") <= (F.col("_rm") * F.lit(min_dim)) * (F.col("_rm") * F.lit(min_dim))
     )
     done1 = pass1.filter(proven)
 
     # pass 2: re-run ONLY the unproven queries at the radius their own
-    # round-1 kth bounds — sufficient, so no further passes are needed
+    # round-1 kth bounds — sufficient, so no further passes are needed.
+    # The per-cell radius is the MAX over the cell's unproven queries
+    # (a superset ring changes nothing: the kernel is exact top-k).
     redo = (
         pass1.filter(~proven)
         .select(query_id, q_lon, q_lat, "_kth")
@@ -416,15 +547,18 @@ def knn_join(
                 F.lit(1), F.ceil(F.sqrt(F.col("_kth")) / F.lit(min_dim)).cast("int")
             ),
         )
-        .drop("_kth")
+        .withColumn("_qcell", C.cell_id_col(F.col(q_lon), F.col(q_lat), res))
     )
-    done2 = ranked_pass(redo)
+    cellmax = redo.groupBy("_qcell").agg(F.max("_r").alias("_r")).collect()
+    r2_of = {int(r["_qcell"]): min(int(r["_r"]), n_side) for r in cellmax}
 
     out_cols = [query_id, point_id, "dist2", "rank"]
-    result = (
-        done1.select(*out_cols)
-        .unionByName(done2.select(*out_cols))
-        .localCheckpoint(eager=True)  # output-sized; frees the cell index
-    )
+    if r2_of:
+        done2 = cell_pass(redo.select(query_id, q_lon, q_lat, "_qcell"), r2_of)
+        result = done1.select(*out_cols).unionByName(done2.select(*out_cols))
+    else:
+        result = done1.select(*out_cols)
+    result = result.localCheckpoint(eager=True)  # output-sized; frees the index
     pts.unpersist()
+    qx.unpersist()
     return result
