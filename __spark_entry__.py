@@ -1121,15 +1121,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal codegen replaces (no model join), counting exact BPE symbols
     per document — the tokenizer's counting pass, map-only + one doc agg.
     The oracle re-derives the same merges inside SQL."""
-    from shapefile_rs_spark.operators.lm import bpe_encode, bpe_learn
+    from shapefile_rs_spark.operators.lm import bpe_learn_encode
 
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in bpe_learn(
-            _docs(spark, sf_dir), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
-        ).orderBy("merge_rank").collect()
-    ]
-    return bpe_encode(_docs(spark, sf_dir), merges)
+    return bpe_learn_encode(
+        _docs(spark, sf_dir), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+    )
 
 
 def q_incr_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -441,40 +441,14 @@ def bpe_learn(
         .limit(max_words)
         .select(F.expr(_doubled_sym_expr("w", "spark")).alias("s"), "cnt")
     )
-    # the capped vocab frame is consumed once per round; eager
-    # localCheckpoint keeps round N+1 from recomputing rounds 1..N
-    # (and re-scanning the corpus n_merges times)
-    vocab = words.localCheckpoint(eager=True)
-
-    merges = []
-    for rank in range(1, n_merges + 1):
-        pairs = (
-            vocab.select(
-                F.expr(f"split(trim(s), '{_ws_pattern('spark')}')").alias("t"), "cnt"
-            )
-            .where(F.size("t") >= 2)
-            .select(
-                F.slice("t", 1, F.size("t") - 1).alias("head"),
-                F.expr("slice(t, 2, size(t) - 1)").alias("tail"),
-                "cnt",
-            )
-            .select(F.explode(F.arrays_zip("head", "tail")).alias("p"), "cnt")
-            .groupBy(F.col("p.head").alias("l"), F.col("p.tail").alias("r"))
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
-        if not pairs:
-            raise ValueError(
-                f"corpus exhausted after {rank - 1} merges — no adjacent "
-                f"pair left; lower n_merges (= {n_merges})"
-            )
-        l, r, c = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["c"])
-        merges.append((rank, l, r, c))
-        vocab = vocab.select(
-            F.expr(f"replace(s, ' {l}  {r} ', ' {l}{r} ')").alias("s"), "cnt"
-        ).localCheckpoint(eager=True)
+    # ONE collect: the capped vocab is ≤ max_words rows BY CONSTRUCTION
+    # (the sanctioned control-frame collect), so the merge rounds iterate
+    # it driver-side in pure-int Python — identical (count DESC, lhs,
+    # rhs) tie-break, identical left-to-right non-overlapping replace —
+    # instead of 2 Spark jobs + an eager checkpoint per round (r6 shape:
+    # 16 jobs over a ≤512-row frame, ~1.2s of pure scheduling).
+    vocab = [(r["s"], int(r["cnt"])) for r in words.collect()]
+    merges = _merge_rounds(vocab, n_merges)
 
     # tiny control result -> VALUES literal (the knn_cells rebuild move;
     # createDataFrame(rows) costs seconds on this host)
@@ -482,6 +456,83 @@ def bpe_learn(
     return spark.sql(
         "SELECT merge_rank, lhs, rhs, pair_count FROM VALUES "
         f"{rows} AS t(merge_rank, lhs, rhs, pair_count)"
+    )
+
+
+def _merge_rounds(vocab: list, n_merges: int) -> list:
+    """The driver-side BPE merge loop over a collected (s, cnt) vocab:
+    identical (count DESC, lhs ASC, rhs ASC) tie-break and left-to-right
+    non-overlapping replace as the former per-round Spark jobs — pure-int
+    Python, exact."""
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict = {}
+        for s, cnt in vocab:
+            t = s.split()
+            for lhs, rhs in zip(t, t[1:]):
+                pair_counts[(lhs, rhs)] = pair_counts.get((lhs, rhs), 0) + cnt
+        if not pair_counts:
+            raise ValueError(
+                f"corpus exhausted after {rank - 1} merges — no adjacent "
+                f"pair left; lower n_merges (= {n_merges})"
+            )
+        (l, r), c = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, c))
+        vocab = [(s.replace(f" {l}  {r} ", f" {l}{r} "), cnt) for s, cnt in vocab]
+    return merges
+
+
+def bpe_learn_encode(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_words: int = 512,
+) -> DataFrame:
+    """Learn-then-encode with ONE corpus token pass.
+
+    :func:`bpe_learn` followed by :func:`bpe_encode` tokenizes the corpus
+    twice; at 100 TB the corpus scans dominate everything else, so this
+    composition derives BOTH the learn-side word counts and the
+    encode-side per-doc instance counts from a single checkpointed
+    (doc, word, count) frame.  Merges and output are identical to the
+    two-operator composition (pinned by pytest)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    dw = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.expr(_tokens_expr(text_col, "spark"))).alias("w"),
+        )
+        .where(F.col("w").rlike(_BPE_WORD_RE))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    words = (
+        dw.groupBy("w")
+        .agg(F.sum("_c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(max_words)
+        .select(F.expr(_doubled_sym_expr("w", "spark")).alias("s"), "cnt")
+    )
+    vocab = [(r["s"], int(r["cnt"])) for r in words.collect()]
+    merges = [(l, r) for _, l, r, _ in _merge_rounds(vocab, n_merges)]
+
+    expr = _doubled_sym_expr("w", "spark")
+    for l, r in merges:
+        expr = f"replace({expr}, ' {l}  {r} ', ' {l}{r} ')"
+    n_sym = f"size(split(trim({expr}), '{_ws_pattern('spark')}'))"
+    enc = dw.select("w").distinct().withColumn("_nsym", F.expr(n_sym))
+    return (
+        dw.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_words"),
+            F.sum(F.col("_c") * F.col("_nsym")).alias("n_bpe_sym"),
+        )
     )
 
 
@@ -511,16 +562,32 @@ def bpe_encode(
     for l, r in merges:
         expr = f"replace({expr}, ' {l}  {r} ', ' {l}{r} ')"
     n_sym = f"size(split(trim({expr}), '{_ws_pattern('spark')}'))"
-    return (
+    # Encode each DISTINCT word once and weight by the per-doc instance
+    # count (Heaps' law: vocab ≪ instances — the nested replaces ran per
+    # token INSTANCE before, 2.7M heavy string projections at sf1.0 for
+    # 31 distinct words).  n_words = Σ counts and n_bpe_sym =
+    # Σ count·n_sym(word) are identical to the per-instance aggregation.
+    # The (doc, word) frame is checkpointed so deriving the distinct-word
+    # side does NOT re-scan the corpus (the mix_weights double-reference
+    # lesson); at 100 TB the corpus scan dominates, so one scan + a
+    # vocab-sized encode is the right shape there too.
+    dw = (
         docs.select(
             F.col(id_col),
             F.explode(F.expr(_tokens_expr(text_col, "spark"))).alias("w"),
         )
         .where(F.col("w").rlike(_BPE_WORD_RE))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    enc = dw.select("w").distinct().withColumn("_nsym", F.expr(n_sym))
+    return (
+        dw.join(enc, "w")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.expr(n_sym)).alias("n_bpe_sym"),
+            F.sum("_c").alias("n_words"),
+            F.sum(F.col("_c") * F.col("_nsym")).alias("n_bpe_sym"),
         )
     )
 

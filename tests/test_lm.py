@@ -522,3 +522,23 @@ def test_lm_prune_composition(spark, sf_dir):
         )
         if best_dropped is not None:
             assert worst_kept > best_dropped
+
+
+def test_bpe_learn_encode_matches_two_operator_composition(spark, sf_dir):
+    """The single-scan learn-then-encode composition reproduces
+    bpe_learn → bpe_encode exactly (r7 optimization: one corpus token
+    pass instead of two, encode per DISTINCT word weighted by instance
+    counts)."""
+    from shapefile_rs_spark.operators.lm import bpe_encode, bpe_learn, bpe_learn_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn(docs, n_merges=4, max_words=64).orderBy("merge_rank").collect()
+    ]
+    want = {tuple(r) for r in bpe_encode(docs, merges).collect()}
+    got = {
+        tuple(r)
+        for r in bpe_learn_encode(docs, n_merges=4, max_words=64).collect()
+    }
+    assert got == want and len(got) > 0
