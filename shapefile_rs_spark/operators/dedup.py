@@ -522,54 +522,81 @@ def token_hashes(text: Column) -> Column:
     )
 
 
-def token_hashes_pd(text: Column) -> Column:
-    """Arrow-batched twin of :func:`token_hashes` — hashlib md5 per token
-    inside one pandas UDF instead of an interpreted transform() per row
-    (bit-identical 60-bit ints; null text → null array)."""
+def _md5_60_unique(flat: list) -> np.ndarray:
+    """Per-instance 60-bit md5 ints for a flat token/shingle list, hashing
+    each DISTINCT string once (corpora repeat tokens massively — Heaps'
+    law — and near-dup corpora repeat shingles; r6 hashed every INSTANCE).
+    Bit-identical to ``int(md5(w).hexdigest()[:15], 16)`` per instance."""
     import hashlib
 
     md5 = hashlib.md5
+    # factorize = hash-based distinct (O(n)); np.unique would SORT the
+    # object array — measured slower than hashing every instance
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    vals = np.fromiter(
+        (int(md5(w.encode("utf-8")).hexdigest()[:15], 16) for w in uniq),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return vals[codes]
+
+
+def _regroup(vals: np.ndarray, groups: list) -> list:
+    """Split per-instance values back into per-doc lists following
+    ``groups`` (None entries pass through as None)."""
+    counts = np.fromiter(
+        (len(x) for x in groups if x is not None),
+        dtype=np.int64,
+        count=sum(1 for x in groups if x is not None),
+    )
+    parts = np.split(vals, np.cumsum(counts)[:-1]) if len(counts) else []
+    out, j = [], 0
+    for x in groups:
+        if x is None:
+            out.append(None)
+        else:
+            out.append(parts[j])
+            j += 1
+    return out
+
+
+def token_hashes_pd(text: Column) -> Column:
+    """Arrow-batched twin of :func:`token_hashes` — hashlib md5 per
+    DISTINCT token per batch (:func:`_md5_60_unique`) instead of per token
+    instance (bit-identical 60-bit ints; null text → null array)."""
 
     @F.pandas_udf("array<long>")
     def _th(s: pd.Series) -> pd.Series:
-        out = []
-        for t in s:
-            if t is None:
-                out.append(None)
-                continue
-            out.append(
-                [int(md5(w.encode("utf-8")).hexdigest()[:15], 16) for w in t.split(" ")]
+        toks = [None if t is None else t.split(" ") for t in s]
+        flat = [w for x in toks if x is not None for w in x]
+        if not flat:
+            return pd.Series(
+                [None if x is None else [] for x in toks], dtype=object
             )
-        return pd.Series(out, dtype=object)
+        return pd.Series(_regroup(_md5_60_unique(flat), toks), dtype=object)
 
     return _th(text)
 
 
 def shingle_token_hashes_pd(text: Column, k: int = 3) -> Column:
     """Arrow-batched twin of ``shingle_hashes(word_shingles(text, k))`` —
-    the two interpreted HOF passes fused into one hashlib loop per Arrow
-    batch (bit-identical: 60-bit md5 prefix mod 2^31-1 per k-word shingle,
-    whole-text shingle for short texts).  NULL text behaves like '' — the
-    HOF chain's concat_ws skips the null slice and emits the single shingle
-    '' (verified against the expression form), so the twin does too."""
-    import hashlib
-
-    md5 = hashlib.md5
+    the two interpreted HOF passes fused into one hashlib pass per Arrow
+    batch, hashing each DISTINCT shingle once (bit-identical: 60-bit md5
+    prefix mod 2^31-1 per k-word shingle, whole-text shingle for short
+    texts).  NULL text behaves like '' — the HOF chain's concat_ws skips
+    the null slice and emits the single shingle '' (verified against the
+    expression form), so the twin does too."""
 
     @F.pandas_udf("array<long>")
     def _sh(s: pd.Series) -> pd.Series:
-        out = []
+        groups = []
         for t in s:
             words = ("" if t is None else t).split(" ")
             n = max(1, len(words) - k + 1)
-            out.append(
-                [
-                    int(md5(" ".join(words[j : j + k]).encode("utf-8")).hexdigest()[:15], 16)
-                    % _MERSENNE31
-                    for j in range(n)
-                ]
-            )
-        return pd.Series(out, dtype=object)
+            groups.append([" ".join(words[j : j + k]) for j in range(n)])
+        flat = [g for x in groups for g in x]
+        vals = _md5_60_unique(flat) % _MERSENNE31
+        return pd.Series(_regroup(vals, groups), dtype=object)
 
     return _sh(text)
 
