@@ -636,8 +636,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ planted near-dup variants (id = doc_id*2 + variant)."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    """documents ∪ planted near-dup variants (id = doc_id*2 + variant).
+    split=True: every consumer is a heavy per-row text operator (shingle
+    hashing, chunk regexps, explodes) over the one-row-group fixture —
+    the _docs(split=) opt-in measured faster for each (r7)."""
+    docs = _docs(spark, sf_dir, split=True).select("doc_id", "text")
     orig = docs.select((F.col("doc_id") * 2).alias("id"), "text")
     nd = docs.select(
         (F.col("doc_id") * 2 + 1).alias("id"),
@@ -1907,7 +1910,7 @@ def q_incr_para(spark: SparkSession, sf_dir: str) -> DataFrame:
         para_registry,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, split=True).select("doc_id", "text")
     corpus = docs.select(
         (F.col("doc_id") * 2).alias("id"),
         chunk_words(F.col("text"), _PARA_WORDS).alias("text"),
@@ -1966,7 +1969,7 @@ def q_incr_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         line_registry,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, split=True).select("doc_id", "text")
     corpus = docs.select(
         (F.col("doc_id") * 2).alias("id"),
         chunk_words(F.col("text"), _PARA_WORDS).alias("text"),

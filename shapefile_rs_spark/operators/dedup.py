@@ -1509,11 +1509,15 @@ def para_dedup(
     twin's string_split — keep it to regex-neutral separators (newline,
     tab) when oracle parity matters."""
     key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    # the exploded frame feeds BOTH the winner aggregation and the probe
+    # side of the join back — localCheckpoint so the scan + chunk regexp
+    # + explode run ONCE, not once per consumer (the embed_neardup
+    # double-consumption rule; measured 2× the explode stage at sf1.0)
     paras = df.select(
         F.col(id_col).alias("_id"),
         key.alias("_k"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para"),
-    )
+    ).localCheckpoint(eager=True)
     elig = F.length(F.col("_para")) >= min_len
     wins = (
         paras.filter(elig)
@@ -1769,10 +1773,12 @@ def line_prune(
     engine has no corpus-level text ops — this is training-pipeline
     surface built on the same exchange discipline as W1 skew handling).
     """
+    # three consumers (frequency table, anti-join probe, per-doc totals)
+    # — localCheckpoint so the scan + explode run once, not three times
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_line"),
-    )
+    ).localCheckpoint(eager=True)
     elig = F.length(F.col("_line")) >= min_len
     hot = (
         lines.filter(elig)
