@@ -1064,7 +1064,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed rank window."""
     from shapefile_rs_spark.operators.retrieval import tfidf_topk
 
-    return tfidf_topk(_docs(spark, sf_dir), k=3)
+    return tfidf_topk(_docs(spark, sf_dir, split=True), k=3)
 
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,7 +1075,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/lm.py module docstring has the full contract)."""
     from shapefile_rs_spark.operators.lm import lm_score
 
-    return lm_score(_docs(spark, sf_dir), vocab_cap=_LM_VOCAB_CAP)
+    return lm_score(_docs(spark, sf_dir, split=True), vocab_cap=_LM_VOCAB_CAP)
 
 
 def q_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,7 +1087,7 @@ def q_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.curation import quality_prune
     from shapefile_rs_spark.operators.lm import lm_score
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, split=True)
     scored = docs.select("doc_id", "lang").join(
         lm_score(docs, vocab_cap=_LM_VOCAB_CAP), "doc_id"
     )
@@ -1103,7 +1103,7 @@ def q_lm_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.lm import lm_score_target
 
     return lm_score_target(
-        _docs(spark, sf_dir), F.col("lang") == "en", vocab_cap=_LM_VOCAB_CAP
+        _docs(spark, sf_dir, split=True), F.col("lang") == "en", vocab_cap=_LM_VOCAB_CAP
     )
 
 
@@ -1115,7 +1115,7 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.lm import bpe_learn
 
     return bpe_learn(
-        _docs(spark, sf_dir), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+        _docs(spark, sf_dir, split=True), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
     )
 
 
@@ -1127,7 +1127,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.lm import bpe_learn_encode
 
     return bpe_learn_encode(
-        _docs(spark, sf_dir), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
+        _docs(spark, sf_dir, split=True), n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS
     )
 
 
@@ -1143,7 +1143,7 @@ def q_incr_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm_unigram_counts,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, split=True)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     scores, _, _ = lm_score_incremental(

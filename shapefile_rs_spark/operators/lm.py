@@ -160,6 +160,7 @@ def _lm_score_from_counts(
     vocab_cap: int,
     id_col: str,
     text_col: str,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Score ``docs`` against models derived from the given UNCAPPED
     count frames.  ``uni_all`` must be materialized (checkpointed or a
@@ -193,7 +194,8 @@ def _lm_score_from_counts(
         .localCheckpoint(eager=True)
     )
 
-    pairs = _bigrams(docs, id_col, text_col)
+    if pairs is None:
+        pairs = _bigrams(docs, id_col, text_col)
     scored = (
         pairs.join(F.broadcast(big_model), ["w1", "w2"], "left")
         .join(
@@ -235,17 +237,21 @@ def lm_score(
     Returns (id_col, n_bigrams, lm_micro) for every document with ≥2
     tokens; ``lm_micro = Σ contrib DIV n_bigrams`` where contrib is the
     stupid-backoff micro-probability defined in the module docstring.
-    Three corpus scans total (unigram count, bigram count, scoring) —
-    the algorithm's minimum without a grouping-sets fusion.
+    Two corpus scans total (unigram count; one shared tokenize +
+    slice/zip pair pass, checkpointed — it used to run twice, once for
+    the bigram model and once for scoring, ~1.3s each at sf1.0).
     """
     uni_all = lm_unigram_counts(docs, text_col).localCheckpoint(eager=True)
+    pairs_all = _bigrams(docs, id_col, text_col).localCheckpoint(eager=True)
+    big_all = pairs_all.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
     return _lm_score_from_counts(
         docs,
         uni_all,
-        lm_bigram_counts(docs, id_col, text_col),
+        big_all,
         vocab_cap,
         id_col,
         text_col,
+        pairs=pairs_all,
     )
 
 

@@ -63,14 +63,18 @@ def test_lm_score_oracle_twin(spark, sf_dir):
 
 
 def test_lm_score_scoring_plan_shape(spark, sf_dir):
-    """Scale-shape pin: the scoring job scans the corpus ONCE (training
-    is materialized into checkpointed models), and both model joins are
-    broadcast — no corpus-keyed shuffle before the per-doc aggregation."""
+    """Scale-shape pin: the scoring job never re-scans the corpus — it
+    reads the ONE checkpointed bigram-pair frame (r7: the tokenize +
+    slice/zip pass used to run twice, once for the model and once for
+    scoring), and both model joins are broadcast — no corpus-keyed
+    shuffle before the per-doc aggregation."""
     from shapefile_rs_spark.plans import executed_plan
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = executed_plan(lm_score(docs))
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") == 0, plan  # no corpus re-scan
+    # the pair checkpoint + the two (broadcast) model checkpoints
+    assert plan.count("Scan ExistingRDD") == 3, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
 
