@@ -635,12 +635,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_corpus(spark: SparkSession, sf_dir: str, split: bool = True) -> DataFrame:
     """documents ∪ planted near-dup variants (id = doc_id*2 + variant).
-    split=True: every consumer is a heavy per-row text operator (shingle
-    hashing, chunk regexps, explodes) over the one-row-group fixture —
-    the _docs(split=) opt-in measured faster for each (r7)."""
-    docs = _docs(spark, sf_dir, split=True).select("doc_id", "text")
+    split=True (default): the chunk-regexp/explode consumers measured
+    ~2x faster with the _docs(split=) re-split; the minhash-signature
+    consumers (minhash_lsh → dedup_recall, dup_coverage) measured FASTER
+    WITHOUT it (repeats=4 A/B at sf1.0: 2.1s vs 3.5s) and opt out."""
+    docs = _docs(spark, sf_dir, split=split).select("doc_id", "text")
     orig = docs.select((F.col("doc_id") * 2).alias("id"), "text")
     nd = docs.select(
         (F.col("doc_id") * 2 + 1).alias("id"),
@@ -678,7 +679,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shapefile_rs_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _dup_corpus(spark, sf_dir),
+        _dup_corpus(spark, sf_dir, split=False),
         id_col="id",
         text_col="text",
         k=_MINHASH_K,
@@ -1825,7 +1826,7 @@ def q_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage; unique docs read 0."""
     from shapefile_rs_spark.operators.dedup import dup_coverage
 
-    return dup_coverage(_dup_corpus(spark, sf_dir), id_col="id", k=8)
+    return dup_coverage(_dup_corpus(spark, sf_dir, split=False), id_col="id", k=8)
 
 
 def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
