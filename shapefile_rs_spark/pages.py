@@ -171,6 +171,10 @@ def synth_pages_from_ids(ids: DataFrame, id_col: str = "page_id") -> DataFrame:
 # -- extraction (html bytes → text / geotag) ---------------------------------
 
 _GEO_RE = r'<meta name="geo\.position" content="([^";]+);([^"]+)"'
+# single-group twin for the fused one-regex parse in geotag_pages: the
+# group is exactly group1 + ';' + group2 of _GEO_RE (same charsets, same
+# ≥1-char requirements), so the first match site is identical
+_GEO_PAIR_RE = r'<meta name="geo\.position" content="([^";]+;[^"]+)"'
 _TEXT_RE_CORE = r"<body>(.*)</body>"
 _TEXT_RE = "(?s)" + _TEXT_RE_CORE
 
@@ -233,5 +237,22 @@ def geotag_pages(pages: DataFrame, use_arrow_udf: bool = False) -> DataFrame:
             .withColumn("lon", F.col("_geo.lon"))
             .drop("_geo")
         )
-    lat, lon = extract_geo_exprs(F.col("html"))
-    return pages.withColumn("lat", lat).withColumn("lon", lon)
+    # ONE decode + ONE regex + one split per row: the two-column
+    # extract_geo_exprs spelling evaluates decode(html) and the regex
+    # twice (Catalyst does not CSE across projection columns — measured
+    # ~2x the parse stage on the 6M-page flagship).  The combined group
+    # ([^";]+;[^"]+) is exactly group1 + ';' + group2 of _GEO_RE, so
+    # match positions and extracted strings are identical; F.get is the
+    # ANSI-safe out-of-range→NULL element access.
+    pair = F.nullif(
+        F.regexp_extract(F.decode(F.col("html"), "UTF-8"), _GEO_PAIR_RE, 1),
+        F.lit(""),
+    )
+    tagged = pages.withColumn("_geo_parts", F.split(pair, ";", 2))
+    return (
+        tagged.withColumn(
+            "lat", F.nullif(F.get("_geo_parts", F.lit(0)), F.lit("")).cast("double")
+        )
+        .withColumn("lon", F.get("_geo_parts", F.lit(1)).cast("double"))
+        .drop("_geo_parts")
+    )

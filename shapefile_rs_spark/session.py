@@ -34,7 +34,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # local default 16m: fixture parquet carries few (1-6) row groups,
+        # and splits cannot cross row-group boundaries — 128m packed the
+        # 6-row-group sf1.0 lineitem into TWO scan tasks (measured; 16m
+        # reaches all 6).  A real lake's many-file layout wants the
+        # 128m-1g guidance instead — override via env on a cluster.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # throughput GC: G1's pause targets cost ~15-20% on the string-heavy
         # synth/parse stages (measured at 32 threads); batch jobs prefer
