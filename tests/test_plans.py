@@ -495,8 +495,19 @@ def test_domain_rank_iteration_reuses_persisted_edges(spark, sf_dir):
         (F.expr("doc_id * doc_id DIV 64") % 64).alias("dst"),
     ).distinct()
     plan = _plan(domain_rank(edges, iterations=3))
-    assert "ExistingRDD" in plan  # final frame is the checkpointed round
-    assert "Scan parquet" not in plan  # corpus never re-enters the plan
+    # r7: control-sized host sets rank driver-side (VALUES rebuild) —
+    # the plan is a local relation; the corpus never re-enters, and no
+    # path ever runs the unpartitioned rank window (the r6 weak item)
+    assert "Scan parquet" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # the scale path (forced via rank_collect_max=0): sample-sort rank,
+    # same rows, still no single-task exchange
+    big = domain_rank(edges, iterations=3, rank_collect_max=0)
+    bplan = _plan(big)
+    assert "Exchange SinglePartition" not in bplan
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, domain_rank(edges, iterations=3).collect())
+    )
 
 
 def test_ivf_pq_topk_broadcasts_queries_no_shuffle_join(spark, sf_dir):
