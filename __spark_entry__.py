@@ -1016,7 +1016,7 @@ def q_incr_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_weights_incremental,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, split=True)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     registry = dsir_registry(corpus, F.col("lang") == "en")
