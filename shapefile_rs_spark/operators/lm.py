@@ -287,8 +287,12 @@ def lm_score_incremental(
     combine; everything downstream is the lm_score scoring shape.
     """
     uni_delta = lm_unigram_counts(batch, text_col).localCheckpoint(eager=True)
-    big_delta = lm_bigram_counts(batch, id_col, text_col).localCheckpoint(
-        eager=True
+    # one batch pair pass: the bigram delta AND the scoring join both
+    # read this checkpoint (the batch used to tokenize three times —
+    # delta, then again inside the scoring plan)
+    pairs_b = _bigrams(batch, id_col, text_col).localCheckpoint(eager=True)
+    big_delta = pairs_b.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_big")
     )
     uni_comb = (
         uni_reg.select("w", "c_uni")
@@ -304,7 +308,7 @@ def lm_score_incremental(
         .agg(F.sum("c_big").alias("c_big"))
     )
     scores = _lm_score_from_counts(
-        batch, uni_comb, big_comb, vocab_cap, id_col, text_col
+        batch, uni_comb, big_comb, vocab_cap, id_col, text_col, pairs=pairs_b
     )
     return scores, uni_delta, big_delta
 

@@ -102,50 +102,26 @@ def char_minhash_pd(text: Column, window: int = 8) -> Column:
     result bit-for-bit — md5 of the UTF-8 bytes of each char window)."""
     import hashlib
 
-    import numpy as np
     import pandas as pd
 
+    # NOTE (r7): a hash-distinct-windows-first variant (the
+    # token_hashes_pd factorize move) was tried and REVERTED — char
+    # windows over ordinary documents are mostly DISTINCT (unlike tokens
+    # or near-dup shingles), so the factorize + digest-rank machinery
+    # only added overhead (measured 1.1s → 3.4s at sf1.0).
     @F.pandas_udf("string")
     def _mh(s: pd.Series) -> pd.Series:
         md5 = hashlib.md5
-        # hash each DISTINCT window once (near-dup corpora repeat windows
-        # wholesale); the per-doc hex-min is then a vectorized integer
-        # reduceat over digest RANKS (argsort of hex strings = the same
-        # lexicographic order min() walked per instance)
-        groups = []
+        out = []
         for t in s:
             if t is None:  # NULL text → NULL fp (expr/oracle parity)
-                groups.append(None)
+                out.append(None)
                 continue
             n = max(1, len(t) - window + 1)
-            groups.append([t[i : i + window] for i in range(n)])
-        flat = [g for x in groups if x is not None for g in x]
-        if not flat:
-            return pd.Series([None] * len(groups), dtype=object)
-        inv, uniq = pd.factorize(np.asarray(flat, dtype=object))
-        digs = np.asarray(
-            [md5(u.encode("utf-8")).hexdigest() for u in uniq], dtype=object
-        )
-        order = np.argsort(digs, kind="stable")
-        rank = np.empty(len(digs), dtype=np.int64)
-        rank[order] = np.arange(len(digs))
-        codes = rank[inv]
-        counts = np.fromiter(
-            (len(x) for x in groups if x is not None),
-            dtype=np.int64,
-            count=sum(1 for x in groups if x is not None),
-        )
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-        mins = np.minimum.reduceat(codes, starts)
-        digs_sorted = digs[order]
-        out, j = [], 0
-        for x in groups:
-            if x is None:
-                out.append(None)
-            else:
-                out.append(digs_sorted[mins[j]])
-                j += 1
-        return pd.Series(out, dtype=object)
+            out.append(
+                min(md5(t[i : i + window].encode("utf-8")).hexdigest() for i in range(n))
+            )
+        return pd.Series(out)
 
     return _mh(text)
 

@@ -34,14 +34,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        # local default 16m: fixture parquet carries few (1-6) row groups,
-        # and splits cannot cross row-group boundaries — 128m packed the
-        # 6-row-group sf1.0 lineitem into TWO scan tasks (measured; 16m
-        # reaches all 6).  A real lake's many-file layout wants the
-        # 128m-1g guidance instead — override via env on a cluster.
+        # 128m default (env-overridable).  r7 note: 16m was tried to
+        # reach all 6 sf1.0 lineitem row groups (flagship 4.07->3.78s)
+        # but measurably regressed ~9 other queries in the same windows
+        # (url_canon 1.4->2.6s etc.) — reverted; the knob stays
+        # parameterised for cluster layouts.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
         )
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # throughput GC: G1's pause targets cost ~15-20% on the string-heavy

@@ -142,11 +142,13 @@ def test_lm_score_incremental_matches_from_scratch(spark, sf_dir):
         for r in lm_score(docs).filter(F.col("doc_id") % 5 == 0).collect()
     }
     assert got == want and len(got) > 0
-    # the batch scan is the ONLY data-sized scan in the scoring plan
+    # the scoring plan reaches NEITHER the corpus NOR a batch re-scan:
+    # the checkpointed batch pair frame is the only data-sized input
+    # (r7 — the batch used to re-tokenize inside the scoring job)
     # (post-collect the AQE string repeats scans in its Initial Plan
     # section — count the final section only)
     plan = executed_plan(scores).split("== Initial Plan ==")[0]
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") == 0, plan
     # additivity: registry ∪ delta sum-merged == from-scratch counts
     merged = (
         uni_reg.unionByName(uni_d)
