@@ -752,15 +752,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard between each doc and its planted near-dup."""
-    from shapefile_rs_spark.operators.dedup import ngram_jaccard, word_shingles
+    from shapefile_rs_spark.operators.dedup import ngram_jaccard_stats_pd
 
     docs = _docs(spark, sf_dir, split=True)
-    sa = word_shingles(F.col("text"), 3)
-    sb = word_shingles(F.concat(F.col("text"), F.lit(" near dup suffix")), 3)
-    return docs.select(
+    st = ngram_jaccard_stats_pd(
+        F.col("text"), F.concat(F.col("text"), F.lit(" near dup suffix")), 3
+    )
+    return docs.select("doc_id", st.alias("_s")).select(
         "doc_id",
-        F.size(F.array_distinct(sa)).alias("n_shingles"),
-        ngram_jaccard(sa, sb).alias("jaccard"),
+        F.col("_s.n_shingles").alias("n_shingles"),
+        F.col("_s.jaccard").alias("jaccard"),
     )
 
 

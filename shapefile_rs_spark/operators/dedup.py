@@ -715,6 +715,34 @@ def ngram_jaccard(sa: Column, sb: Column) -> Column:
     return inter / union
 
 
+def ngram_jaccard_stats_pd(ta: Column, tb: Column, k: int = 3) -> Column:
+    """Arrow-batched fusion of ``(size(array_distinct(word_shingles(ta))),
+    ngram_jaccard(word_shingles(ta), word_shingles(tb)))`` — the HOF
+    spelling evaluates FIVE interpreted transform/slice chains per row
+    (r7 measurement: the interpreted-HOF cost class).  Python set ops per
+    doc over the identical shingle strings; len()/len() division is the
+    same correctly-rounded IEEE double as Spark's int÷int."""
+
+    @F.pandas_udf("n_shingles int, jaccard double")
+    def _nj(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        ns = np.empty(len(a), dtype=object)
+        jc = np.empty(len(a), dtype=object)
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x is None or y is None:
+                ns[i] = None
+                jc[i] = None
+                continue
+            wa = x.split(" ")
+            sa = {" ".join(wa[j : j + k]) for j in range(max(1, len(wa) - k + 1))}
+            wb = y.split(" ")
+            sb = {" ".join(wb[j : j + k]) for j in range(max(1, len(wb) - k + 1))}
+            ns[i] = len(sa)
+            jc[i] = len(sa & sb) / len(sa | sb)
+        return pd.DataFrame({"n_shingles": ns, "jaccard": jc})
+
+    return _nj(ta, tb)
+
+
 def ngram_jaccard_sql(sa_sql: str, sb_sql: str) -> str:
     return (
         f"(len(list_intersect({sa_sql}, {sb_sql})) / "
