@@ -772,8 +772,13 @@ def _emb_queries(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
     )
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+def _events(spark: SparkSession, sf_dir: str, split: bool = False) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if split:
+        # one-row-group fixture: the hourly rollup's decimal-sum scan is
+        # single-task without a re-split (A/B at sf1.0: 2.0s -> 1.7s)
+        ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    return ev
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,7 +1507,7 @@ def q_lang_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-window rollup (batch twin of the streaming hourly aggregation)."""
-    events = _events(spark, sf_dir)
+    events = _events(spark, sf_dir, split=True)
     return events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_start")
     ).agg(
