@@ -332,22 +332,32 @@ def knn_join(
         "_pcell", C.cell_id_col(F.col(lon_col), F.col(lat_col), res)
     ).persist()
 
-    # pass-0 agg: histogram → per-cell start radius (driver SAT, tiny)
-    hist = pts.groupBy("_pcell").count().collect()
+    qx = queries.select(query_id, q_lon, q_lat).withColumn(
+        "_qcell", C.cell_id_col(F.col(q_lon), F.col(q_lat), res)
+    ).persist()
+
+    # pass-0: ONE job computes the point histogram AND the distinct
+    # query cells (both ≤ 4^res rows by construction) while filling both
+    # caches — a union of the two cell projections tagged by side (the
+    # domain_rank one-action materialization move; separate collects
+    # cost a scheduling round-trip each)
+    both = (
+        pts.select(F.col("_pcell").alias("_c"), F.lit(1).alias("_side"))
+        .unionByName(qx.select(F.col("_qcell").alias("_c"), F.lit(0).alias("_side")))
+        .groupBy("_c", "_side")
+        .count()
+        .collect()
+    )
+    hist = [r for r in both if r["_side"] == 1]
     grid = np.zeros((n_side, n_side), dtype=np.int64)
-    _, hix, hiy = C.decode_cell(np.array([r["_pcell"] for r in hist], dtype=np.int64))
+    _, hix, hiy = C.decode_cell(np.array([r["_c"] for r in hist], dtype=np.int64))
     grid[hix, hiy] = [r["count"] for r in hist]
     sat = np.zeros((n_side + 1, n_side + 1), dtype=np.int64)
     sat[1:, 1:] = grid.cumsum(0).cumsum(1)
     total = int(grid.sum())
 
-    # distinct query cells (≤ 4^res rows by construction, same bound as
-    # the histogram) — only these need pricing and replication targets
-    qx = queries.select(query_id, q_lon, q_lat).withColumn(
-        "_qcell", C.cell_id_col(F.col(q_lon), F.col(q_lat), res)
-    ).persist()
     qcells = np.array(
-        sorted(r[0] for r in qx.select("_qcell").distinct().collect() if r[0] is not None),
+        sorted(r["_c"] for r in both if r["_side"] == 0 and r["_c"] is not None),
         dtype=np.int64,
     )
     _, qix, qiy = C.decode_cell(qcells)
@@ -555,10 +565,15 @@ def knn_join(
     out_cols = [query_id, point_id, "dist2", "rank"]
     if r2_of:
         done2 = cell_pass(redo.select(query_id, q_lon, q_lat, "_qcell"), r2_of)
-        result = done1.select(*out_cols).unionByName(done2.select(*out_cols))
+        result = (
+            done1.select(*out_cols)
+            .unionByName(done2.select(*out_cols))
+            .localCheckpoint(eager=True)  # output-sized; frees the index
+        )
     else:
+        # every query proven in pass 1: done1 is a lazy filter over the
+        # ALREADY-checkpointed pass-1 frame — no second materialization
         result = done1.select(*out_cols)
-    result = result.localCheckpoint(eager=True)  # output-sized; frees the index
     pts.unpersist()
     qx.unpersist()
     return result
