@@ -624,11 +624,30 @@ def _docs(spark: SparkSession, sf_dir: str, split: bool = False) -> DataFrame:
     the explicit repartition is the local twin of format-level splitting.
     It costs a full exchange, so only the queries whose per-row map work
     dominates that cost opt in (measured per query; light scans and
-    shuffle-bound aggregations stay on the direct read)."""
+    shuffle-bound aggregations stay on the direct read).
+
+    The opt-in is additionally SIZE-GATED (r7, guide §2: partitioning
+    must be scale-adaptive, not a constant tuned to one SF): below
+    ``_SPLIT_MIN_BYTES`` of input the exchange overhead exceeds the
+    parallel-scan gain (measured at sf0.1: the split family regressed
+    0.5-1.2s/query; at sf1.0 it wins ~2x), so small inputs keep the
+    direct read even when the caller opts in."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if split:
+    if split and _want_split(f"{sf_dir}/documents.parquet"):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+# re-split pays one exchange; under ~3 MB of input the single-task scan
+# wins (measured both ways, see _docs) — env-overridable for clusters
+_SPLIT_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SPLIT_MIN_BYTES", 3_000_000))
+
+
+def _want_split(path: str) -> bool:
+    try:
+        return os.path.getsize(path) >= _SPLIT_MIN_BYTES
+    except OSError:
+        return True  # non-local path: assume data-sized
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,9 +793,10 @@ def _emb_queries(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str, split: bool = False) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if split:
+    if split and _want_split(f"{sf_dir}/events.parquet"):
         # one-row-group fixture: the hourly rollup's decimal-sum scan is
-        # single-task without a re-split (A/B at sf1.0: 2.0s -> 1.7s)
+        # single-task without a re-split (A/B at sf1.0: 2.0s -> 1.7s;
+        # size-gated like _docs)
         ev = ev.repartition(spark.sparkContext.defaultParallelism)
     return ev
 
