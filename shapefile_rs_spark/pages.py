@@ -139,7 +139,25 @@ def synth_pages_from_ids(ids: DataFrame, id_col: str = "page_id") -> DataFrame:
     mass: e.g. 600k lineitem keys at sf0.1, 10^12 ids on a real cluster).
     Same derivation rules as :func:`pages_from_documents`, text derived from
     the id so byte-identity stays checkable.  Pure Catalyst expressions —
-    the synthesizer itself never leaves whole-stage codegen."""
+    the synthesizer itself never leaves whole-stage codegen.
+
+    If the id frame is under-parallel, the ids re-split BEFORE the synth
+    projection — the shuffle moves only the 8-byte ids, and the
+    sha1/concat-heavy synth then uses every core (r7: flagship 3.7-5.1s
+    → 2.7-3.0s at sf1.0, same-window A/B).  Under-parallel means fewer
+    partitions than the session's parallelism OR a bare file scan:
+    parquet reports byte-range splits but cannot split below row-group
+    boundaries, so a few-row-group fixture file claims 32 partitions
+    while only ~6 run non-empty.  Row-preserving; already-parallel
+    inputs (e.g. the scaling bench's range(..., cores×4)) are
+    untouched."""
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    needs = ids.rdd.getNumPartitions() < par
+    if not needs:
+        plan = ids._jdf.queryExecution().sparkPlan().toString()
+        needs = "FileScan" in plan and "Exchange" not in plan
+    if needs:
+        ids = ids.repartition(par)
     doc_id = F.col(id_col).cast("long")
     text = F.concat(
         F.lit("page "),
