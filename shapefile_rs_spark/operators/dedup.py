@@ -1667,17 +1667,17 @@ def para_dedup_incremental(
         .groupBy("_para")
         .agg(F.min(F.struct("_k", "_id", "_idx")).alias("_w"))
     )
-    marked = (
-        joined.join(wins, "_para", "left")
-        .withColumn(
-            "_keep",
-            (~elig)
-            | (
-                F.col("_seen").isNull()
-                & (F.struct("_k", "_id", "_idx") == F.col("_w"))
-            ),
-        )
-        .localCheckpoint(eager=True)
+    # marked stays LAZY (r7): both consumers (cleaned, new_paras)
+    # derive from the CHECKPOINTED joined frame — re-running the winner
+    # agg + join per consumer is one vocabulary-keyed pass over the
+    # checkpoint, cheaper than an extra eager materialization job
+    marked = joined.join(wins, "_para", "left").withColumn(
+        "_keep",
+        (~elig)
+        | (
+            F.col("_seen").isNull()
+            & (F.struct("_k", "_id", "_idx") == F.col("_w"))
+        ),
     )
     cleaned = (
         marked.groupBy(F.col("_id").alias(id_col))
@@ -1967,13 +1967,16 @@ def line_prune_incremental(
         F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_line"),
     ).localCheckpoint(eager=True)
     elig = F.length(F.col("_line")) >= min_len
+    # bf stays LAZY: both its consumers (the hot set and the returned
+    # delta) re-aggregate from the CHECKPOINTED lines frame — a cheap
+    # vocabulary-keyed agg — so an eager bf materialization was a wasted
+    # scheduling round-trip (r7)
     bf = (
         lines.filter(elig)
         .select("_line", "_id")
         .distinct()
         .groupBy("_line")
         .agg(F.count(F.lit(1)).alias("_bn"))
-        .localCheckpoint(eager=True)
     )
     reg = registry.select(F.col("line").alias("_line"), F.col("n_docs").alias("_rn"))
     hot = (
