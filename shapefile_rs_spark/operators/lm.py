@@ -286,7 +286,12 @@ def lm_score_incremental(
     corpus-keyed.  Registry/batch vocab frames merge with map-side
     combine; everything downstream is the lm_score scoring shape.
     """
-    uni_delta = lm_unigram_counts(batch, text_col).localCheckpoint(eager=True)
+    # uni_delta stays LAZY (r7): its eager checkpoint was one more
+    # scheduling round-trip — the merged-registry aggregation below
+    # materializes it inside ITS checkpoint job, and a caller reading
+    # the returned delta re-runs one batch tokenize (the deltas are
+    # registry-maintenance side outputs, not the scored path)
+    uni_delta = lm_unigram_counts(batch, text_col)
     # one batch pair pass: the bigram delta AND the scoring join both
     # read this checkpoint (the batch used to tokenize three times —
     # delta, then again inside the scoring plan)
