@@ -1817,28 +1817,31 @@ def line_prune(
         .filter(F.col("_docs") >= max_docs)
         .select("_line")
     )
-    # left_anti drops the hot rows entirely; per-doc totals come from the
-    # pre-join frame so n_lines counts removed lines too.
-    marked = lines.join(hot, "_line", "left_anti")
-    totals = lines.groupBy(F.col("_id")).agg(F.count(F.lit(1)).alias("n_lines"))
-    kept = marked.groupBy(F.col("_id")).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
-                lambda x: x["_line"],
+    # r7: a LEFT join + keep flag replaces the former LeftAnti + a second
+    # totals aggregation + an outer join-back — ONE doc-keyed aggregation
+    # computes totals, survivors and the rebuild together (the para_dedup
+    # shape; hot is distinct lines, so the join never fans out, and a
+    # short line is never hot — the hot set filters to eligible lines)
+    marked = lines.join(
+        hot.withColumn("_hot", F.lit(True)), "_line", "left"
+    ).withColumn("_keep", F.col("_hot").isNull())
+    return marked.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_idx", "_line"))
+                        )
+                    ),
+                    lambda x: x["_line"],
+                ),
+                sep,
             ),
-            sep,
+            F.lit(""),
         ).alias("text_clean"),
-    )
-    return (
-        totals.join(kept, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "n_lines",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-        )
     )
 
 
@@ -1984,23 +1987,27 @@ def line_prune_incremental(
         .filter((F.col("_bn") + F.coalesce(F.col("_rn"), F.lit(0))) >= max_docs)
         .select("_line")
     )
-    marked = lines.join(hot, "_line", "left_anti")
-    totals = lines.groupBy(F.col("_id")).agg(F.count(F.lit(1)).alias("n_lines"))
-    kept = marked.groupBy(F.col("_id")).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
-                lambda x: x["_line"],
+    # same single-aggregation rebuild as line_prune (r7)
+    marked = lines.join(
+        hot.withColumn("_hot", F.lit(True)), "_line", "left"
+    ).withColumn("_keep", F.col("_hot").isNull())
+    cleaned = marked.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_idx", "_line"))
+                        )
+                    ),
+                    lambda x: x["_line"],
+                ),
+                sep,
             ),
-            sep,
+            F.lit(""),
         ).alias("text_clean"),
-    )
-    cleaned = totals.join(kept, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
     delta = bf.select(F.col("_line").alias("line"), F.col("_bn").alias("n_docs"))
     return cleaned, delta

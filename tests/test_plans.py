@@ -437,7 +437,11 @@ def test_line_prune_threshold_filters_before_join(spark, sf_dir):
     )
     plan = _plan(line_prune(docs, max_docs=2))
     assert "partial_count" in plan  # doc-frequency combines map-side
-    assert "LeftAnti" in plan
+    # r7: the removal is a keep-flag LEFT join against the (distinct)
+    # boilerplate set feeding ONE doc-keyed aggregation — no second
+    # totals aggregation, no outer join-back, still never a
+    # content-keyed window
+    assert "LeftOuter" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     # the >= threshold filter sits under the join (on the aggregated side),
