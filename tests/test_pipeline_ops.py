@@ -2398,3 +2398,35 @@ def test_dsir_incremental_matches_from_scratch(spark):
         for r in dsir_registry(docs, pred, n_buckets=32).collect()
     }
     assert merged == scratch
+
+
+def test_knn_join_massive_ties_and_string_ids(spark):
+    """r7 kernel edge cases: (a) hundreds of points at IDENTICAL
+    positions force the argpartition boundary-tie fallback (the k+64
+    slack is exceeded, so correctness rests on the full-sort path and
+    the (dist2, point_id) tie-break); (b) string ids exercise the
+    object-dtype sort paths."""
+    from shapefile_rs_spark.operators.knn import knn_bruteforce, knn_join
+
+    # 300 points stacked on 3 locations + a few scattered
+    pts = spark.sql(
+        "SELECT id AS point_id, "
+        "CASE id % 3 WHEN 0 THEN 1.0 WHEN 1 THEN 1.5 ELSE 50.0 END AS lon, "
+        "CASE id % 3 WHEN 0 THEN 1.0 WHEN 1 THEN 1.5 ELSE 40.0 END AS lat "
+        "FROM range(300)"
+    )
+    qs = spark.sql(
+        "SELECT id AS query_id, "
+        "CASE id % 2 WHEN 0 THEN 1.0 ELSE 50.0 END AS q_lon, "
+        "CASE id % 2 WHEN 0 THEN 1.0 ELSE 40.0 END AS q_lat "
+        "FROM range(40)"
+    )
+    want = {tuple(r) for r in knn_bruteforce(pts, qs, k=5).collect()}
+    got = {tuple(r) for r in knn_join(pts, qs, k=5, res=6).collect()}
+    assert got == want and len(got) == 200
+
+    spts = pts.selectExpr("concat('p', point_id) AS point_id", "lon", "lat")
+    sqs = qs.selectExpr("concat('q', query_id) AS query_id", "q_lon", "q_lat")
+    want_s = {tuple(r) for r in knn_bruteforce(spts, sqs, k=3).collect()}
+    got_s = {tuple(r) for r in knn_join(spts, sqs, k=3, res=5).collect()}
+    assert got_s == want_s and len(got_s) == 120
